@@ -1,0 +1,8 @@
+from .registry import QUERIES, ORACLES, query  # noqa: F401
+
+# Importing the modules populates the registry.
+from . import parity  # noqa: F401,E402
+from . import events  # noqa: F401,E402
+from . import dedup  # noqa: F401,E402
+from . import similarity  # noqa: F401,E402
+from . import text  # noqa: F401,E402

@@ -1,0 +1,96 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on
+DuckDB over the same sf dir, then compares row count, column-name set
+and an order-insensitive value comparison (columns sorted by name,
+rows sorted by all columns).  Usage:
+
+    python tools/verify_local.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+import traceback
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from mvp_mini_etl_pipeline_1762840347_spark.session import get_spark  # noqa: E402
+from mvp_mini_etl_pipeline_1762840347_spark.io import TABLES  # noqa: E402
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+        elif pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]").astype("int64")
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def compare(name: str, spark_df, oracle_df) -> str:
+    s = _normalize(spark_df)
+    o = _normalize(oracle_df)
+    if len(s) != len(o):
+        return f"ROWS {len(s)} vs {len(o)}"
+    if list(s.columns) != list(o.columns):
+        return f"COLS {list(s.columns)} vs {list(o.columns)}"
+    try:
+        pd.testing.assert_frame_equal(s, o, check_dtype=False, check_exact=False, rtol=1e-6, atol=1e-6)
+    except AssertionError as e:
+        return "VALUES " + str(e).split("\n")[0][:200]
+    return "OK"
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("verify_local")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception:
+            print(f"{name:32s} SPARK-ERROR")
+            traceback.print_exc()
+            failed.append(name)
+            continue
+        if name not in oracles:
+            print(f"{name:32s} rows-only: {len(sdf)} rows  ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            odf = con.sql(oracles[name]).df()
+        except Exception:
+            print(f"{name:32s} ORACLE-ERROR")
+            traceback.print_exc()
+            failed.append(name)
+            continue
+        verdict = compare(name, sdf, odf)
+        print(f"{name:32s} {verdict}  ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+        if verdict != "OK":
+            failed.append(name)
+    print(f"\n{len(qs) - len(failed)}/{len(qs)} OK" + (f"; FAILED: {failed}" if failed else ""))
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
