@@ -1,1 +1,290 @@
+"""Deduplication operators over `documents` (north-star, SURVEY §2.10).
+
+Generalizes the reference's only dedup artifact -- the
+`dedup_removed = rows_in - rows_out` metric (reference
+src/lib/users.js:68) -- into the dedup family a training-data
+pipeline needs: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Portability-by-construction: all hashing is md5-over-strings, which
+exists with identical output in Spark and DuckDB, so every operator
+has a full value-checked oracle (no engine-specific hash32/xxhash).
+
+Scale notes
+-----------
+* Exact dedup: hash-aggregate on the normalized text -- one shuffle
+  keyed by content, partial agg applies.
+* MinHash/LSH: per-doc work is linear in tokens; the only pairwise
+  step is an equi-join on (band, signature), i.e. candidates only --
+  never the O(n^2) cross join.  At 100 TB the band join is a standard
+  shuffle join whose key cardinality ~ #docs, and skew (a degenerate
+  signature bucketing millions of docs) is handled by AQE skew split.
+* SimHash: linear; fingerprints can then be self-joined on rotated
+  prefixes for Hamming-radius candidates.
+"""
+
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import read_table
+from .registry import query
+
+N_HASHES = 8
+BAND_ROWS = 2  # 4 bands x 2 rows
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "documents")
+
+
+def _tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, tok) -- whitespace tokenization, lowercased."""
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    return docs.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+
+
+def _shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) distinct word-3-grams via array transform --
+    stays JVM-side (higher-order function, no Python)."""
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+        ),
+    )
+    return (
+        docs.filter(F.size(toks) >= 3)
+        .select("doc_id", F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+# DuckDB fragment producing the same (doc_id, shingle) pairs.
+_SHINGLES_SQL = r"""
+    SELECT DISTINCT doc_id, shingle FROM (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+      FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+            FROM documents)
+      WHERE len(toks) >= 3
+    )
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup on normalized content
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_exact",
+    oracle=r"""
+    SELECT regexp_replace(lower(text), '\s+', ' ', 'g') AS norm_text,
+           min(doc_id)   AS keep_doc_id,
+           count(*) - 1  AS n_dups
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by normalized text (lower + whitespace
+    collapse), keep the first doc in ingest order.  Hash-aggregate on
+    content -- the canonical exact-dedup shape at any scale.  (For
+    100 TB keys, group on md5(norm_text) instead to shrink shuffle
+    payload; kept raw here so the oracle is value-identical.)"""
+    d = _docs(spark, sf_dir)
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    return d.groupBy(norm.alias("norm_text")).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        (F.count("*") - 1).alias("n_dups"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_minhash_lsh",
+    oracle=rf"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    hashed AS (
+      SELECT s.doc_id, seeds.seed,
+             min(md5(CAST(seeds.seed AS VARCHAR) || '_' || s.shingle)) AS mh
+      FROM shingles s, (SELECT unnest(range({N_HASHES})) AS seed) seeds
+      GROUP BY s.doc_id, seeds.seed
+    ),
+    sigs AS (
+      SELECT doc_id, seed // {BAND_ROWS} AS band,
+             md5(string_agg(mh, ',' ORDER BY seed)) AS sig
+      FROM hashed GROUP BY doc_id, seed // {BAND_ROWS}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+    FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+                           AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (8 permutations as md5(seed||shingle)) + LSH banding
+    (4 bands x 2 rows): candidate near-dup pairs are docs agreeing on
+    at least one full band signature.  The pairwise step is an
+    equi-join on (band, sig) -- candidate pairs only, never O(n^2)."""
+    sh = _shingles(_docs(spark, sf_dir))
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1))).alias("seed")
+    hashed = (
+        sh.select("doc_id", "shingle", seeds)
+        .withColumn(
+            "mh", F.md5(F.concat_ws("_", F.col("seed"), F.col("shingle")))
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("mh").alias("mh"))
+    )
+    sigs = (
+        hashed.withColumn("band", F.expr(f"seed div {BAND_ROWS}"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+                        lambda x: x["mh"],
+                    ),
+                    ",",
+                )
+            ).alias("sig")
+        )
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprint (16-bit, md5-nibble based)
+# ---------------------------------------------------------------------------
+_HEX = "0123456789abcdef"
+
+
+@query(
+    "dedup_simhash",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+      FROM documents
+    ),
+    bits AS (
+      SELECT t.doc_id, b.bitpos,
+             CASE WHEN ((instr('{_HEX}', substring(md5(t.tok), b.bitpos // 4 + 1, 1)) - 1)
+                        // CAST(pow(2, b.bitpos % 4) AS BIGINT)) % 2 = 1
+                  THEN 1 ELSE -1 END AS contrib
+      FROM toks t, (SELECT unnest(range(16)) AS bitpos) b
+    ),
+    votes AS (
+      SELECT doc_id, bitpos, sum(contrib) AS s FROM bits GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           sum(CASE WHEN s > 0 THEN CAST(pow(2, bitpos) AS BIGINT) ELSE 0 END) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document: each token votes +/-1 on every bit
+    of its md5; fingerprint bit = sign of the vote sum.  Bits come
+    from md5 hex nibbles so Spark and DuckDB agree exactly.  Linear in
+    tokens (16x fan-out), no pairwise stage."""
+    toks = _tokens(_docs(spark, sf_dir)).select("doc_id", "tok")
+    bits = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bitpos"),
+        F.md5("tok").alias("h"),
+    )
+    nibble = F.instr(
+        F.lit(_HEX), F.substring(F.col("h"), (F.expr("bitpos div 4") + 1).cast("int"), 1)
+    ) - 1
+    contrib = F.when(
+        (nibble / F.pow(F.lit(2), F.col("bitpos") % 4).cast("bigint")).cast("bigint") % 2
+        == 1,
+        1,
+    ).otherwise(-1)
+    votes = (
+        bits.select("doc_id", "bitpos", contrib.alias("contrib"))
+        .groupBy("doc_id", "bitpos")
+        .agg(F.sum("contrib").alias("s"))
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.pow(F.lit(2), F.col("bitpos")).cast("bigint"))
+            .otherwise(0)
+        ).alias("simhash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard similarity between candidate doc pairs
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_ngram_jaccard",
+    oracle=rf"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    sub AS (SELECT * FROM shingles WHERE doc_id < 100),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sub GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sub a JOIN sub b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_inter,
+           round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard for every candidate pair among the first 100
+    docs (bounded demo of the shingle-join pattern; production pairs
+    come from the LSH candidates above, same join shape).  Intersection
+    via shingle equi-join, union via inclusion-exclusion -- no cross
+    join anywhere."""
+    sub = _shingles(_docs(spark, sf_dir)).filter(F.col("doc_id") < 100)
+    sizes = sub.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sub.alias("a"), sub.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_inter")),
+                4,
+            ).alias("jaccard"),
+        )
+    )

@@ -1,1 +1,257 @@
+"""Event-time windowing queries over the `events` table (SURVEY §2.8).
+
+The reference only *simulates* incremental behavior (stage state
+machine, append-only log -- pages/index.js:38-78); the driver's
+`events` table is the designated stream surrogate.  These are the
+batch-checkable forms; `streaming/jobs.py` exposes the same operators
+as Structured Streaming jobs (watermarks + windowed state), sharing
+the window semantics below.
+
+Scale notes: all groupings key on (window, type) or (user, session) --
+partial aggregation keeps the shuffle proportional to the number of
+windows/users, not events.  At 100 TB the same plans hold; skewed hot
+users are handled by AQE skew-join/salting (session query shuffles by
+user_id only).
+"""
+
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io import read_table
+from .registry import query
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # events.parquet stores INT64 TIMESTAMP(NANOS), which Spark's
+    # vectorized reader rejects; read the raw nanos (runtime conf) and
+    # truncate to micros -- identical to how DuckDB/pyarrow surface the
+    # same column, so oracle comparisons agree.  Session TZ is UTC so
+    # timestamp_micros yields the same naive value.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    e = read_table(spark, sf_dir, "events")
+    if dict(e.dtypes)["ts"] == "bigint":
+        e = e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        e = e.withColumn("ts", F.col("ts").cast("timestamp"))
+    return e
+
+
+# ---------------------------------------------------------------------------
+# Tumbling window aggregation
+# ---------------------------------------------------------------------------
+@query(
+    "events_tumbling",
+    oracle="""
+    SELECT date_trunc('hour', ts)      AS window_start,
+           event_type,
+           count(*)                    AS n_events,
+           round(sum(value), 2)        AS total_value,
+           count(DISTINCT user_id)     AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling windows per event type.  Expressed with the
+    native `window()` so the same code runs under Structured Streaming
+    with a watermark (see streaming/jobs.py)."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "n_users",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding window aggregation (1 h window, 30 min slide)
+# ---------------------------------------------------------------------------
+@query(
+    "events_sliding",
+    oracle="""
+    WITH g AS (
+      SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000) AS w1, *
+      FROM events
+    ), assigned AS (
+      SELECT w1 AS window_start, event_type, value FROM g
+      UNION ALL
+      SELECT w1 - INTERVAL 30 MINUTE AS window_start, event_type, value FROM g
+    )
+    SELECT window_start, event_type,
+           count(*)             AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM assigned GROUP BY 1, 2
+    """,
+)
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes: each event lands in
+    exactly two windows (epoch-aligned starts, Spark semantics).  The
+    oracle materializes the two shifted assignments explicitly."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session windows (gap-based), native session_window
+# ---------------------------------------------------------------------------
+@query(
+    "events_session",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 3600000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM t
+    )
+    SELECT user_id,
+           min(ts)              AS session_start,
+           max(ts)              AS last_event,
+           count(*)             AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (1 h inactivity closes a session) via
+    Spark's native `session_window`; the oracle uses the classic
+    lag+cumsum gaps-and-islands form.  A new session starts when the
+    gap >= the timeout (Spark sessions are [start, last+gap))."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.session_window("ts", "1 hour").alias("w"), "user_id")
+        .agg(
+            F.max("ts").alias("last_event"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "last_event",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Keyed dedup: keep the first event per (user, type) -- deterministic
+# batch analog of dropDuplicatesWithinWatermark
+# ---------------------------------------------------------------------------
+@query(
+    "events_dedup_first",
+    oracle="""
+    SELECT user_id, event_type,
+           min(event_id)             AS first_event_id,
+           min_by(ts, event_id)      AS first_ts,
+           min_by(value, event_id)   AS first_value,
+           count(*) - 1              AS n_dups
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def events_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful-dedup semantics in batch: first event per key in
+    ingest order.  `dropDuplicates` is order-nondeterministic in a
+    distributed run, so the engine uses min_by over the ingest key --
+    same result on any partitioning."""
+    e = _events(spark, sf_dir)
+    return e.groupBy("user_id", "event_type").agg(
+        F.min("event_id").alias("first_event_id"),
+        F.min_by("ts", "event_id").alias("first_ts"),
+        F.min_by("value", "event_id").alias("first_value"),
+        (F.count("*") - 1).alias("n_dups"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON property extraction (events.props is a JSON string)
+# ---------------------------------------------------------------------------
+@query(
+    "events_json_extract",
+    oracle="""
+    SELECT event_type,
+           count(*)                                              AS n_events,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access: JSON path extraction from the props
+    column, then aggregate.  get_json_object stays JVM-side."""
+    e = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-ordered per-user activity deltas (lag over event time)
+# ---------------------------------------------------------------------------
+@query(
+    "events_gap_stats",
+    oracle="""
+    WITH d AS (
+      SELECT user_id,
+             (epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id))) / 1000000.0 AS gap_s
+      FROM events
+    )
+    SELECT user_id,
+           count(gap_s)                 AS n_gaps,
+           round(avg(gap_s), 2)         AS avg_gap_s,
+           round(max(gap_s), 2)         AS max_gap_s
+    FROM d GROUP BY user_id
+    """,
+)
+def events_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap statistics per user (lag over event time +
+    keyed agg) -- the building block behind sessionization and
+    activity scoring."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ep = F.unix_micros(F.col("ts"))
+    gap = (ep - F.lag(ep).over(w)) / F.lit(1000000.0)
+    return (
+        e.select("user_id", gap.alias("gap_s"))
+        .groupBy("user_id")
+        .agg(
+            F.count("gap_s").alias("n_gaps"),
+            F.round(F.avg("gap_s"), 2).alias("avg_gap_s"),
+            F.round(F.max("gap_s"), 2).alias("max_gap_s"),
+        )
+    )

@@ -1,1 +1,210 @@
+"""Similarity search over `embeddings` (north-star, SURVEY §2.10).
+
+Brute-force cosine top-k as the correctness baseline, plus a
+sign-bucket LSH variant as the scale path.  All vector math is
+higher-order functions (`zip_with`/`aggregate`) -- JVM-side, no
+Python UDF, no collect.
+
+Scale notes
+-----------
+* Brute force is O(Q x N): fine for small query sets (the query side
+  is broadcast so the corpus never shuffles), the wrong shape for
+  all-pairs at 100 TB.
+* The LSH variant buckets vectors by an 8-bit hyperplane-sign sketch
+  (random-hyperplane LSH with axis-aligned planes) and only scores
+  within-bucket pairs: candidate generation is an equi-join on the
+  bucket key -- the same join-not-crossjoin discipline as
+  dedup_minhash_lsh.  More planes/tables => recall/cost knob.
+* An IVF refinement (k-means coarse quantizer) would replace the sign
+  sketch with learned centroids; the join shape is identical.
+"""
+
 from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io import read_table
+from .registry import query
+
+N_QUERIES = 5
+TOP_K = 10
+BUCKET_BITS = 8
+
+
+def _as_double(c: Column) -> Column:
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """cos(a,b) = dot/(sqrt(dot(a,a)*dot(b,b))) in double precision --
+    formula written identically in the oracle for bit-level agreement."""
+    return _dot(a, b) / F.sqrt(_dot(a, a) * _dot(b, b))
+
+
+_COS_SQL = (
+    "list_dot_product({a}, {b}) / "
+    "sqrt(list_dot_product({a}, {a}) * list_dot_product({b}, {b}))"
+)
+
+
+# ---------------------------------------------------------------------------
+# Brute-force cosine top-k
+# ---------------------------------------------------------------------------
+@query(
+    "similarity_topk",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             round({_COS_SQL.format(a="q.qe", b="v.e")}, 4) AS sim
+      FROM q JOIN v ON v.vec_id <> q.query_id
+    )
+    SELECT * FROM (
+      SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {TOP_K}
+    """,
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors for the first 5 vectors.  The tiny
+    query side is broadcast; ranking is over (rounded sim, neighbor_id)
+    so results are deterministic across engines."""
+    v = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("e")
+    )
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    scored = (
+        v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qe"), F.col("e")), 4).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return scored.select(
+        "*", F.row_number().over(w).alias("rank")
+    ).filter(F.col("rank") <= TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# Sign-bucket LSH approximate neighbors
+# ---------------------------------------------------------------------------
+_BUCKET_SQL = (
+    "("
+    + " + ".join(
+        f"(CASE WHEN e[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(BUCKET_BITS)
+    )
+    + ")"
+)
+
+
+@query(
+    "similarity_lsh_bucket",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    b AS (SELECT vec_id, e, {_BUCKET_SQL} AS bucket FROM v),
+    q AS (SELECT vec_id AS query_id, e AS qe, bucket FROM b WHERE vec_id < 20),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             round({_COS_SQL.format(a="q.qe", b="c.e")}, 4) AS sim
+      FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+    )
+    SELECT * FROM (
+      SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def similarity_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate neighbors: bucket every vector by the sign pattern
+    of its first 8 dims (hyperplane-sign LSH), score only within the
+    query's bucket, keep top-5.  Candidate generation is an equi-join
+    on the bucket key -- N/256 of the corpus per query instead of N."""
+    v = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("e")
+    )
+    bucket = sum(
+        F.when(F.element_at("e", i + 1) > 0, F.lit(1 << i)).otherwise(0)
+        for i in range(BUCKET_BITS)
+    )
+    b = v.withColumn("bucket", bucket)
+    q = b.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        b.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qe"), F.col("e")), 4).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return scored.select(
+        "*", F.row_number().over(w).alias("rank")
+    ).filter(F.col("rank") <= 5)
+
+
+# ---------------------------------------------------------------------------
+# Embedding hygiene stats (norms per label)
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_norm_stats",
+    oracle="""
+    WITH v AS (
+      SELECT label, sqrt(list_dot_product(embedding::DOUBLE[],
+                                          embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    )
+    SELECT label, count(*) AS n_vectors,
+           round(avg(nrm), 4) AS avg_norm,
+           round(min(nrm), 4) AS min_norm,
+           round(max(nrm), 4) AS max_norm
+    FROM v GROUP BY label
+    """,
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm statistics -- the standard pre-ANN sanity
+    check (catches zero/unnormalized vectors before they poison cosine
+    scores)."""
+    v = read_table(spark, sf_dir, "embeddings").select(
+        "label", _as_double(F.col("embedding")).alias("e")
+    )
+    nrm = F.sqrt(_dot(F.col("e"), F.col("e")))
+    return (
+        v.select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.avg("nrm"), 4).alias("avg_norm"),
+            F.round(F.min("nrm"), 4).alias("min_norm"),
+            F.round(F.max("nrm"), 4).alias("max_norm"),
+        )
+    )

@@ -1,1 +1,192 @@
+"""Text-analysis operators over `documents` (north-star, SURVEY §2.10):
+language-ID heuristic, quality scoring, token statistics, document
+fingerprinting.  Everything is built-in string/array/higher-order
+functions -- no Python in the hot path -- and md5-based where hashing
+is needed so the DuckDB oracles are value-exact.
+
+Scale: all per-document (embarrassingly parallel, no shuffle) except
+the corpus token stats, which partial-aggregate before their one
+shuffle on the low-cardinality group key.
+"""
+
 from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import read_table
+from .dedup import _SHINGLES_SQL, _shingles
+from .registry import query
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for")
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "documents")
+
+
+def _toks(c: Column) -> Column:
+    return F.split(F.lower(c), r"\s+")
+
+
+# ---------------------------------------------------------------------------
+# Language identification (stopword-ratio heuristic)
+# ---------------------------------------------------------------------------
+@query(
+    "text_langid",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, lang, string_split_regex(lower(text), '\s+') AS toks
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           len(toks) AS n_tokens,
+           round(CAST(len(list_filter(toks, x -> x IN ({_STOP_SQL}))) AS DOUBLE)
+                 / len(toks), 4)                                    AS en_stop_ratio,
+           CASE WHEN CAST(len(list_filter(toks, x -> x IN ({_STOP_SQL}))) AS DOUBLE)
+                     / len(toks) >= 0.05
+                THEN 'en' ELSE 'unknown' END                        AS pred_lang
+    FROM t WHERE len(toks) > 0
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/stopword language-ID heuristic: ratio of English
+    function words among tokens.  Pure higher-order functions
+    (filter over the token array) -- one pass, no explode, no
+    shuffle."""
+    d = _docs(spark, sf_dir)
+    toks = _toks(F.col("text"))
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    ratio = n_stop.cast("double") / F.size(toks)
+    return d.filter(F.size(toks) > 0).select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.round(ratio, 4).alias("en_stop_ratio"),
+        F.when(ratio >= 0.05, "en").otherwise("unknown").alias("pred_lang"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring (length / punctuation / stopword signals)
+# ---------------------------------------------------------------------------
+@query(
+    "text_quality",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             string_split_regex(lower(text), '\s+') AS toks,
+             length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+               AS n_punct,
+             length(text) AS len_text
+      FROM documents
+    )
+    SELECT doc_id, n_chars,
+           len(toks)                                                 AS n_tokens,
+           round(CAST(len_text AS DOUBLE) / len(toks), 2)            AS avg_token_span,
+           round(CAST(n_punct AS DOUBLE) / len_text, 4)              AS punct_ratio,
+           round(CAST(len(list_filter(toks, x -> x IN ({_STOP_SQL}))) AS DOUBLE)
+                 / len(toks), 4)                                     AS stop_ratio,
+           CASE WHEN len(toks) >= 40 AND
+                     CAST(n_punct AS DOUBLE) / len_text < 0.1 THEN 'high'
+                WHEN len(toks) >= 15 THEN 'medium'
+                ELSE 'low' END                                       AS quality_bucket
+    FROM t WHERE len(toks) > 0
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality signals: token count, mean token span,
+    punctuation ratio, stopword ratio, bucketed score -- the standard
+    pre-training filter features (length/punct/stopword heuristics)."""
+    d = _docs(spark, sf_dir)
+    toks = _toks(F.col("text"))
+    len_text = F.length("text")
+    n_punct = len_text - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))
+    stop_ratio = (
+        F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double")
+        / F.size(toks)
+    )
+    punct_ratio = n_punct.cast("double") / len_text
+    return d.filter(F.size(toks) > 0).select(
+        "doc_id",
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        F.round(len_text.cast("double") / F.size(toks), 2).alias("avg_token_span"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.when((F.size(toks) >= 40) & (punct_ratio < 0.1), "high")
+        .when(F.size(toks) >= 15, "medium")
+        .otherwise("low")
+        .alias("quality_bucket"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus token statistics per (lang, source)
+# ---------------------------------------------------------------------------
+@query(
+    "text_token_stats",
+    oracle=r"""
+    WITH t AS (
+      SELECT lang, source, unnest(string_split_regex(lower(text), '\s+')) AS tok
+      FROM documents
+    )
+    SELECT lang, source,
+           count(*)            AS total_tokens,
+           count(DISTINCT tok) AS distinct_tokens,
+           min(tok)            AS first_token_alpha
+    FROM t GROUP BY lang, source
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level token accounting per (lang, source): total and
+    distinct token counts.  Explode happens map-side; the shuffle
+    carries only per-(lang,source,token) partials."""
+    d = _docs(spark, sf_dir)
+    t = d.select(
+        "lang", "source", F.explode(_toks(F.col("text"))).alias("tok")
+    )
+    return t.groupBy("lang", "source").agg(
+        F.count("*").alias("total_tokens"),
+        F.countDistinct("tok").alias("distinct_tokens"),
+        F.min("tok").alias("first_token_alpha"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting (content hash + min-shingle winnow)
+# ---------------------------------------------------------------------------
+@query(
+    "text_fingerprint",
+    oracle=rf"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    winnow AS (
+      SELECT doc_id, min(md5(shingle)) AS min_shingle_fp
+      FROM shingles GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           md5(regexp_replace(lower(d.text), '\s+', ' ', 'g')) AS content_fp,
+           w.min_shingle_fp
+    FROM documents d JOIN winnow w ON w.doc_id = d.doc_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two fingerprints per document: exact content hash over
+    normalized text (rolling-hash equivalent for identity), and the
+    minimum shingle hash (a 1-hash winnowing sketch; robust to
+    local edits).  Both md5-based for oracle parity."""
+    d = _docs(spark, sf_dir)
+    winnow = (
+        _shingles(d)
+        .withColumn("h", F.md5("shingle"))
+        .groupBy("doc_id")
+        .agg(F.min("h").alias("min_shingle_fp"))
+    )
+    content = d.select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")).alias(
+            "content_fp"
+        ),
+    )
+    return content.join(winnow, "doc_id")
