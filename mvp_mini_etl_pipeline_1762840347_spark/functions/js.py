@@ -64,8 +64,13 @@ def epoch_millis_now() -> Column:
 
 
 def url_hostname(url: Column) -> Column:
-    """new URL(u).hostname with fail->input -- reference pages/index.js:417-424 (F7)."""
-    return F.coalesce(F.parse_url(url, F.lit("HOST")), url)
+    """new URL(u).hostname with fail->input -- reference pages/index.js:417-424 (F7).
+
+    try_parse_url: under ANSI mode (Spark 4 default) plain parse_url
+    raises on malformed input; the reference's try/catch returns the
+    input instead.
+    """
+    return F.coalesce(F.try_parse_url(url, F.lit("HOST")), url)
 
 
 def csv_quote(c: Column) -> Column:

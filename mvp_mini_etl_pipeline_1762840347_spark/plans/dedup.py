@@ -44,10 +44,19 @@ def _tokens(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
 
 
-def _shingles(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingle) distinct word-3-grams via array transform --
-    stays JVM-side (higher-order function, no Python)."""
-    toks = F.split(F.lower(F.col("text")), r"\s+")
+def _shingles(docs: DataFrame, distinct: bool = True) -> DataFrame:
+    """(doc_id, shingle) word-3-grams via array transform -- stays
+    JVM-side (higher-order function, no Python).
+
+    The token array is materialized in its own projection first:
+    inlining the split() into the lambda makes Catalyst re-evaluate
+    the regex split per element reference (3x per shingle) -- a ~10x
+    slowdown observed at sf0.1.
+
+    ``distinct=False`` skips the dedup shuffle for consumers whose
+    aggregate is duplicate-insensitive (min-hash sketches).
+    """
+    toks = F.col("toks")
     sh = F.transform(
         F.sequence(F.lit(1), F.size(toks) - 2),
         lambda i: F.concat_ws(
@@ -57,11 +66,12 @@ def _shingles(docs: DataFrame) -> DataFrame:
             F.element_at(toks, i + 2),
         ),
     )
-    return (
-        docs.filter(F.size(toks) >= 3)
+    out = (
+        docs.select("doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("toks"))
+        .filter(F.size(toks) >= 3)
         .select("doc_id", F.explode(sh).alias("shingle"))
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 # DuckDB fragment producing the same (doc_id, shingle) pairs.
@@ -132,31 +142,35 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash (8 permutations as md5(seed||shingle)) + LSH banding
     (4 bands x 2 rows): candidate near-dup pairs are docs agreeing on
     at least one full band signature.  The pairwise step is an
-    equi-join on (band, sig) -- candidate pairs only, never O(n^2)."""
-    sh = _shingles(_docs(spark, sf_dir))
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1))).alias("seed")
-    hashed = (
-        sh.select("doc_id", "shingle", seeds)
-        .withColumn(
-            "mh", F.md5(F.concat_ws("_", F.col("seed"), F.col("shingle")))
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("mh").alias("mh"))
+    equi-join on (band, sig) -- candidate pairs only, never O(n^2).
+
+    Plan shape: the 8 minhashes are 8 aggregate *columns* over the
+    shingle rows (map-side partial min per hash), so the only wide
+    exchange carries one row per doc -- not the 8x-exploded
+    (doc, seed, shingle) stream a naive implementation shuffles.
+    Bands are then derived columns unpivoted with stack() (narrow)."""
+    sh = _shingles(_docs(spark, sf_dir), distinct=False)
+    minhashes = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat_ws("_", F.lit(s), F.col("shingle")))).alias(f"mh{s}")
+            for s in range(N_HASHES)
+        ]
     )
-    sigs = (
-        hashed.withColumn("band", F.expr(f"seed div {BAND_ROWS}"))
-        .groupBy("doc_id", "band")
-        .agg(
+    n_bands = N_HASHES // BAND_ROWS
+    band_sigs = minhashes.select(
+        "doc_id",
+        *[
             F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("seed", "mh"))),
-                        lambda x: x["mh"],
-                    ),
-                    ",",
+                F.concat_ws(
+                    ",", *[F.col(f"mh{b * BAND_ROWS + r}") for r in range(BAND_ROWS)]
                 )
-            ).alias("sig")
-        )
+            ).alias(f"sig{b}")
+            for b in range(n_bands)
+        ],
+    )
+    stack_args = ", ".join(f"{b}, sig{b}" for b in range(n_bands))
+    sigs = band_sigs.select(
+        "doc_id", F.expr(f"stack({n_bands}, {stack_args}) AS (band, sig)")
     )
     a, b = sigs.alias("a"), sigs.alias("b")
     return (

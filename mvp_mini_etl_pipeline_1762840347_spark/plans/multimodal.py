@@ -1,0 +1,59 @@
+"""Multimodal-column queries (north-star): binary payload plumbing
+over the documents table (deterministic fake media -- see
+operators/multimodal.py for why the codec step is stubbed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import read_table
+from ..operators.multimodal import extract_features, fake_media_from_documents
+from .registry import query
+
+
+# ---------------------------------------------------------------------------
+# Binary column metadata aggregation (oracle-checked)
+# ---------------------------------------------------------------------------
+@query(
+    "multimodal_meta",
+    oracle="""
+    SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+           ELSE 'video' END              AS kind,
+           count(*)                       AS n_media,
+           sum(octet_length(encode(text))) AS total_bytes,
+           round(avg(n_chars % 100), 2)   AS avg_frames
+    FROM documents GROUP BY 1
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-metadata accounting over opaque binary media columns:
+    byte volumes and frame counts per modality.  The binary payload
+    stays opaque (never decoded) -- scans prune it unless projected."""
+    media = fake_media_from_documents(read_table(spark, sf_dir, "documents"))
+    return media.groupBy("kind").agg(
+        F.count("*").alias("n_media"),
+        F.sum(F.length("content")).alias("total_bytes"),
+        F.round(F.avg("meta.n_frames"), 2).alias("avg_frames"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Arrow-batched feature extraction (rows-only: mapInPandas, not SQL)
+# ---------------------------------------------------------------------------
+@query("multimodal_features")  # no oracle: Pandas-UDF pipeline, non-SQL
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction through the mapInPandas plumbing: sha256
+    content ids + deterministic fake feature vectors.  Exercises the
+    real Arrow batch path end-to-end; deterministic output regardless
+    of partitioning."""
+    media = fake_media_from_documents(read_table(spark, sf_dir, "documents"))
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "content_sha",
+        F.round(F.element_at("features", 1).cast("double"), 4).alias("f0"),
+    )

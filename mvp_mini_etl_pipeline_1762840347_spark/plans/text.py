@@ -178,7 +178,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     local edits).  Both md5-based for oracle parity."""
     d = _docs(spark, sf_dir)
     winnow = (
-        _shingles(d)
+        _shingles(d, distinct=False)  # min() is duplicate-insensitive
         .withColumn("h", F.md5("shingle"))
         .groupBy("doc_id")
         .agg(F.min("h").alias("min_shingle_fp"))

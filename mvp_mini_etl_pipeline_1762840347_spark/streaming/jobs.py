@@ -1,0 +1,129 @@
+"""Structured Streaming versions of the event operators (SURVEY §2.8).
+
+The reference only simulates streaming (timer-driven stage pills,
+pages/index.js:45-78); the real engine runs the same event-time
+semantics as Structured Streaming jobs: watermarked tumbling windows,
+gap sessionization, stateful dedup, and a custom stateful operator via
+applyInPandasWithState.
+
+Batch/stream parity: the window expressions here are the same ones the
+batch queries in plans/events.py use, so a batch backfill and the
+stream agree -- the property that matters when reprocessing 100 TB of
+history next to a live topic.  Local tests drive these with a
+file-source stream over the driver's events parquet + a memory sink
+(`run_to_memory`), which processes all available input synchronously.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos-as-long (see plans/events.py)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream over a directory of events parquet files --
+    the landing-zone shape (stand-in for a Kafka topic; swap
+    `.format("kafka")` + from_json at deploy).  New files appearing in
+    the directory become new micro-batches.  Nanos epoch ->
+    TimestampType for event-time semantics."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .load(events_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked hourly tumbling counts per event type -- the
+    streaming twin of plans/events.events_tumbling.  Late events
+    beyond the watermark are dropped; state is bounded by
+    (#open windows x #types)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+def session_counts_stream(events: DataFrame, gap: str = "1 hour") -> DataFrame:
+    """Watermarked gap sessionization -- streaming twin of
+    plans/events.events_session (same session_window expression)."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Stateful dedup on (user_id, event_type) within the watermark
+    horizon -- bounded-state streaming analog of
+    plans/events.events_dedup_first."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+
+
+def running_user_totals_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: running
+    per-user event count + value total maintained as explicit
+    GroupState (the escape hatch for operators Spark's built-in
+    streaming aggregates can't express)."""
+    import pandas as pd  # local import: only needed when the op runs
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, total double"
+
+    def fn(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def run_to_memory(df: DataFrame, name: str, output_mode: str = "append") -> StreamingQuery:
+    """Drive a streaming DataFrame through all available input into an
+    in-memory table (local test harness; production sinks are
+    kafka/parquet/foreachBatch)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    q.processAllAvailable()
+    return q

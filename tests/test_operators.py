@@ -1,0 +1,81 @@
+"""Unit tests for the reusable operators: lookup joins with defaults,
+array-membership collect joins, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mvp_mini_etl_pipeline_1762840347_spark.operators.joins import (
+    collect_members_join,
+    lookup_join_with_default,
+)
+from mvp_mini_etl_pipeline_1762840347_spark.operators import multimodal as mm
+
+
+def test_lookup_join_with_default(spark):
+    """J1 semantics: miss -> 'Unknown' default (spacex.js:32 shape)."""
+    launches = spark.createDataFrame(
+        [("l1", "r1"), ("l2", "r-missing")], "id string, rocket_id string"
+    )
+    rockets = spark.createDataFrame(
+        [("r1", "Falcon 9")], "rid string, rocket_name string"
+    )
+    out = lookup_join_with_default(
+        launches,
+        rockets,
+        "rocket_id",
+        "rid",
+        {"rocket_name": F.col("rocket_id")},
+    )
+    got = {r["id"]: r["rocket_name"] for r in out.collect()}
+    assert got == {"l1": "Falcon 9", "l2": "r-missing"}
+
+
+def test_collect_members_join(spark):
+    """J3 semantics: per-owner member collection incl. empty arrays."""
+    launches = spark.createDataFrame(
+        [("l1", ["p1", "p2"]), ("l2", ["p-missing"]), ("l3", [])],
+        "id string, payload_ids array<string>",
+    )
+    payloads = spark.createDataFrame(
+        [("p1", "Starlink"), ("p2", "Iridium")], "pid string, pname string"
+    )
+    out = collect_members_join(
+        launches, "id", "payload_ids", payloads, "pid", ["pid", "pname"]
+    ).collect()
+    got = {r["id"]: (sorted(m["pname"] for m in r["members"]), r["members_count"]) for r in out}
+    assert got["l1"] == (["Iridium", "Starlink"], 2)
+    assert got["l2"] == ([], 0)
+    assert got["l3"] == ([], 0)
+
+
+def test_multimodal_feature_extraction(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+    media = mm.fake_media_from_documents(docs)
+    feats = mm.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 30
+    r = rows[0]
+    assert r["n_bytes"] > 0
+    assert len(r["content_sha"]) == 64
+    assert len(r["features"]) == mm.FEATURE_DIM
+    assert all(0.0 <= f <= 1.0 for f in r["features"])
+    # determinism across repartitioning
+    feats2 = mm.extract_features(media.repartition(7))
+    assert {(x["media_id"], x["content_sha"]) for x in feats2.collect()} == {
+        (x["media_id"], x["content_sha"]) for x in rows
+    }
+
+
+def test_multimodal_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"\x89PNG")
+
+
+def test_frame_sample(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+    media = mm.fake_media_from_documents(docs)
+    frames = mm.frame_sample(media, every_n=10).collect()
+    assert frames, "expected sampled frames for video rows"
+    assert all(f["frame_idx"] % 10 == 0 for f in frames)

@@ -1,0 +1,96 @@
+"""Structured Streaming tests: file-source stream over the events
+parquet driven to completion into memory sinks; batch/stream parity
+for the tumbling window."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mvp_mini_etl_pipeline_1762840347_spark import plans
+from mvp_mini_etl_pipeline_1762840347_spark.streaming import jobs
+import pytest
+import shutil
+
+
+@pytest.fixture(scope="module")
+def events_dir(sf_dir, tmp_path_factory):
+    """Landing-zone directory with the events parquet (the file stream
+    source consumes directories)."""
+    d = tmp_path_factory.mktemp("events_landing")
+    shutil.copy(f"{sf_dir}/events.parquet", d / "events.parquet")
+    return str(d)
+
+
+def test_tumbling_stream_matches_batch(spark, sf_dir, events_dir):
+    ev = jobs.stream_events(spark, events_dir)
+    q = jobs.run_to_memory(
+        jobs.tumbling_counts_stream(ev), "tumbling_out", output_mode="append"
+    )
+    try:
+        got = {
+            (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+            for r in spark.sql("SELECT * FROM tumbling_out").collect()
+        }
+        batch = {
+            (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+            for r in plans.QUERIES["events_tumbling"](spark, sf_dir)
+            .select("window_start", "event_type", "n_events", "total_value")
+            .collect()
+        }
+        # Append mode only emits windows the watermark has closed; every
+        # emitted window must match the batch result exactly.
+        assert got, "stream emitted no windows"
+        for k, v in got.items():
+            assert batch[k] == v
+        assert len(got) >= len(batch) * 0.8  # all but the tail emitted
+    finally:
+        q.stop()
+
+
+def test_session_stream_runs(spark, sf_dir, events_dir):
+    ev = jobs.stream_events(spark, events_dir)
+    q = jobs.run_to_memory(jobs.session_counts_stream(ev), "session_out")
+    try:
+        rows = spark.sql("SELECT count(*) AS n FROM session_out").collect()
+        assert rows[0]["n"] > 0
+    finally:
+        q.stop()
+
+
+def test_dedup_stream_bounded(spark, sf_dir, events_dir):
+    ev = jobs.stream_events(spark, events_dir)
+    q = jobs.run_to_memory(jobs.dedup_stream(ev), "dedup_out")
+    try:
+        out = spark.sql("SELECT user_id, event_type, count(*) c FROM dedup_out GROUP BY 1,2")
+        dup_keys = out.filter(F.col("c") > 1).count()
+        total = spark.sql("SELECT count(*) n FROM dedup_out").collect()[0]["n"]
+        assert total > 0
+        # within one watermark horizon no duplicate keys may be emitted
+        # twice *from the same micro-batch*; with a single input batch
+        # this means exact dedup:
+        assert dup_keys == 0
+    finally:
+        q.stop()
+
+
+def test_stateful_running_totals(spark, sf_dir, events_dir):
+    ev = jobs.stream_events(spark, events_dir)
+    q = jobs.run_to_memory(
+        jobs.running_user_totals_stream(ev), "totals_out", output_mode="update"
+    )
+    try:
+        rows = spark.sql(
+            "SELECT user_id, max(n_events) n FROM totals_out GROUP BY user_id"
+        ).collect()
+        assert rows
+        batch_counts = {
+            r["user_id"]: r["n"]
+            for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        got = {r["user_id"]: r["n"] for r in rows}
+        assert got == batch_counts
+    finally:
+        q.stop()
