@@ -7,3 +7,4 @@ from . import dedup  # noqa: F401,E402
 from . import similarity  # noqa: F401,E402
 from . import text  # noqa: F401,E402
 from . import multimodal  # noqa: F401,E402
+from . import relational  # noqa: F401,E402

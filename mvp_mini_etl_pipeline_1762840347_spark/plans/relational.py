@@ -1,0 +1,435 @@
+"""Extended relational surface (SURVEY §2.4 note: "expose Spark's full
+join surface since it is free, and exercise it in the driver
+queries"): semi/anti/full joins, rollup/cube, pivot, set ops, exact
+percentiles, as-of and range joins.
+
+These generalize the reference's only join shapes (broadcast lookups
+J1-J3) to the full algebra an analytics engine needs; every query
+keeps the same discipline -- broadcast small sides, aggregate before
+shuffling, deterministic orderings for anything ranked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io import read_table
+from .registry import query
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins (EXISTS / NOT EXISTS)
+# ---------------------------------------------------------------------------
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers having at least one big order -- left_semi join: the
+    probe side streams, nothing from the build side is materialized in
+    the output (half the shuffle of an inner join + dedup)."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders at all -- left_anti join (the
+    data-quality staple)."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").select("o_custkey")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Full outer join over per-nation aggregates
+# ---------------------------------------------------------------------------
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_customers
+               FROM customer GROUP BY 1),
+         s AS (SELECT s_nationkey AS nk, count(*) AS n_suppliers
+               FROM supplier GROUP BY 1)
+    SELECT coalesce(c.nk, s.nk)         AS nationkey,
+           coalesce(n_customers, 0)     AS n_customers,
+           coalesce(n_suppliers, 0)     AS n_suppliers
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation customer vs supplier presence -- full outer join of
+    two pre-aggregated sides (aggregate-then-join: the join input is
+    #nations rows, not #customers)."""
+    c = (
+        read_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    s = (
+        read_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    j = c.join(s, "nk", "full_outer")
+    return j.select(
+        F.col("nk").alias("nationkey"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP / CUBE with explicit grouping flags
+# ---------------------------------------------------------------------------
+@query(
+    "rollup_orders",
+    oracle="""
+    SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL'
+                ELSE o_orderstatus END   AS status,
+           CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
+                ELSE o_orderpriority END AS priority,
+           count(*)                      AS n_orders,
+           round(sum(o_totalprice), 2)   AS total_price
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals (status -> status+priority -> grand
+    total).  GROUPING() flags distinguish real NULL keys from
+    subtotal rows -- the portable way to compare rollups."""
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.grouping("o_orderstatus").alias("g1"),
+            F.grouping("o_orderpriority").alias("g2"),
+        )
+        .select(
+            F.when(F.col("g1") == 1, "ALL").otherwise(F.col("o_orderstatus")).alias("status"),
+            F.when(F.col("g2") == 1, "ALL").otherwise(F.col("o_orderpriority")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+@query(
+    "cube_pricing",
+    oracle="""
+    SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL'
+                ELSE l_returnflag END  AS returnflag,
+           CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL'
+                ELSE l_linestatus END  AS linestatus,
+           count(*)                    AS n_items,
+           round(sum(l_quantity), 2)   AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All grouping-set combinations over (returnflag, linestatus)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.grouping("l_returnflag").alias("g1"),
+            F.grouping("l_linestatus").alias("g2"),
+        )
+        .select(
+            F.when(F.col("g1") == 1, "ALL").otherwise(F.col("l_returnflag")).alias("returnflag"),
+            F.when(F.col("g2") == 1, "ALL").otherwise(F.col("l_linestatus")).alias("linestatus"),
+            "n_items",
+            "sum_qty",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot (status x priority count matrix)
+# ---------------------------------------------------------------------------
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PIV_COLS = ["p1_urgent", "p2_high", "p3_medium", "p4_not_specified", "p5_low"]
+
+
+@query(
+    "pivot_status_priority",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           count(*) FILTER (WHERE o_orderpriority = '1-URGENT')        AS p1_urgent,
+           count(*) FILTER (WHERE o_orderpriority = '2-HIGH')          AS p2_high,
+           count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM')        AS p3_medium,
+           count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p4_not_specified,
+           count(*) FILTER (WHERE o_orderpriority = '5-LOW')           AS p5_low
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide count matrix via pivot with an explicit value list (never
+    let pivot scan for distinct values at scale -- that's an extra
+    job over the full table)."""
+    o = read_table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy(F.col("o_orderstatus").alias("status"))
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.count(F.lit(1)))
+    )
+    renamed = piv.select(
+        "status",
+        *[
+            F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(c)
+            for p, c in zip(_PRIORITIES, _PIV_COLS)
+        ],
+    )
+    return renamed
+
+
+# ---------------------------------------------------------------------------
+# Set operations: INTERSECT / EXCEPT (distinct semantics)
+# ---------------------------------------------------------------------------
+@query(
+    "setops_custkeys",
+    oracle="""
+    SELECT 'both' AS side, o_custkey AS custkey FROM (
+      SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      INTERSECT
+      SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    UNION ALL
+    SELECT 'open_only' AS side, o_custkey AS custkey FROM (
+      SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      EXCEPT
+      SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    """,
+)
+def setops_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with both open and finished orders (INTERSECT) vs
+    open-only (EXCEPT), tagged and unioned."""
+    o = read_table(spark, sf_dir, "orders")
+    open_k = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    fin_k = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    both = open_k.intersect(fin_k).select(F.lit("both").alias("side"), "custkey")
+    # subtract == EXCEPT DISTINCT (exceptAll's multiset semantics would
+    # keep keys whose open-count exceeds their finished-count).
+    only = open_k.subtract(fin_k).select(F.lit("open_only").alias("side"), "custkey")
+    return both.unionByName(only)
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles per group
+# ---------------------------------------------------------------------------
+@query(
+    "percentile_stats",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           round(quantile_cont(o_totalprice, 0.5), 2)  AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 2)  AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 2) AS p99
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per status.  (At 100 TB swap for
+    approx_percentile -- sketch-mergeable, one pass; exact kept here
+    because the oracle can verify it bit-for-bit.)"""
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 2).alias("p90"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 2).alias("p99"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (events -> latest prior order of the same customer)
+# ---------------------------------------------------------------------------
+@query(
+    "asof_join",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id,
+           o.o_orderkey  AS asof_orderkey,
+           o.o_orderdate AS asof_orderdate
+    FROM events e
+    ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join -- Spark has no native operator (SURVEY: custom
+    operators rule (a): compose built-ins).  Implementation: tag both
+    streams, union, single window sort per key, carry the last
+    non-null order forward, keep event rows.  One shuffle on the key,
+    no range cross-join -- the merge-join shape that scales.
+
+    Orders are pre-deduped per (custkey, orderdate) keeping max
+    orderkey so ties are deterministic in both engines.
+    """
+    from .events import _events
+
+    e = _events(spark, sf_dir)
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    o_tagged = o.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").cast("timestamp").alias("t"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderkey").alias("ord_key"),
+        F.col("o_orderdate").alias("ord_date"),
+        F.lit(0).alias("is_event"),
+    )
+    e_tagged = e.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        "event_id",
+        F.lit(None).cast("long").alias("ord_key"),
+        F.lit(None).cast(o.schema["o_orderdate"].dataType).alias("ord_date"),
+        F.lit(1).alias("is_event"),
+    )
+    # Order rows sort before event rows at identical t => '>=' asof.
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "is_event")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = o_tagged.unionByName(e_tagged).select(
+        "*",
+        F.last("ord_key", ignorenulls=True).over(w).alias("asof_orderkey"),
+        F.last("ord_date", ignorenulls=True).over(w).alias("asof_orderdate"),
+    )
+    return merged.filter(F.col("is_event") == 1).select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        "asof_orderkey",
+        "asof_orderdate",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range join (value -> band lookup)
+# ---------------------------------------------------------------------------
+_BANDS = [(0.0, 50.0, "low"), (50.0, 120.0, "mid"), (120.0, 1e9, "high")]
+_BANDS_SQL = ", ".join(f"({lo}, {hi}, '{name}')" for lo, hi, name in _BANDS)
+
+
+@query(
+    "range_join_bands",
+    oracle=f"""
+    WITH bands(lo, hi, band) AS (VALUES {_BANDS_SQL})
+    SELECT b.band, count(*) AS n_events, round(sum(e.value), 2) AS total_value
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.band
+    """,
+)
+def range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join of events against a band table.  The band
+    side is tiny and broadcast => BroadcastNestedLoopJoin, which is
+    the right physical plan when one side fits in memory; for
+    large-large range joins, bucketize the range key and equi-join on
+    the bucket."""
+    from .events import _events
+
+    e = _events(spark, sf_dir)
+    bands = spark.createDataFrame(_BANDS, "lo double, hi double, band string")
+    return (
+        e.join(
+            F.broadcast(bands),
+            (e.value >= bands.lo) & (e.value < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# String + numeric scalar sweeps
+# ---------------------------------------------------------------------------
+@query(
+    "string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           substring(c_name, 1, 8)           AS name_prefix,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+           reverse(c_name)                   AS name_rev,
+           length(c_name)                    AS name_len,
+           replace(c_name, '_', '-')         AS name_dashed,
+           levenshtein(c_mktsegment, 'BUILDING') AS seg_dist
+    FROM customer
+    """,
+)
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function sweep: substring/lpad/reverse/length/replace/
+    levenshtein (all codegen'd builtins)."""
+    c = read_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+        F.reverse("c_name").alias("name_rev"),
+        F.length("c_name").alias("name_len"),
+        F.replace(F.col("c_name"), F.lit("_"), F.lit("-")).alias("name_dashed"),
+        F.levenshtein("c_mktsegment", F.lit("BUILDING")).alias("seg_dist"),
+    )
+
+
+@query(
+    "numeric_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(abs(l_discount - 0.05), 4)       AS disc_dev,
+           CAST(ceil(l_quantity) AS BIGINT)       AS qty_ceil,
+           CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+           round(sqrt(l_extendedprice), 4)        AS price_sqrt,
+           round(ln(l_extendedprice + 1), 6)      AS price_ln,
+           CAST(l_quantity AS BIGINT) % 7         AS qty_mod,
+           sign(l_discount - 0.05)                AS disc_sign
+    FROM lineitem
+    """,
+)
+def numeric_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric function sweep: abs/ceil/floor/sqrt/ln/mod/sign."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("disc_dev"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.round(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        (F.col("l_quantity").cast("bigint") % 7).alias("qty_mod"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+    )

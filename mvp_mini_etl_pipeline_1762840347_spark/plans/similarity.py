@@ -173,6 +173,52 @@ def similarity_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs (bucketed candidates)
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    b AS (SELECT vec_id, label, e, {_BUCKET_SQL} AS bucket FROM v)
+    SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+           round({_COS_SQL.format(a="a.e", b="c.e")}, 4) AS sim,
+           CAST(a.label = c.label AS BOOLEAN) AS same_label
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE {_COS_SQL.format(a="a.e", b="c.e")} >= 0.35
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup candidates: pairs sharing a sign
+    bucket with cosine >= 0.35.  The bucket equi-join keeps the
+    pairwise work at ~N^2/256 instead of N^2; the threshold filter is
+    pushed into the join's projection."""
+    v = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("e")
+    )
+    bucket = sum(
+        F.when(F.element_at("e", i + 1) > 0, F.lit(1 << i)).otherwise(0)
+        for i in range(BUCKET_BITS)
+    )
+    b = v.withColumn("bucket", bucket)
+    a, c = b.alias("a"), b.alias("c")
+    sim = cosine(F.col("a.e"), F.col("c.e"))
+    return (
+        a.join(
+            c,
+            (F.col("a.bucket") == F.col("c.bucket"))
+            & (F.col("a.vec_id") < F.col("c.vec_id")),
+        )
+        .filter(sim >= 0.35)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("c.vec_id").alias("vec_b"),
+            F.round(sim, 4).alias("sim"),
+            (F.col("a.label") == F.col("c.label")).alias("same_label"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Embedding hygiene stats (norms per label)
 # ---------------------------------------------------------------------------
 @query(
