@@ -221,10 +221,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from md5 hex nibbles so Spark and DuckDB agree exactly.  Linear in
     tokens (16x fan-out), no pairwise stage."""
     toks = _tokens(_docs(spark, sf_dir)).select("doc_id", "tok")
-    bits = toks.select(
+    # md5 materialized BEFORE the 16-way bit explode -- inlining it in
+    # the same projection as explode() recomputes the hash per bit row.
+    hashed = toks.select("doc_id", F.md5("tok").alias("h"))
+    bits = hashed.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bitpos"),
-        F.md5("tok").alias("h"),
+        "h",
     )
     nibble = F.instr(
         F.lit(_HEX), F.substring(F.col("h"), (F.expr("bitpos div 4") + 1).cast("int"), 1)
