@@ -8,3 +8,5 @@ from . import similarity  # noqa: F401,E402
 from . import text  # noqa: F401,E402
 from . import multimodal  # noqa: F401,E402
 from . import relational  # noqa: F401,E402
+from . import analytics  # noqa: F401,E402
+from . import graph  # noqa: F401,E402

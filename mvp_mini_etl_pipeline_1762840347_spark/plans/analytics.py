@@ -1,0 +1,242 @@
+"""Classic multi-table OLAP shapes over the star schema (the
+north-star "analytics engine" surface, SURVEY §0 layer 2): shipping-
+priority, region-revenue and top-customer queries in the tradition of
+the public TPC-H workload, plus big-big join and salted-aggregation
+patterns.
+
+Scale notes per query inline; the common discipline:
+* star joins: facts shuffle at most once, dimensions broadcast;
+* big-big joins (lineitem x orders) shuffle both sides on the join
+  key -- the plan to bucket/co-partition at deploy time;
+* every top-k is TakeOrdered with a unique tiebreak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import read_table
+from .registry import query
+
+_CUT = "1999-01-01"
+
+
+# ---------------------------------------------------------------------------
+# Shipping-priority shape (TPC-H Q3 family)
+# ---------------------------------------------------------------------------
+@query(
+    "top_unshipped_revenue",
+    oracle=f"""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '{_CUT}'
+      AND l_shipdate  > TIMESTAMP '{_CUT}'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def top_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue of not-yet-shipped lineitems for BUILDING-segment orders
+    placed before the cutoff; top-10 orders.  Both date filters and
+    the segment filter push into the scans; customer is broadcast so
+    only lineitem<->orders shuffles."""
+    c = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(_CUT).cast("timestamp")
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(_CUT).cast("timestamp")
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Region-revenue shape (TPC-H Q5 family)
+# ---------------------------------------------------------------------------
+@query(
+    "local_supplier_revenue",
+    oracle="""
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name IN ('ASIA', 'EUROPE')
+    GROUP BY n_name
+    """,
+)
+def local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue shipped by suppliers in the customer's own nation,
+    for two regions.  Everything except lineitem<->orders is a
+    broadcast; nation/region prune down the customer side before the
+    fact join."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region").filter(
+        F.col("r_name").isin("ASIA", "EUROPE")
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-customers-by-returned-revenue shape (TPC-H Q10 family)
+# ---------------------------------------------------------------------------
+@query(
+    "top_return_customers",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def top_return_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customers by returned-item revenue."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = read_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Big-big shuffle join (the bucketing candidate)
+# ---------------------------------------------------------------------------
+@query(
+    "order_fulfillment",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           count(*)                          AS n_items,
+           round(sum(l_quantity), 2)         AS total_qty,
+           round(sum(l_extendedprice), 2)    AS gross,
+           round(sum(l_extendedprice) - o_totalprice, 2) AS price_delta
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderkey, o_totalprice
+    """,
+)
+def order_fulfillment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders x lineitem: the canonical big-big join.  Both sides
+    shuffle on orderkey (sort-merge under AQE); at deploy scale these
+    two tables are bucketed on the key so this join is shuffle-free.
+    The group-by reuses the join partitioning -- no second exchange."""
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("gross"),
+        )
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            "n_items",
+            "total_qty",
+            "gross",
+            F.round(F.col("gross") - F.col("o_totalprice"), 2).alias("price_delta"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Salted two-phase aggregation (hot-key defense)
+# ---------------------------------------------------------------------------
+_SALT = 8
+
+
+@query(
+    "groupby_salted",
+    oracle="""
+    SELECT l_returnflag,
+           count(*)                  AS n_items,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def groupby_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation: phase 1 groups on
+    (key, crc32(rowid) % SALT) spreading a hot key over SALT reducers,
+    phase 2 merges the partials.  Result identical to the plain
+    group-by (which the oracle runs); the pattern is the defense when
+    one key dominates and AQE's skew handling can't split an
+    aggregation.  (Spark's own partial aggregation covers most cases;
+    salting matters for high-cardinality-per-key constructs like
+    collect_list/count_distinct over skewed keys.)"""
+    li = read_table(spark, sf_dir, "lineitem")
+    salt = (F.crc32(F.concat_ws("_", "l_orderkey", "l_linenumber")) % _SALT).alias(
+        "salt"
+    )
+    partial = (
+        li.select("l_returnflag", "l_quantity", salt)
+        .groupBy("l_returnflag", "salt")
+        .agg(
+            F.count("*").alias("pc"),
+            F.sum("l_quantity").alias("pq"),
+        )
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("pc").alias("n_items"),
+        F.round(F.sum("pq"), 2).alias("total_qty"),
+    )

@@ -117,6 +117,34 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # MinHash + LSH banding
 # ---------------------------------------------------------------------------
+# Self-contained SQL producing the candidate pairs (reused by the
+# clustering oracle in plans/graph.py).
+_MINHASH_PAIRS_SQL = rf"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    hashed AS (
+      SELECT s.doc_id, seeds.seed,
+             min(md5(CAST(seeds.seed AS VARCHAR) || '_' || s.shingle)) AS mh
+      FROM shingles s, (SELECT unnest(range({N_HASHES})) AS seed) seeds
+      GROUP BY s.doc_id, seeds.seed
+    ),
+    sigs AS (
+      SELECT doc_id, seed // {BAND_ROWS} AS band,
+             md5(string_agg(mh, ',' ORDER BY seed)) AS sig
+      FROM hashed GROUP BY doc_id, seed // {BAND_ROWS}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+    FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+                           AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+"""
+
+
+def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-dup pairs (doc_a, doc_b, n_shared_bands) --
+    shared by the dedup query and the clustering operator."""
+    return _minhash_pairs_impl(_docs(spark, sf_dir))
+
+
 @query(
     "dedup_minhash_lsh",
     oracle=rf"""
@@ -149,7 +177,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange carries one row per doc -- not the 8x-exploded
     (doc, seed, shingle) stream a naive implementation shuffles.
     Bands are then derived columns unpivoted with stack() (narrow)."""
-    sh = _shingles(_docs(spark, sf_dir), distinct=False)
+    return _minhash_pairs_impl(_docs(spark, sf_dir))
+
+
+def _minhash_pairs_impl(docs: DataFrame) -> DataFrame:
+    sh = _shingles(docs, distinct=False)
     minhashes = sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat_ws("_", F.lit(s), F.col("shingle")))).alias(f"mh{s}")

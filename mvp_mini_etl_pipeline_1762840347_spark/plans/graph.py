@@ -1,0 +1,99 @@
+"""Iterative graph operator: connected-component clustering of the
+MinHash near-dup candidate pairs -- the step that turns pairwise
+"A looks like B" evidence into dedup groups with one canonical doc
+per cluster (standard in training-data dedup pipelines).
+
+Spark side: driver-coordinated min-label propagation -- each round is
+one join + one aggregate, state is a (node, label) DataFrame, lineage
+truncated per round with localCheckpoint.  Rounds needed = graph
+diameter (tiny for near-dup clusters); each round is a pair of
+shuffles keyed by node, so the pattern holds at any corpus size
+(this is exactly large-scale connected components a la
+GraphX/Pregel, expressed in plain DataFrames).
+
+Oracle: DuckDB recursive CTE computing min reachable label over the
+same edges -- the rare case where an "iterative, non-SQL" operator
+still gets a full value-checked oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import _MINHASH_PAIRS_SQL, minhash_pairs
+from .registry import query
+
+MAX_ITERS = 20
+
+
+def connected_components(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Min-label propagation over an undirected edge list.
+    Returns (node, cluster_id) where cluster_id = min node id in the
+    component.  Deterministic on any partitioning."""
+    both = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    both = both.distinct().localCheckpoint()
+    labels = (
+        both.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(MAX_ITERS):
+        neighbor_labels = both.join(
+            labels, both.b == labels.node, "inner"
+        ).select(F.col("a").alias("node"), "label")
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_a, doc_b FROM ({_MINHASH_PAIRS_SQL})
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(v, u) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.v, e.b FROM reach r JOIN edges e ON r.u = e.a
+    )
+    SELECT v              AS doc_id,
+           least(v, min(u)) AS cluster_id,
+           CAST(v = least(v, min(u)) AS BOOLEAN) AS is_canonical
+    FROM reach GROUP BY v
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters from the LSH candidate pairs: every doc in a
+    candidate pair mapped to its component's minimum doc_id (the
+    canonical survivor).  Iterative min-label propagation; converges
+    in diameter rounds."""
+    pairs = minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        "cluster_id",
+        (F.col("node") == F.col("cluster_id")).alias("is_canonical"),
+    )
