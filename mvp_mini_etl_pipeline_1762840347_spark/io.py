@@ -52,6 +52,25 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the `events` table with its timestamp normalized.
+
+    events.parquet stores INT64 TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; read the raw nanos (runtime conf) and
+    truncate to micros -- identical to how DuckDB/pyarrow surface the
+    same column, so oracle comparisons agree.  Session TZ is UTC so
+    timestamp_micros yields the same naive value."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    e = read_table(spark, sf_dir, "events")
+    if dict(e.dtypes)["ts"] == "bigint":
+        e = e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        e = e.withColumn("ts", F.col("ts").cast("timestamp"))
+    return e
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Read all driver tables lazily (no action is triggered)."""
     return {name: read_table(spark, sf_dir, name) for name in TABLES}

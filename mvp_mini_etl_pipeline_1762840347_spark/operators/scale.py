@@ -1,0 +1,140 @@
+"""Scale-out operators: the physical-layout toolkit for the 100 TB
+deployment of this engine.  Nothing here changes query *semantics* --
+each helper reshapes the plan so a correctness-identical query stops
+shuffling (bucketing), stops melting one reducer (salted join), reads
+less (partition pruning), or becomes incrementally maintainable
+(merge/upsert).  All are exercised by tests/test_scale.py, which
+asserts on the physical plan (`Exchange` absence, `PartitionFilters`)
+-- not just on values.
+
+The reference has no physical layer at all (SURVEY §4: eager JS array
+passes); these are the Spark-native answers to what its dataflow
+would need at cluster scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# Salted skew join
+# ---------------------------------------------------------------------------
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join resilient to a hot key when the small side is too big
+    to broadcast: the big side gets a random-ish salt derived from its
+    full row hash, the small side is replicated n_salts times, and the
+    join key becomes (key, salt) -- a hot key's rows spread over
+    n_salts reducers instead of one.
+
+    Deterministic (salt = xxhash64 of the big row, not rand()) so
+    plans are replayable.  Use when AQE's skew-join split can't help
+    (e.g. the skew is in a join feeding an aggregation that must not
+    be split).  Result == plain join, verified by test_scale.py.
+    """
+    salt = (F.pmod(F.xxhash64(*big.columns), F.lit(n_salts))).cast("int")
+    b = big.withColumn("__salt", salt)
+    s = small.withColumn(
+        "__salt", F.explode(F.array([F.lit(i) for i in range(n_salts)]))
+    )
+    out = b.join(
+        s,
+        (b[big_key] == s[small_key]) & (b["__salt"] == s["__salt"]),
+        how,
+    )
+    return out.drop("__salt")
+
+
+# ---------------------------------------------------------------------------
+# Bucketed warehouse (co-located big-big joins)
+# ---------------------------------------------------------------------------
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_key: str,
+    n_buckets: int = 16,
+    sort_key: str | None = None,
+) -> None:
+    """Persist a DataFrame as a bucketed managed table: rows are
+    hash-partitioned into n_buckets files per partition by bucket_key
+    at WRITE time, so any later equi-join or aggregation on that key
+    needs no exchange -- the shuffle is paid once, at load, instead of
+    per-query.  This is the deploy-time plan for the lineitem/orders
+    orderkey joins (plans/analytics.py::order_fulfillment)."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_key)
+    if sort_key is not None:
+        w = w.sortBy(sort_key)
+    w.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: Column | str
+) -> DataFrame:
+    """Join two tables previously written with write_bucketed on the
+    same key and bucket count.  With matching bucketing Spark plans a
+    SortMergeJoin with zero Exchange on either side (asserted in
+    tests); at 100 TB this is the difference between re-shuffling two
+    fact tables per query and reading co-located files."""
+    return spark.table(left_table).join(spark.table(right_table), on)
+
+
+# ---------------------------------------------------------------------------
+# Partitioned layout + pruning
+# ---------------------------------------------------------------------------
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Write parquet hive-partitioned by partition_cols (the layout
+    for time-series facts like `events`: partition by event date, so
+    date-ranged queries touch only matching directories).  Keep
+    partition cardinality sane (days, not user_ids): each partition
+    should hold >= one full parquet row-group at target scale."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def read_pruned(
+    spark: SparkSession, path: str, predicate: Column
+) -> DataFrame:
+    """Read a partitioned dataset with a partition predicate.  The
+    filter lands in the scan's PartitionFilters (asserted in tests):
+    non-matching directories are never listed into the plan, which is
+    what makes a 100 TB hypertable queryable -- I/O proportional to
+    the slice, not the table."""
+    return spark.read.parquet(path).filter(predicate)
+
+
+# ---------------------------------------------------------------------------
+# Merge / upsert (incremental load)
+# ---------------------------------------------------------------------------
+def merge_upsert(
+    target: DataFrame, updates: DataFrame, key: str
+) -> DataFrame:
+    """MERGE semantics on plain DataFrames: rows whose key appears in
+    `updates` take the update's values (matched -> update), unmatched
+    update rows are appended (not matched -> insert), untouched target
+    rows pass through.  Columns must match by name.
+
+    Implementation is a single full-outer join on the key with
+    per-column "updates wins" coalesce -- one shuffle, no driver-side
+    diffing.  This is the incremental-load primitive behind the
+    reference's restart semantics (SURVEY §2.8 ST3: re-extract and
+    recompute) done *incrementally*: re-running a day's extract merges
+    into the warehouse instead of rewriting it.  At deploy scale the
+    same join runs shuffle-free against a bucketed target."""
+    t = target.alias("t")
+    u = updates.alias("u")
+    joined = t.join(u, F.col(f"t.{key}") == F.col(f"u.{key}"), "full_outer")
+    matched = F.col(f"u.{key}").isNotNull()
+    cols = [
+        F.when(matched, F.col(f"u.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+        for c in target.columns
+    ]
+    return joined.select(*cols)

@@ -10,3 +10,4 @@ from . import multimodal  # noqa: F401,E402
 from . import relational  # noqa: F401,E402
 from . import analytics  # noqa: F401,E402
 from . import graph  # noqa: F401,E402
+from . import subqueries  # noqa: F401,E402

@@ -20,23 +20,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..io import read_table
+from ..io import read_events
 from .registry import query
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # events.parquet stores INT64 TIMESTAMP(NANOS), which Spark's
-    # vectorized reader rejects; read the raw nanos (runtime conf) and
-    # truncate to micros -- identical to how DuckDB/pyarrow surface the
-    # same column, so oracle comparisons agree.  Session TZ is UTC so
-    # timestamp_micros yields the same naive value.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    e = read_table(spark, sf_dir, "events")
-    if dict(e.dtypes)["ts"] == "bigint":
-        e = e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    else:
-        e = e.withColumn("ts", F.col("ts").cast("timestamp"))
-    return e
+    return read_events(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------

@@ -173,6 +173,117 @@ def similarity_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# IVF coarse-quantizer approximate neighbors
+# ---------------------------------------------------------------------------
+N_CENTROIDS = 8
+N_PROBE = 2
+
+_IVF_COS = _COS_SQL.format(a="v.e", b="cent.ce")
+
+
+@query(
+    "similarity_ivf",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cent AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {N_CENTROIDS}),
+    cscore AS (
+      SELECT v.vec_id, cent.cid, round({_IVF_COS}, 4) AS csim, v.e
+      FROM v CROSS JOIN cent
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY csim DESC, cid) AS rnk
+      FROM cscore
+    ),
+    assign AS (SELECT vec_id, cid AS cluster, e FROM ranked WHERE rnk = 1),
+    probes AS (
+      SELECT vec_id AS query_id, cid AS cluster, e AS qe
+      FROM ranked WHERE vec_id < {N_QUERIES} AND rnk <= {N_PROBE}
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             round({_COS_SQL.format(a="p.qe", b="a.e")}, 4) AS sim
+      FROM probes p JOIN assign a
+        ON a.cluster = p.cluster AND a.vec_id <> p.query_id
+    )
+    SELECT * FROM (
+      SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: a coarse quantizer assigns every vector to its
+    nearest centroid, queries probe their N_PROBE nearest cells, and
+    exact scoring runs only inside probed cells.
+
+    The centroid set here is deterministic (the first N_CENTROIDS
+    vectors) so the DuckDB oracle can check values; in production the
+    centroids come from a k-means sample and the plan is unchanged.
+
+    Scale shape: centroids are collected into ONE array broadcast to
+    every row, and assignment is a higher-order-function argmax -- a
+    narrow map over the corpus, zero shuffle (vs. the naive
+    crossJoin + window which shuffles N x K rows).  Candidate
+    generation is then an equi-join on the cell id, broadcast on the
+    tiny probe side: the corpus shuffles once, on cluster."""
+    v = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("e")
+    )
+    cents = (
+        v.filter(F.col("vec_id") < N_CENTROIDS)
+        .select(F.struct(F.col("vec_id").alias("cid"), F.col("e").alias("ce")).alias("c"))
+        .agg(F.array_sort(F.collect_list("c")).alias("cents"))
+    )
+    # Per-row (csim desc, cid asc)-sorted centroid ranking, computed
+    # JVM-side: struct sort on (-sim, cid).
+    ranked = F.array_sort(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                (-F.round(cosine(F.col("e"), c["ce"]), 4)).alias("neg_sim"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )
+    va = (
+        v.join(F.broadcast(cents))
+        .select("vec_id", "e", ranked.alias("ranked"))
+        .select("vec_id", "e", F.element_at("ranked", 1)["cid"].alias("cluster"),
+                F.slice("ranked", 1, N_PROBE).alias("probe_cells"))
+    )
+    assign = va.select("vec_id", "e", "cluster")
+    probes = (
+        va.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.explode(F.transform("probe_cells", lambda p: p["cid"])).alias("pcell"),
+        )
+    )
+    scored = (
+        assign.join(
+            F.broadcast(probes),
+            (F.col("cluster") == F.col("pcell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qe"), F.col("e")), 4).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return scored.select(
+        "*", F.row_number().over(w).alias("rank")
+    ).filter(F.col("rank") <= 5)
+
+
+# ---------------------------------------------------------------------------
 # Embedding-cosine near-duplicate pairs (bucketed candidates)
 # ---------------------------------------------------------------------------
 @query(

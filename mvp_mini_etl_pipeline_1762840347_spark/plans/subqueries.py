@@ -1,0 +1,188 @@
+"""Correlated / nested subquery shapes, decorrelated the way an
+optimizer would (north-star analytics surface, SURVEY §0 layer 2).
+
+SQL engines execute these as correlated subqueries; the Spark-first
+form is the explicit decorrelation -- per-group aggregates joined
+back, semi/anti joins for EXISTS / NOT EXISTS, and a broadcast
+single-row cross join for uncorrelated scalar subqueries.  The DuckDB
+oracles are written in the *subquery* form so the gate proves the
+decorrelation is semantics-preserving.
+
+Scale notes: every decorrelation below turns O(outer x inner) nested
+evaluation into one shuffle-bounded join; scalar subqueries become a
+1-row broadcast (no shuffle at all).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import read_table
+from .registry import query
+
+_BRAND = "Brand#12"
+_QTY_HAVING = 150
+_DORMANT_CUT = "2001-01-01"
+
+
+# ---------------------------------------------------------------------------
+# Scalar correlated subquery (TPC-H Q17 shape)
+# ---------------------------------------------------------------------------
+@query(
+    "small_qty_revenue",
+    oracle=f"""
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = '{_BRAND}'
+      AND l_quantity < (
+        SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = p_partkey
+      )
+    """,
+)
+def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average yearly revenue lost if small-quantity orders of one
+    brand's parts were no longer taken (scalar subquery correlated on
+    partkey).  Decorrelation: per-part avg quantity computed once with
+    a groupBy, then broadcast-joined back -- the inner table is scanned
+    twice but shuffled only on its own aggregation, vs. the nested
+    form's per-row rescan."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == _BRAND
+    ).select("p_partkey")
+    per_part = li.groupBy("l_partkey").agg(
+        (0.5 * F.avg("l_quantity")).alias("half_avg_qty")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(per_part.join(F.broadcast(p), per_part.l_partkey == p.p_partkey).drop("p_partkey")), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXISTS -> left-semi join with non-equi condition (TPC-H Q4 shape)
+# ---------------------------------------------------------------------------
+@query(
+    "late_ship_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders (per priority) with at least one lineitem shipped more
+    than 60 days after the order date.  EXISTS becomes a left-semi
+    join whose condition carries both the equi key (orderkey -- the
+    shuffle key) and the non-equi lateness predicate (evaluated post
+    hash-match, no extra pass)."""
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (li.l_orderkey == o.o_orderkey) & (
+        li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAY")
+    )
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# IN over a HAVING subquery (TPC-H Q18 shape)
+# ---------------------------------------------------------------------------
+@query(
+    "big_volume_customers",
+    oracle=f"""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING sum(l_quantity) > {_QTY_HAVING}
+    )
+    GROUP BY c_custkey, c_name, o_orderkey, o_totalprice
+    """,
+)
+def big_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers behind the largest-volume orders.  The IN-subquery is
+    the per-order quantity aggregate reused directly: aggregate once,
+    filter with HAVING, then join the (now tiny) key set back as a
+    broadcast semi -- lineitem shuffles once on orderkey and that
+    partitioning is reused by both the aggregate and the final join."""
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > _QTY_HAVING)
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "total_qty")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Uncorrelated scalar subquery + NOT EXISTS anti join (TPC-H Q22 shape)
+# ---------------------------------------------------------------------------
+@query(
+    "dormant_rich_customers",
+    oracle=f"""
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM customer c
+    WHERE c_acctbal > (
+        SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '{_DORMANT_CUT}'
+      )
+    GROUP BY c_mktsegment
+    """,
+)
+def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Above-average-balance customers with no recent order, by
+    segment.  The uncorrelated scalar avg is a 1-row broadcast cross
+    join (evaluated exactly once); NOT EXISTS is a left-anti join
+    against the date-filtered orders -- the filter pushes into the
+    orders scan so the anti side is small before it shuffles."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(_DORMANT_CUT).cast("timestamp")
+    ).select("o_custkey")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
