@@ -15,7 +15,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import read_table
-from .dedup import _SHINGLES_SQL, _shingles
+from .dedup import _SHINGLES_SQL
 from .registry import query
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for")
@@ -54,15 +54,23 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram/stopword language-ID heuristic: ratio of English
     function words among tokens.  Pure higher-order functions
     (filter over the token array) -- one pass, no explode, no
-    shuffle."""
+    shuffle.  Tokenization and the stopword count are materialized in
+    a staged projection so the regex split and the array filter each
+    run once per row, not once per referencing expression."""
     d = _docs(spark, sf_dir)
-    toks = _toks(F.col("text"))
-    n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
-    ratio = n_stop.cast("double") / F.size(toks)
-    return d.filter(F.size(toks) > 0).select(
+    staged = d.select(
         "doc_id",
         "lang",
-        F.size(toks).alias("n_tokens"),
+        F.size(_toks(F.col("text"))).alias("n_tokens"),
+        F.size(
+            F.filter(_toks(F.col("text")), lambda x: x.isin(*STOPWORDS))
+        ).alias("n_stop"),
+    ).filter(F.col("n_tokens") > 0)
+    ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
+    return staged.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
         F.round(ratio, 4).alias("en_stop_ratio"),
         F.when(ratio >= 0.05, "en").otherwise("unknown").alias("pred_lang"),
     )
@@ -100,23 +108,36 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     punctuation ratio, stopword ratio, bucketed score -- the standard
     pre-training filter features (length/punct/stopword heuristics)."""
     d = _docs(spark, sf_dir)
-    toks = _toks(F.col("text"))
-    len_text = F.length("text")
-    n_punct = len_text - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))
-    stop_ratio = (
-        F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double")
-        / F.size(toks)
-    )
-    punct_ratio = n_punct.cast("double") / len_text
-    return d.filter(F.size(toks) > 0).select(
+    # Stage the expensive per-row scalars once (regex split, regex
+    # strip, stopword filter); every output column then reads cheap
+    # staged columns instead of re-evaluating the regexes.
+    staged = d.select(
         "doc_id",
         "n_chars",
-        F.size(toks).alias("n_tokens"),
-        F.round(len_text.cast("double") / F.size(toks), 2).alias("avg_token_span"),
+        F.size(_toks(F.col("text"))).alias("n_tokens"),
+        F.size(
+            F.filter(_toks(F.col("text")), lambda x: x.isin(*STOPWORDS))
+        ).alias("n_stop"),
+        F.length("text").alias("len_text"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))
+        ).alias("n_punct"),
+    ).filter(F.col("n_tokens") > 0)
+    n_tokens = F.col("n_tokens")
+    punct_ratio = F.col("n_punct").cast("double") / F.col("len_text")
+    stop_ratio = F.col("n_stop").cast("double") / n_tokens
+    return staged.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        F.round(F.col("len_text").cast("double") / n_tokens, 2).alias(
+            "avg_token_span"
+        ),
         F.round(punct_ratio, 4).alias("punct_ratio"),
         F.round(stop_ratio, 4).alias("stop_ratio"),
-        F.when((F.size(toks) >= 40) & (punct_ratio < 0.1), "high")
-        .when(F.size(toks) >= 15, "medium")
+        F.when((n_tokens >= 40) & (punct_ratio < 0.1), "high")
+        .when(n_tokens >= 15, "medium")
         .otherwise("low")
         .alias("quality_bucket"),
     )
@@ -175,18 +196,35 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two fingerprints per document: exact content hash over
     normalized text (rolling-hash equivalent for identity), and the
     minimum shingle hash (a 1-hash winnowing sketch; robust to
-    local edits).  Both md5-based for oracle parity."""
+    local edits).  Both md5-based for oracle parity.
+
+    Fully narrow: the min-shingle sketch is an array fold
+    (array_min over per-shingle md5) on the per-row shingle array --
+    no explode, no grouped shuffle, no self-join.  One pass over the
+    corpus regardless of scale."""
     d = _docs(spark, sf_dir)
-    winnow = (
-        _shingles(d, distinct=False)  # min() is duplicate-insensitive
-        .withColumn("h", F.md5("shingle"))
-        .groupBy("doc_id")
-        .agg(F.min("h").alias("min_shingle_fp"))
-    )
-    content = d.select(
-        "doc_id",
-        F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")).alias(
-            "content_fp"
+    toks = F.col("toks")
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
         ),
     )
-    return content.join(winnow, "doc_id")
+    return (
+        d.select(
+            "doc_id",
+            "text",
+            F.split(F.lower(F.col("text")), r"\s+").alias("toks"),
+        )
+        .filter(F.size(toks) >= 3)
+        .select(
+            "doc_id",
+            F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")).alias(
+                "content_fp"
+            ),
+            F.array_min(F.transform(sh, F.md5)).alias("min_shingle_fp"),
+        )
+    )
