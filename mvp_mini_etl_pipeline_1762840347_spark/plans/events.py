@@ -244,3 +244,48 @@ def events_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("gap_s"), 2).alias("max_gap_s"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical rollup (hypertable continuous-aggregate pattern)
+# ---------------------------------------------------------------------------
+@query(
+    "events_rollup_2level",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day,
+           event_type,
+           count(*)                  AS n_events,
+           round(sum(value), 2)      AS total_value,
+           round(round(sum(value), 2) / count(*), 4) AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_rollup_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily stats computed FROM hourly partials -- the hypertable /
+    continuous-aggregate pattern: the hourly rollup is what a 100 TB
+    deployment materializes incrementally (one pass over raw events,
+    ever), and every coarser grain (day here, month, ...) re-aggregates
+    the tiny partial table instead of rescanning raw data.  Only
+    algebraic aggregates compose (count/sum re-sum; avg is derived
+    sum/count at the final grain -- averaging hourly averages would be
+    wrong); the oracle aggregates raw events directly, proving the
+    two-level composition exact."""
+    e = _events(spark, sf_dir)
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count("*").alias("pc"),
+        F.sum("value").alias("pv"),
+    )
+    return (
+        hourly.groupBy(
+            F.date_trunc("day", "hour").alias("day"), "event_type"
+        )
+        .agg(
+            F.sum("pc").alias("n_events"),
+            F.round(F.sum("pv"), 2).alias("total_value"),
+            F.round(F.round(F.sum("pv"), 2) / F.sum("pc"), 4).alias(
+                "avg_value"
+            ),
+        )
+    )

@@ -176,6 +176,54 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BPE-ish regex tokenization (vs whitespace)
+# ---------------------------------------------------------------------------
+_BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]+"
+
+
+@query(
+    "text_bpe_tokens",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(string_split_regex(trim(lower(text)), '\s+')) AS n_ws_tokens,
+             len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS n_bpe_tokens
+      FROM documents WHERE length(trim(text)) > 0
+    )
+    SELECT doc_id, lang, n_ws_tokens, n_bpe_tokens,
+           round(CAST(n_bpe_tokens AS DOUBLE) / n_ws_tokens, 4) AS fertility
+    FROM t
+    """,
+)
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword-style token accounting: a BPE-ish regex (letter runs /
+    digit runs / punctuation runs) vs plain whitespace tokens, plus
+    their ratio ("fertility" -- the standard tokens-per-word cost
+    estimate for LLM training data).  regexp_extract_all is
+    codegen'd JVM work; one narrow pass, both counts staged once."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+                "n_ws_tokens"
+            ),
+            F.size(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_RE), 0)
+            ).alias("n_bpe_tokens"),
+        )
+        .select(
+            "*",
+            F.round(
+                F.col("n_bpe_tokens").cast("double") / F.col("n_ws_tokens"), 4
+            ).alias("fertility"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Document fingerprinting (content hash + min-shingle winnow)
 # ---------------------------------------------------------------------------
 @query(

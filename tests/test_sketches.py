@@ -1,0 +1,75 @@
+"""Approximate (sketch) aggregates: the 100 TB path for the engine's
+exact distinct / percentile queries.
+
+The driver's oracle gate can only value-check deterministic results,
+so the exact forms (countDistinct, percentile) are what `queries()`
+registers; these tests pin the approximate twins -- HyperLogLog++
+(approx_count_distinct) and KLL-ish quantile sketch
+(approx_percentile) -- to tight relative error against the exact
+answers, which is the contract a deployment relies on when it swaps
+them in at scale (sketches partial-aggregate map-side and shuffle
+O(sketch) bytes instead of O(distinct keys))."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mvp_mini_etl_pipeline_1762840347_spark.io import read_events, read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_hll_distinct_users_within_5pct(spark):
+    e = read_events(spark, SF)
+    row = e.agg(
+        F.countDistinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+    ).first()
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
+
+
+def test_hll_distinct_per_type_within_10pct(spark):
+    e = read_events(spark, SF)
+    rows = (
+        e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert abs(r["approx"] - r["exact"]) / max(r["exact"], 1) < 0.10
+
+
+def test_quantile_sketch_close_to_exact(spark):
+    li = read_table(spark, SF, "lineitem")
+    row = li.agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_med"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias(
+            "approx_med"
+        ),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("exact_p95"),
+        F.expr("approx_percentile(l_extendedprice, 0.95, 10000)").alias(
+            "approx_p95"
+        ),
+    ).first()
+    assert abs(row["approx_med"] - row["exact_med"]) / row["exact_med"] < 0.01
+    assert abs(row["approx_p95"] - row["exact_p95"]) / row["exact_p95"] < 0.01
+
+
+def test_sketches_partial_aggregate(spark):
+    """The scale property itself: the sketch aggregation's plan shows
+    a partial (map-side) aggregate before the exchange, i.e. the
+    shuffle carries per-partition sketches, not raw rows."""
+    e = read_events(spark, SF)
+    agg = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("u")
+    )
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    first_agg = plan.index("HashAggregate")
+    first_exchange = plan.index("Exchange")
+    # plan prints top-down: final agg, exchange, partial agg
+    assert "partial_approx_count_distinct" in plan
+    assert first_agg < first_exchange

@@ -63,9 +63,11 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failed = []
+    n_run = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_run += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
@@ -88,7 +90,7 @@ def main() -> int:
         print(f"{name:32s} {verdict}  ({len(sdf)} rows, {time.time()-t0:.1f}s)")
         if verdict != "OK":
             failed.append(name)
-    print(f"\n{len(qs) - len(failed)}/{len(qs)} OK" + (f"; FAILED: {failed}" if failed else ""))
+    print(f"\n{n_run - len(failed)}/{n_run} OK" + (f"; FAILED: {failed}" if failed else ""))
     return 1 if failed else 0
 
 
