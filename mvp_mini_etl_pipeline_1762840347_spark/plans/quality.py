@@ -1,0 +1,194 @@
+"""Dataset hygiene operators: deterministic sampling/splitting and
+data-quality assertion checks.
+
+The reference's only correctness machinery is runtime guards --
+non-empty assertions and per-field defaulting (reference
+src/lib/users.js:11-13, src/lib/spacex.js:18-20; SURVEY §5).  These
+operators are that idea grown up: declarative, oracle-checkable
+checks that run as one Spark job, and reproducible hash-based
+sampling instead of nondeterministic TABLESAMPLE (a training-data
+pipeline must be able to re-derive exactly which rows went to which
+split).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import read_events, read_table
+from .registry import query
+
+_HEX = "0123456789abcdef"
+
+
+def hash_bucket(key: Column, n_chars: int = 1) -> Column:
+    """Deterministic 0..16^n_chars-1 bucket from the md5 of a key,
+    via hex-nibble arithmetic that evaluates identically in Spark and
+    DuckDB (no engine-specific hash).  The portable, reproducible
+    alternative to rand()/TABLESAMPLE: same rows land in the same
+    bucket on any engine, any partitioning, any day."""
+    h = F.md5(key.cast("string"))
+    out = F.lit(0)
+    for i in range(n_chars):
+        nib = F.instr(F.lit(_HEX), F.substring(h, i + 1, 1)) - 1
+        out = out * 16 + nib
+    return out
+
+
+def _bucket_sql(key: str, n_chars: int = 1) -> str:
+    parts = []
+    for i in range(n_chars):
+        parts.append(
+            f"(instr('{_HEX}', substring(md5(CAST({key} AS VARCHAR)), {i + 1}, 1)) - 1)"
+        )
+    expr = parts[0]
+    for p in parts[1:]:
+        expr = f"(({expr}) * 16 + {p})"
+    return expr
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split
+# ---------------------------------------------------------------------------
+@query(
+    "sample_hash_split",
+    oracle=f"""
+    WITH b AS (
+      SELECT lang, n_chars, {_bucket_sql("doc_id")} AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 2 THEN 'test'
+                WHEN bucket < 4 THEN 'val'
+                ELSE 'train' END AS split,
+           lang,
+           count(*)                    AS n_docs,
+           round(avg(n_chars), 2)      AS avg_chars
+    FROM b GROUP BY 1, 2
+    """,
+)
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/val/test split (12.5% test, 12.5% val) by
+    hashing the document key into 16 buckets.  Narrow map + one small
+    shuffle on (split, lang); because membership is a pure function of
+    the key, the split is stable under re-runs, repartitioning and
+    incremental appends -- the property rand()-based splits lack."""
+    d = read_table(spark, sf_dir, "documents")
+    bucket = hash_bucket(F.col("doc_id"))
+    split = (
+        F.when(bucket < 2, "test").when(bucket < 4, "val").otherwise("train")
+    )
+    return (
+        d.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted per-source mixture sampling
+# ---------------------------------------------------------------------------
+@query(
+    "sample_mixture",
+    oracle=f"""
+    WITH b AS (
+      SELECT source, {_bucket_sql("doc_id", 2)} AS bucket
+      FROM documents
+    ),
+    kept AS (
+      SELECT source FROM b
+      WHERE bucket < CASE source
+        WHEN 'web' THEN 64 WHEN 'books' THEN 192 ELSE 256 END
+    )
+    SELECT source, count(*) AS n_sampled FROM kept GROUP BY source
+    """,
+)
+def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixture sampling (web 25%, books 75%, everything
+    else 100% of 256 hash buckets) -- the "data recipe" operator that
+    up/down-weights corpus components for training mixes,
+    deterministic for the same reasons as sample_hash_split."""
+    d = read_table(spark, sf_dir, "documents")
+    bucket = hash_bucket(F.col("doc_id"), n_chars=2)
+    rate = (
+        F.when(F.col("source") == "web", 64)
+        .when(F.col("source") == "books", 192)
+        .otherwise(256)
+    )
+    return (
+        d.select("source", bucket.alias("bucket"), rate.alias("rate"))
+        .filter(F.col("bucket") < F.col("rate"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_sampled"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality assertion suite
+# ---------------------------------------------------------------------------
+@query(
+    "dq_checks",
+    oracle="""
+    SELECT 'customer_pk_unique' AS check_name,
+           count(*)                             AS n_checked,
+           count(*) - count(DISTINCT c_custkey) AS n_violations
+    FROM customer
+    UNION ALL
+    SELECT 'orders_custkey_fk', count(*),
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_qty_range', count(*),
+           count(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 END)
+    FROM lineitem
+    UNION ALL
+    SELECT 'events_user_not_null', count(*),
+           count(CASE WHEN user_id IS NULL THEN 1 END)
+    FROM events
+    """,
+)
+def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality suite over the warehouse: primary-key
+    uniqueness, referential integrity (anti join), value-range and
+    not-null checks -- each one aggregate row (check_name, n_checked,
+    n_violations).  The FK check is a broadcast anti join; everything
+    else is conditional counting inside ordinary partial aggregation,
+    so the whole suite costs one scan per table at any scale."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    e = read_events(spark, sf_dir)
+
+    pk = c.agg(
+        F.lit("customer_pk_unique").alias("check_name"),
+        F.count("*").alias("n_checked"),
+        (F.count("*") - F.countDistinct("c_custkey")).alias("n_violations"),
+    )
+    fk_viol = o.join(
+        F.broadcast(c.select("c_custkey")),
+        o.o_custkey == F.col("c_custkey"),
+        "left_anti",
+    ).agg(F.count("*").alias("v"))
+    fk = o.agg(F.count("*").alias("n_checked")).crossJoin(fk_viol).select(
+        F.lit("orders_custkey_fk").alias("check_name"),
+        "n_checked",
+        F.col("v").alias("n_violations"),
+    )
+    rng = li.agg(
+        F.lit("lineitem_qty_range").alias("check_name"),
+        F.count("*").alias("n_checked"),
+        F.count(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1)
+        ).alias("n_violations"),
+    )
+    nn = e.agg(
+        F.lit("events_user_not_null").alias("check_name"),
+        F.count("*").alias("n_checked"),
+        F.count(F.when(F.col("user_id").isNull(), 1)).alias("n_violations"),
+    )
+    return pk.unionByName(fk).unionByName(rng).unionByName(nn)
