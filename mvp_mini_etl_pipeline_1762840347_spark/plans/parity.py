@@ -141,11 +141,23 @@ def filter_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`find(item => String(item.id) == params.id)`: cast-to-string
-    equality on the key (P7/F10)."""
+    equality on the key (P7/F10).
+
+    The raw `cast(key as string) = probe` predicate is opaque to
+    parquet pushdown (the cast hides the column).  When the probe
+    parses as the key's native type, the engine adds the equivalent
+    typed conjunct `key = typed_probe`, which DOES push down
+    (PushedFilters: EqualTo) -- at 100 TB that is the difference
+    between a point read and a full scan.  The string comparison is
+    kept as the semantic guard for non-numeric probes."""
+    probe = "42"
     o = read_table(spark, sf_dir, "orders")
-    return o.filter(F.col("o_orderkey").cast("string") == F.lit("42")).select(
-        "o_orderkey", "o_orderstatus", "o_totalprice"
-    )
+    cond = F.col("o_orderkey").cast("string") == F.lit(probe)
+    try:
+        cond = cond & (F.col("o_orderkey") == F.lit(int(probe)))
+    except ValueError:
+        pass  # non-numeric probe: loose equality alone (never matches a bigint key)
+    return o.filter(cond).select("o_orderkey", "o_orderstatus", "o_totalprice")
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,102 @@
+"""Physical-plan audit over the registered query surface.
+
+Correctness is the oracle gate's job; these tests pin the *plan
+shapes* that make the engine scale -- the properties that would
+silently regress if an edit pushed work into Python, broke pushdown,
+or un-broadcast a dimension join."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+# Queries allowed to run Python (the sanctioned Arrow escape hatch
+# for the multimodal decode plumbing).
+ARROW_ALLOWED = {"multimodal_features"}
+
+
+def _plan(spark, name: str) -> str:
+    df = entrymod.queries()[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(spark, name: str) -> str:
+    import contextlib
+    import io
+
+    df = entrymod.queries()[name](spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_no_row_at_a_time_python_anywhere(spark):
+    """Engine-wide invariant: no BatchEvalPython (per-row Python UDF)
+    in ANY registered query; Arrow-batched Python only where
+    explicitly sanctioned."""
+    for name in entrymod.queries():
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan, f"{name} runs per-row Python"
+        if name not in ARROW_ALLOWED:
+            for marker in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+                assert marker not in plan, f"{name} unexpectedly runs Python ({marker})"
+
+
+def test_predicate_pushdown_reaches_scan(spark):
+    plan = _plan(spark, "top_unshipped_revenue")
+    # the shipdate filter must appear in the lineitem scan's
+    # PushedFilters, not as a post-scan Filter only
+    assert "PushedFilters:" in plan
+    scan = [ln for ln in plan.splitlines() if "lineitem" in ln]
+    assert any("l_shipdate" in ln and "PushedFilters" in ln for ln in scan), scan
+
+
+def test_column_pruning(spark):
+    plan = _plan(spark, "order_fulfillment")
+    li_scans = [ln for ln in plan.splitlines() if "lineitem" in ln and "ReadSchema" in ln]
+    assert li_scans
+    # lineitem has 11 columns; this query needs 3
+    schema = li_scans[0].split("ReadSchema:", 1)[1]
+    assert "l_returnflag" not in schema and "l_shipdate" not in schema, schema
+    for needed in ("l_orderkey", "l_quantity", "l_extendedprice"):
+        assert needed in schema, schema
+
+
+def test_dimension_joins_broadcast(spark):
+    for name in ("top_return_customers", "local_supplier_revenue"):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan, f"{name} lost its broadcast join"
+        assert "CartesianProduct" not in plan, name
+
+
+def test_whole_stage_codegen_on_hot_path(spark):
+    # AQE finalizes (and codegen-annotates) the plan only on
+    # execution, so run the query first and inspect the final plan
+    df = entrymod.queries()["groupby_pricing"](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    # codegen'd operators print with a *(n) stage marker
+    assert "*(" in plan, plan
+
+
+def test_point_lookup_pushes_key(spark):
+    """The loose string equality alone would hide the key from
+    parquet pushdown; the typed conjunct must reach PushedFilters as
+    an EqualTo on the key."""
+    plan = _formatted(spark, "point_lookup")
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and any("EqualTo(o_orderkey,42)" in ln for ln in pushed), pushed
+
+
+def test_no_cartesian_products_anywhere(spark):
+    """Range joins use BroadcastNestedLoop (band side broadcast);
+    nothing in the surface should ever plan an un-broadcast cartesian
+    product."""
+    for name in entrymod.queries():
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
