@@ -240,3 +240,36 @@ def groupby_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pc").alias("n_items"),
         F.round(F.sum("pq"), 2).alias("total_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregates (corr / covar / stddev)
+# ---------------------------------------------------------------------------
+@query(
+    "stats_pricing",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6)       AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+           round(stddev_samp(l_extendedprice), 4)            AS price_stddev,
+           round(var_samp(l_quantity), 6)                    AS qty_var
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def stats_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate sweep per return flag: Pearson
+    correlation, sample covariance/variance, stddev.  All are
+    algebraic (constant-size partial state: sums, sums of squares,
+    cross products), so they partial-aggregate map-side and shuffle
+    O(groups) rows like any count/sum -- cheap at any scale."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "qty_price_corr"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_covar"
+        ),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+        F.round(F.var_samp("l_quantity"), 6).alias("qty_var"),
+    )

@@ -41,7 +41,12 @@ def connected_components(edges: DataFrame, src: str, dst: str) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    for _ in range(MAX_ITERS):
+    # Convergence is checked every CHECK_EVERY rounds: the check is a
+    # join + count ACTION, and near-dup component diameters are small,
+    # so halving the number of driver-side actions beats detecting
+    # convergence one round earlier.
+    check_every = 2
+    for it in range(MAX_ITERS):
         neighbor_labels = both.join(
             labels, both.b == labels.node, "inner"
         ).select(F.col("a").alias("node"), "label")
@@ -51,15 +56,17 @@ def connected_components(edges: DataFrame, src: str, dst: str) -> DataFrame:
             .agg(F.min("label").alias("label"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        if (it + 1) % check_every == 0 or it == MAX_ITERS - 1:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            if changed == 0:
+                labels = new_labels
+                break
         labels = new_labels
-        if changed == 0:
-            break
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 

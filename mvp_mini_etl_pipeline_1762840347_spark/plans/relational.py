@@ -433,3 +433,116 @@ def numeric_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_quantity").cast("bigint") % 7).alias("qty_mod"),
         F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution window functions (ntile / percent_rank / cume_dist)
+# ---------------------------------------------------------------------------
+@query(
+    "window_distribution",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           ntile(4)       OVER w AS bal_quartile,
+           round(percent_rank() OVER w, 6) AS bal_pct_rank,
+           round(cume_dist()    OVER w, 6) AS bal_cume_dist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution/statistical window functions per market segment,
+    ordered by (balance, key) so ranks are unique and deterministic.
+    One shuffle on the partition key; the sort is per-partition."""
+    c = read_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("bal_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS (between rollup and cube)
+# ---------------------------------------------------------------------------
+@query(
+    "grouping_sets_pricing",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           count(*)                      AS n_items,
+           round(sum(l_extendedprice), 2) AS gross
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def grouping_sets_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind rollup/cube,
+    both also registered): per-(flag,status), per-flag, and grand
+    total in ONE pass -- Spark expands the sets into a single
+    aggregation over a grouping-id column, not three scans.  Sentinel
+    'ALL' marks the aggregated-out dimensions (the group columns are
+    non-null here, so the sentinel is unambiguous)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               count(*)                       AS n_items,
+               round(sum(l_extendedprice), 2) AS gross
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Array / collection function sweep
+# ---------------------------------------------------------------------------
+@query(
+    "array_funcs",
+    oracle="""
+    WITH a AS (
+      SELECT l_orderkey,
+             list_sort(list(CAST(l_quantity AS BIGINT))) AS qtys
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           len(qtys)                         AS n_items,
+           qtys[1]                           AS qty_min,
+           qtys[-1]                          AS qty_max,
+           array_to_string(qtys, ',')        AS qty_csv,
+           list_contains(qtys, 40)           AS has_qty_40,
+           list_sum(qtys)                    AS qty_sum
+    FROM a
+    """,
+)
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection-function sweep: group to a sorted array per order,
+    then element access, membership, join-to-string and a higher-order
+    fold (aggregate) -- the array toolkit the engine's LSH/similarity
+    operators are built from, oracle-checked once here in isolation.
+    collect_list order is nondeterministic, so the array is sorted
+    before any order-sensitive use (SURVEY §7 order gotcha)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    a = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list(F.col("l_quantity").cast("bigint"))).alias(
+            "qtys"
+        )
+    )
+    return a.select(
+        "l_orderkey",
+        F.size("qtys").alias("n_items"),
+        F.element_at("qtys", 1).alias("qty_min"),
+        F.element_at("qtys", -1).alias("qty_max"),
+        F.array_join(F.transform("qtys", lambda x: x.cast("string")), ",").alias(
+            "qty_csv"
+        ),
+        F.array_contains("qtys", F.lit(40).cast("bigint")).alias("has_qty_40"),
+        F.aggregate("qtys", F.lit(0).cast("bigint"), lambda acc, x: acc + x).alias(
+            "qty_sum"
+        ),
+    )
