@@ -289,3 +289,99 @@ def events_rollup_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention (first-seen cohort x activity week)
+# ---------------------------------------------------------------------------
+@query(
+    "events_cohort_retention",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('week', f.cohort_week,
+                          date_trunc('week', e.ts)) AS BIGINT) AS week_offset,
+           count(DISTINCT e.user_id) AS n_active
+    FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users bucketed by first-seen week,
+    counted distinct in each subsequent week.  Two shuffles on
+    user_id (first-seen agg, then the join) -- at scale both reuse
+    the same hash partitioning, and the second distinct-count keys on
+    the tiny (cohort, offset) pair."""
+    e = _events(spark, sf_dir)
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    return (
+        e.join(first_seen, "user_id")
+        .select(
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis (ordered step sequence per user)
+# ---------------------------------------------------------------------------
+@query(
+    "events_funnel",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view'     THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click'    THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT count(CASE WHEN t_view IS NOT NULL THEN 1 END) AS n_view,
+           count(CASE WHEN t_view < t_click THEN 1 END)   AS n_view_click,
+           count(CASE WHEN t_view < t_click AND t_click < t_purchase THEN 1 END)
+             AS n_full_funnel
+    FROM per_user
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase funnel: first occurrence of each step
+    per user via conditional min (ONE keyed aggregation -- no
+    self-joins, no window sort), then ordered-sequence counts.  SQL
+    three-valued logic does the step gating: a NULL step time fails
+    every < comparison, so missing steps drop out without explicit
+    null checks.  Per-user state is 3 timestamps regardless of event
+    volume -- the shape that survives 100 TB of events."""
+    e = _events(spark, sf_dir)
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    return per_user.agg(
+        F.count(F.when(F.col("t_view").isNotNull(), 1)).alias("n_view"),
+        F.count(F.when(F.col("t_view") < F.col("t_click"), 1)).alias(
+            "n_view_click"
+        ),
+        F.count(
+            F.when(
+                (F.col("t_view") < F.col("t_click"))
+                & (F.col("t_click") < F.col("t_purchase")),
+                1,
+            )
+        ).alias("n_full_funnel"),
+    )
