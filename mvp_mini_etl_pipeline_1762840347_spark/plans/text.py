@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..io import read_table
 from .dedup import _SHINGLES_SQL
@@ -276,3 +277,101 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_min(F.transform(sh, F.md5)).alias("min_shingle_fp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index (token -> posting list)
+# ---------------------------------------------------------------------------
+@query(
+    "text_inverted_index",
+    oracle=r"""
+    WITH t AS (
+      SELECT DISTINCT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+      FROM documents
+    )
+    SELECT tok,
+           count(*) AS doc_freq,
+           array_to_string(list_sort(list(doc_id))[1:10], ',') AS postings_head
+    FROM t
+    GROUP BY tok HAVING count(*) >= 50
+    """,
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index over the corpus: per token, document frequency
+    and the head of the sorted posting list (capped at 10 ids so hot
+    tokens don't blow up the row; a real index sink would write the
+    full list bucketed by token).  Explode is map-side; the single
+    shuffle keys on token with (token,doc) pre-deduped.  HAVING
+    prunes the long tail to common terms."""
+    d = read_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.explode(_toks(F.col("text"))).alias("tok")
+    ).distinct()
+    return (
+        t.groupBy("tok")
+        .agg(
+            F.count("*").alias("doc_freq"),
+            F.array_join(
+                F.slice(F.array_sort(F.collect_list("doc_id")), 1, 10),
+                ",",
+            ).alias("postings_head"),
+        )
+        .filter(F.col("doc_freq") >= 50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document
+# ---------------------------------------------------------------------------
+@query(
+    "text_tfidf_top_terms",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (tok) CROSS JOIN n
+    )
+    SELECT * FROM (
+      SELECT doc_id, tok, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, tok) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document.  Term frequencies shuffle on
+    (doc, token), document frequencies on token; the df side then
+    broadcasts back onto tf (vocabulary << corpus), and the corpus
+    size is a 1-row broadcast.  Ranking orders by the ROUNDED score
+    with the token as tiebreak so ranks are identical across engines
+    (raw double ties would rank nondeterministically)."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_toks(F.col("text"))).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "tok")
+    return scored.select(
+        "*", F.row_number().over(w).alias("rank")
+    ).filter(F.col("rank") <= 3)
