@@ -273,3 +273,141 @@ def stats_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
         F.round(F.var_samp("l_quantity"), 6).alias("qty_var"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Conditional-share aggregation (TPC-H Q14 family)
+# ---------------------------------------------------------------------------
+@query(
+    "promo_revenue_share",
+    oracle="""
+    SELECT round(
+             100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-04-01'
+    GROUP BY ALL
+    """,
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of revenue from promo parts in one quarter: conditional
+    sum over a fact-dimension join.  The date range pushes into the
+    lineitem scan; part broadcasts; one global aggregate -- a single
+    row crosses the final exchange."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    p = read_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(0.0)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_pct"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar subquery over an aggregate (TPC-H Q15 family)
+# ---------------------------------------------------------------------------
+@query(
+    "top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier(s) with the maximum quarterly revenue: the classic
+    view + scalar-subquery-over-the-view shape.  Decorrelation: the
+    revenue aggregate is computed once, its 1-row max broadcasts back
+    onto itself, then the tiny winner set joins supplier broadcast --
+    lineitem is scanned and shuffled exactly once."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    winners = revenue.crossJoin(F.broadcast(mx)).filter(
+        F.col("total_revenue") == F.col("max_revenue")
+    )
+    return winners.join(
+        F.broadcast(s), winners.supplier_no == s.s_suppkey
+    ).select("s_suppkey", "s_name", "total_revenue")
+
+
+# ---------------------------------------------------------------------------
+# Disjunctive multi-predicate join filter (TPC-H Q19 family)
+# ---------------------------------------------------------------------------
+@query(
+    "disjunctive_filter_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 21)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 30
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 45
+           AND l_quantity BETWEEN 20 AND 40)
+    GROUP BY ALL
+    """,
+)
+def disjunctive_filter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-of-conjunctions over join columns (Q19's shape).  Catalyst
+    factors the common p_partkey equi-key out of the disjunction so
+    this stays a hash join with a residual condition -- NOT a nested
+    loop; the brand/size arms also derive an IN-list pushdown on the
+    part scan."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    arm = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 21)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 45)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(arm)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
