@@ -385,3 +385,81 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_full_funnel"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap fill + forward fill (spine join / LOCF)
+# ---------------------------------------------------------------------------
+@query(
+    "events_gap_fill",
+    oracle="""
+    WITH f AS (SELECT * FROM events WHERE value >= 300),
+    daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             count(*) AS n, round(sum(value), 2) AS total
+      FROM f GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT min(date_trunc('day', ts)) AS d0,
+             max(date_trunc('day', ts)) AS d1
+      FROM f
+    ),
+    days AS (
+      SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM bounds
+    ),
+    spine AS (
+      SELECT day, event_type
+      FROM days CROSS JOIN (SELECT DISTINCT event_type FROM f) t
+    )
+    SELECT s.day, s.event_type,
+           coalesce(d.n, 0)       AS n_events,
+           coalesce(d.total, 0.0) AS total_value,
+           coalesce(last_value(d.total IGNORE NULLS)
+                      OVER (PARTITION BY s.event_type ORDER BY s.day
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                    0.0)          AS locf_value
+    FROM spine s LEFT JOIN daily d
+      ON d.event_type = s.event_type AND d.day = s.day
+    """,
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular daily series from sparse events: a generated date spine
+    (sequence + explode) cross-joined with the observed key set, left
+    join of the real daily aggregates, zeros for missing days, and
+    last-observation-carried-forward via last(ignorenulls) over a
+    bounded window.  The spine is days x types (tiny at any data
+    scale -- it grows with the calendar, not the event volume), so the
+    cross join is broadcast; the only data-sized shuffle is the daily
+    aggregation itself."""
+    e = _events(spark, sf_dir).filter(F.col("value") >= 300)
+    day = F.date_trunc("day", "ts")
+    daily = e.groupBy(
+        "event_type", day.alias("day")
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    bounds = e.agg(
+        F.min(day).alias("d0"), F.max(day).alias("d1")
+    )
+    days = bounds.select(
+        F.explode(
+            F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    types = e.select("event_type").distinct()
+    spine = days.crossJoin(F.broadcast(types))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["event_type", "day"], "left")
+        .select(
+            "day",
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            F.coalesce(F.col("total"), F.lit(0.0)).alias("total_value"),
+            F.coalesce(
+                F.last("total", ignorenulls=True).over(w), F.lit(0.0)
+            ).alias("locf_value"),
+        )
+    )

@@ -375,3 +375,33 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "*", F.row_number().over(w).alias("rank")
     ).filter(F.col("rank") <= 3)
+
+
+# ---------------------------------------------------------------------------
+# Regex scalar sweep (extract / count / replace / match)
+# ---------------------------------------------------------------------------
+@query(
+    "regex_funcs",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_extract(text, '([0-9]+)', 1)                      AS first_num,
+           len(regexp_extract_all(text, '[A-Z][a-z]+'))             AS n_capitalized,
+           substring(regexp_replace(text, '[0-9]+', '#', 'g'), 1, 40) AS masked_head,
+           regexp_matches(text, 'data')                             AS mentions_data
+    FROM documents
+    """,
+)
+def regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar sweep: capture-group extraction, match counting,
+    global replacement (PII-masking shape), boolean match -- all
+    JVM-side codegen'd regex, one narrow pass."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"([0-9]+)", 1).alias("first_num"),
+        F.regexp_count("text", F.lit(r"[A-Z][a-z]+")).alias("n_capitalized"),
+        F.substring(
+            F.regexp_replace("text", r"[0-9]+", "#"), 1, 40
+        ).alias("masked_head"),
+        F.col("text").rlike("data").alias("mentions_data"),
+    )
