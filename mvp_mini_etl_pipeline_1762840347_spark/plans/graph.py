@@ -104,3 +104,55 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         (F.col("node") == F.col("cluster_id")).alias("is_canonical"),
     )
+
+
+@query(
+    "dedup_apply",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_a, doc_b FROM ({_MINHASH_PAIRS_SQL})
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(v, u) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.v, e.b FROM reach r JOIN edges e ON r.u = e.a
+    ),
+    drop_docs AS (
+      SELECT v AS doc_id FROM reach GROUP BY v
+      HAVING v <> least(v, min(u))
+    )
+    SELECT d.lang,
+           count(*)                             AS n_docs,
+           count(dd.doc_id)                     AS n_dropped,
+           count(*) - count(dd.doc_id)          AS n_kept
+    FROM documents d LEFT JOIN drop_docs dd ON d.doc_id = dd.doc_id
+    GROUP BY d.lang
+    """,
+)
+def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline applied end-to-end: LSH candidates ->
+    connected components -> drop every non-canonical cluster member ->
+    per-language keep/drop accounting.  The drop set (non-canonical
+    docs) is tiny relative to the corpus, so the final step is a
+    broadcast anti-join shape -- the corpus scans once and never
+    shuffles.  This is the operator a training-data pipeline actually
+    runs; dedup_clusters/dedup_minhash_lsh expose its intermediate
+    stages."""
+    from ..io import read_table
+
+    comp = dedup_clusters(spark, sf_dir)
+    drop = comp.filter(~F.col("is_canonical")).select("doc_id")
+    d = read_table(spark, sf_dir, "documents")
+    flagged = d.join(
+        F.broadcast(drop.withColumn("dropped", F.lit(1))), "doc_id", "left"
+    )
+    return flagged.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.count("dropped").alias("n_dropped"),
+        (F.count("*") - F.count("dropped")).alias("n_kept"),
+    )

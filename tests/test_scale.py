@@ -153,3 +153,22 @@ def test_merge_upsert_idempotent(spark):
     assert sorted(map(tuple, once.collect())) == sorted(
         map(tuple, twice.collect())
     )
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """Joining a date-partitioned fact with a filtered dimension must
+    plan a dynamic pruning subquery on the partition column -- at
+    deploy scale this is what keeps a 100 TB hypertable join from
+    scanning every date directory when the dim filter only selects a
+    few."""
+    path = os.path.join(str(tmp_path), "events_dpp")
+    ev = read_events(spark, SF).withColumn("event_date", F.to_date("ts"))
+    write_partitioned(ev, path, ["event_date"])
+    fact = spark.read.parquet(path)
+    dim = (
+        ev.select("event_date").distinct()
+        .withColumn("is_hot", F.dayofmonth("event_date") <= 2)
+    )
+    j = fact.join(dim.filter(F.col("is_hot")), "event_date")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
