@@ -411,3 +411,48 @@ def disjunctive_filter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Period-over-period growth (lag over aggregated trend)
+# ---------------------------------------------------------------------------
+@query(
+    "orders_growth",
+    oracle="""
+    WITH monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             round(sum(o_totalprice), 2) AS revenue,
+             count(*) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT month, revenue, n_orders,
+           round(100.0 * (revenue - lag(revenue) OVER (ORDER BY month))
+                 / lag(revenue) OVER (ORDER BY month), 4) AS mom_growth_pct
+    FROM monthly
+    """,
+)
+def orders_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue trend with month-over-month growth.  The lag
+    window runs over the AGGREGATED series (one row per month --
+    dozens of rows at any data scale), so the unpartitioned window
+    sort is safe: the heavy lifting happened in the keyed aggregation
+    below it.  First month's growth is NULL by construction."""
+    o = read_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        "n_orders",
+        F.round(100.0 * (F.col("revenue") - prev) / prev, 4).alias(
+            "mom_growth_pct"
+        ),
+    )

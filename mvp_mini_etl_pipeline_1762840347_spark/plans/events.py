@@ -463,3 +463,38 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("locf_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Event transition matrix (next-event sequence mining)
+# ---------------------------------------------------------------------------
+@query(
+    "events_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type, next_type, count(*) AS n_transitions
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user next-event transition counts (the Markov-matrix /
+    clickstream-mining shape): one lead() over the per-user time
+    order, then a count keyed on the tiny (from, to) pair space.
+    Ordering tiebreaks on event_id so concurrent timestamps are
+    deterministic.  One shuffle on user_id, one on the pair key."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    return (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").alias("n_transitions"))
+    )
