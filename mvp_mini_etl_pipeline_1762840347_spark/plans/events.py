@@ -256,7 +256,8 @@ def events_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            event_type,
            count(*)                  AS n_events,
            round(sum(value), 2)      AS total_value,
-           round(round(sum(value), 2) / count(*), 4) AS avg_value
+           floor(round(sum(value), 2) / count(*) * 10000 + 0.5) / 10000
+             AS avg_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -269,7 +270,13 @@ def events_rollup_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
     algebraic aggregates compose (count/sum re-sum; avg is derived
     sum/count at the final grain -- averaging hourly averages would be
     wrong); the oracle aggregates raw events directly, proving the
-    two-level composition exact."""
+    two-level composition exact.
+
+    The derived average divides the ROUNDED total (identical double
+    in both engines) and rounds via explicit floor(x*1e4 + 0.5)/1e4:
+    Spark's round() rounds the shortest decimal string while DuckDB
+    rounds the binary double, and the two disagree on exact .xxxx5
+    quotients (e.g. 307.03/8)."""
     e = _events(spark, sf_dir)
     hourly = e.groupBy(
         F.date_trunc("hour", "ts").alias("hour"), "event_type"
@@ -284,9 +291,12 @@ def events_rollup_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("pc").alias("n_events"),
             F.round(F.sum("pv"), 2).alias("total_value"),
-            F.round(F.round(F.sum("pv"), 2) / F.sum("pc"), 4).alias(
-                "avg_value"
-            ),
+            (
+                F.floor(
+                    F.round(F.sum("pv"), 2) / F.sum("pc") * 10000 + F.lit(0.5)
+                )
+                / 10000
+            ).alias("avg_value"),
         )
     )
 
