@@ -54,3 +54,70 @@ def test_js_str_or_associativity(spark):
         js_str_or(F.col("a"), js_str_or(F.col("b"), F.col("c"))).alias("v")
     ).collect()
     assert [r["v"] for r in left] == [r["v"] for r in right]
+
+
+# ---------------------------------------------------------------------------
+# Scale-operator laws (operators/scale.py, plans/quality.py)
+# ---------------------------------------------------------------------------
+PAIRS = st.lists(
+    st.tuples(st.integers(0, 20), st.integers(0, 1000)),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(big=PAIRS, small=st.lists(st.integers(0, 20), min_size=1, max_size=8, unique=True))
+def test_salted_join_law(spark, big, small):
+    """salted_join == plain join on arbitrary key distributions
+    (including keys present only on one side)."""
+    from mvp_mini_etl_pipeline_1762840347_spark.operators.scale import salted_join
+
+    b = spark.createDataFrame(big, "k int, payload int")
+    s = spark.createDataFrame([(k, f"v{k}") for k in small], "k2 int, v string")
+    plain = sorted(
+        tuple(r) for r in b.join(s, b.k == s.k2).select("k", "payload", "v").collect()
+    )
+    salted = sorted(
+        tuple(r)
+        for r in salted_join(b, s, "k", "k2", n_salts=4)
+        .select("k", "payload", "v")
+        .collect()
+    )
+    assert salted == plain
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    target=st.lists(st.tuples(st.integers(0, 10), st.floats(0, 100, allow_nan=False)), min_size=0, max_size=10, unique_by=lambda t: t[0]),
+    updates=st.lists(st.tuples(st.integers(0, 10), st.floats(0, 100, allow_nan=False)), min_size=0, max_size=10, unique_by=lambda t: t[0]),
+)
+def test_merge_upsert_laws(spark, target, updates):
+    """merge semantics: result keys = union of keys; update wins on
+    overlap; applying the same updates twice is idempotent."""
+    from mvp_mini_etl_pipeline_1762840347_spark.operators.scale import merge_upsert
+
+    t = spark.createDataFrame(target, "id int, v double")
+    u = spark.createDataFrame(updates, "id int, v double")
+    once = {r["id"]: r["v"] for r in merge_upsert(t, u, "id").collect()}
+    expected = {k: v for k, v in target}
+    expected.update(dict(updates))
+    assert once == expected
+    twice_df = merge_upsert(spark.createDataFrame(list(once.items()) or [], "id int, v double") if once else t.limit(0), u, "id")
+    assert {r["id"]: r["v"] for r in twice_df.collect()} == expected
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.integers(0, 10**9), min_size=1, max_size=30))
+def test_hash_bucket_range_and_determinism(spark, keys):
+    """hash_bucket is total (0..15), deterministic, and independent of
+    row order/partitioning -- the properties reproducible splits rely
+    on."""
+    from mvp_mini_etl_pipeline_1762840347_spark.plans.quality import hash_bucket
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    a = {r["k"]: r["b"] for r in df.select("k", hash_bucket(F.col("k")).alias("b")).collect()}
+    assert all(0 <= v <= 15 for v in a.values())
+    rev = spark.createDataFrame([(k,) for k in reversed(keys)], "k long").repartition(3)
+    b = {r["k"]: r["b"] for r in rev.select("k", hash_bucket(F.col("k")).alias("b")).collect()}
+    assert a == b
