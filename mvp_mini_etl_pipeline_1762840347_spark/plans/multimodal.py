@@ -9,7 +9,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import read_table
-from ..operators.multimodal import extract_features, fake_media_from_documents
+from ..operators.multimodal import (
+    extract_features,
+    fake_media_from_documents,
+    frame_sample,
+)
 from .registry import query
 
 
@@ -37,6 +41,54 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("content")).alias("total_bytes"),
         F.round(F.avg("meta.n_frames"), 2).alias("avg_frames"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Arrow-batched checksums -- the Python path, VALUE-checked
+# ---------------------------------------------------------------------------
+@query(
+    "multimodal_checksums",
+    oracle="""
+    SELECT doc_id                          AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END           AS kind,
+           octet_length(encode(text))      AS n_bytes,
+           sha256(text)                    AS content_sha
+    FROM documents
+    """,
+)
+def multimodal_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic slice of the mapInPandas feature pipeline
+    (byte counts + sha256 content ids), value-checked against DuckDB's
+    sha256 -- proving the Arrow batch path computes exactly what a SQL
+    engine would, row for row.  The fake feature vectors stay under
+    the rows-only twin below (no SQL equivalent by construction)."""
+    media = fake_media_from_documents(read_table(spark, sf_dir, "documents"))
+    return extract_features(media).select(
+        "media_id", "kind", "n_bytes", "content_sha"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Video frame-sampling plan (oracle-checked fan-out)
+# ---------------------------------------------------------------------------
+@query(
+    "multimodal_frames",
+    oracle="""
+    SELECT doc_id AS media_id,
+           unnest(generate_series(0, greatest((n_chars % 100) - 1, 0), 10))
+             AS frame_idx
+    FROM documents
+    WHERE doc_id % 3 = 2 AND n_chars % 100 > 0
+    """,
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out for video media: one row per sampled
+    frame index (every 10th), generated with sequence+explode -- a
+    narrow map whose output size is frames/10, no shuffle.  The frame
+    decode itself is the stubbed codec step."""
+    media = fake_media_from_documents(read_table(spark, sf_dir, "documents"))
+    return frame_sample(media, every_n=10)
 
 
 # ---------------------------------------------------------------------------

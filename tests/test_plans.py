@@ -15,7 +15,7 @@ SF = "/root/testdata/sf0.001"
 
 # Queries allowed to run Python (the sanctioned Arrow escape hatch
 # for the multimodal decode plumbing).
-ARROW_ALLOWED = {"multimodal_features"}
+ARROW_ALLOWED = {"multimodal_features", "multimodal_checksums"}
 
 
 def _plan(spark, name: str) -> str:
