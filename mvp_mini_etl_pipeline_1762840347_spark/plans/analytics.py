@@ -456,3 +456,64 @@ def orders_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mom_growth_pct"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-nation trade flow (TPC-H Q7 family)
+# ---------------------------------------------------------------------------
+@query(
+    "nation_trade_flow",
+    oracle="""
+    SELECT ns.n_name AS supp_nation,
+           nc.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS volume
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation ns ON ns.n_nationkey = s_nationkey
+    JOIN nation nc ON nc.n_nationkey = c_nationkey
+    WHERE (ns.n_name = 'NATION_3' AND nc.n_name = 'NATION_9')
+       OR (ns.n_name = 'NATION_9' AND nc.n_name = 'NATION_3')
+    GROUP BY 1, 2, 3
+    """,
+)
+def nation_trade_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping volume between two nations in both directions, by
+    year (Q7's symmetric OR over a dimension pair).  All dimensions
+    broadcast; the disjunctive nation filter evaluates on broadcast
+    rows after the hash joins, so the only data-sized shuffle is
+    lineitem->orders on orderkey, then the small keyed aggregation."""
+    li = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    ns = n.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    nc = n.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_9")
+    ) | ((F.col("supp_nation") == "NATION_9") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("volume")
+        )
+    )

@@ -186,3 +186,72 @@ def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Nested EXISTS + NOT EXISTS on the same table (TPC-H Q21 shape)
+# ---------------------------------------------------------------------------
+@query(
+    "sole_late_supplier",
+    oracle="""
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3 JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY s.s_name
+    """,
+)
+def sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late lineitems whose supplier is the ONLY late supplier on a
+    multi-supplier order (Q21's nested EXISTS + NOT EXISTS on the
+    same fact table), counted per supplier.
+
+    Decorrelation collapses both correlated subqueries into ONE
+    per-order aggregate over the joined facts -- distinct supplier
+    count and distinct LATE supplier count -- computed in the same
+    shuffle that the blame join reuses: lineitem moves on orderkey
+    exactly once, versus the nested form's three correlated rescans."""
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    lo = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+        ).alias("is_late"),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    blamed = (
+        lo.filter(F.col("is_late"))
+        .join(
+            per_order.filter(
+                (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+            ).select("l_orderkey"),
+            "l_orderkey",
+        )
+    )
+    return (
+        blamed.join(F.broadcast(s), blamed.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
