@@ -517,3 +517,61 @@ def nation_trade_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("volume")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer scoring (recency / frequency / monetary quartiles)
+# ---------------------------------------------------------------------------
+@query(
+    "customer_rfm",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c_custkey,
+             max(o_orderdate)               AS last_order,
+             count(*)                       AS frequency,
+             round(sum(o_totalprice), 2)    AS monetary
+      FROM customer JOIN orders ON o_custkey = c_custkey
+      GROUP BY c_custkey
+    ),
+    scored AS (
+      SELECT c_custkey,
+             ntile(4) OVER (ORDER BY last_order, c_custkey) AS r_score,
+             ntile(4) OVER (ORDER BY frequency, c_custkey)  AS f_score,
+             ntile(4) OVER (ORDER BY monetary, c_custkey)   AS m_score
+      FROM per_cust
+    )
+    SELECT r_score, f_score, m_score, count(*) AS n_customers
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency/frequency/monetary
+    quartiles (ntile with a unique key tiebreak for cross-engine
+    determinism), reported as segment sizes.  The per-customer
+    aggregate is the only data-sized shuffle; the ntile windows run
+    over one row per customer.  (Unpartitioned ntile serializes on one
+    reducer -- acceptable for a customer-grain frame; at extreme
+    cardinality swap in percent_rank binning, which partitions.)"""
+    from pyspark.sql.window import Window as W
+
+    c = read_table(spark, sf_dir, "customer").select("c_custkey")
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    per_cust = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+    )
+    scored = per_cust.select(
+        F.ntile(4).over(W.orderBy("last_order", "c_custkey")).alias("r_score"),
+        F.ntile(4).over(W.orderBy("frequency", "c_custkey")).alias("f_score"),
+        F.ntile(4).over(W.orderBy("monetary", "c_custkey")).alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").alias("n_customers")
+    )

@@ -367,3 +367,71 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-stage near-dup: LSH candidates verified by exact Jaccard
+# ---------------------------------------------------------------------------
+JACCARD_THRESHOLD = 0.4
+
+
+@query(
+    "dedup_verified_pairs",
+    oracle=rf"""
+    WITH cand AS (
+      SELECT doc_a, doc_b FROM ({_MINHASH_PAIRS_SQL})
+    ),
+    shingles AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      FROM cand c
+      JOIN shingles sa ON sa.doc_id = c.doc_a
+      JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(CAST(i.n_inter AS DOUBLE)
+                 / (za.n + zb.n - i.n_inter), 4) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.doc_a
+    JOIN sizes zb ON zb.doc_id = i.doc_b
+    WHERE CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter)
+          >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production near-dup shape end-to-end: LSH generates
+    candidates (cheap, high recall), exact shingle-Jaccard verifies
+    them (precise, computed ONLY on candidates).  Verification joins
+    the candidate pairs back to the shingle sets -- work is
+    O(candidates x shingles-per-doc), never O(n^2) -- and keeps pairs
+    at or above the similarity threshold.  This two-stage
+    candidates->verify pattern is the scalable core of every fuzzy
+    dedup at 100 TB."""
+    docs = _docs(spark, sf_dir)
+    cand = _minhash_pairs_impl(docs).select("doc_a", "doc_b")
+    sh = _shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("b_doc"), F.col("shingle").alias("sh_b"))
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(
+            sb,
+            (F.col("doc_b") == F.col("b_doc")) & (F.col("sh_a") == F.col("sh_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_inter")
+    )
+    return (
+        inter.join(F.broadcast(za), "doc_a")
+        .join(F.broadcast(zb), "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
