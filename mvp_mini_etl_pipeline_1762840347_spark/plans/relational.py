@@ -546,3 +546,117 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qty_sum"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Blocked fuzzy string-match join (levenshtein with blocking key)
+# ---------------------------------------------------------------------------
+@query(
+    "fuzzy_name_match",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, substring(c_name, 10) AS c_suffix FROM customer
+    ),
+    s AS (
+      SELECT s_suppkey, substring(s_name, 10) AS s_suffix FROM supplier
+    )
+    SELECT s_suppkey, count(*) AS n_near_customers
+    FROM s JOIN c
+      ON substring(s.s_suffix, 1, 6) = substring(c.c_suffix, 1, 6)
+     AND levenshtein(s.s_suffix, c.c_suffix) <= 1
+    GROUP BY s_suppkey
+    """,
+)
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching: customer/supplier id-suffixes within
+    edit distance 1, joined on a BLOCKING key (shared 6-char prefix)
+    so the expensive levenshtein only runs inside blocks -- the
+    standard record-linkage shape.  At scale the blocking key is the
+    knob: finer blocks (more prefix chars, phonetic codes, LSH
+    buckets) keep per-block pair counts bounded; the equi-join on the
+    block key is an ordinary shuffle join, never a cross join."""
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.substring("c_name", 10, 100).alias("c_suffix")
+    )
+    s = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.substring("s_name", 10, 100).alias("s_suffix")
+    )
+    block = F.substring("s_suffix", 1, 6) == F.substring("c_suffix", 1, 6)
+    near = F.levenshtein("s_suffix", "c_suffix") <= 1
+    return (
+        F.broadcast(s)
+        .join(c, block & near)
+        .groupBy("s_suppkey")
+        .agg(F.count("*").alias("n_near_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Null-safe equality join (<=> / IS NOT DISTINCT FROM)
+# ---------------------------------------------------------------------------
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg FROM customer
+    ),
+    d AS (
+      SELECT DISTINCT nullif(c_mktsegment, 'BUILDING') AS seg,
+             coalesce(nullif(c_mktsegment, 'BUILDING'), 'suppressed') AS label
+      FROM customer
+    )
+    SELECT d.label, count(*) AS n_customers
+    FROM c JOIN d ON c.seg IS NOT DISTINCT FROM d.seg
+    GROUP BY d.label
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>`): NULL keys match NULL, so rows
+    with a suppressed dimension value still land in a labeled group
+    instead of silently dropping out of an inner join -- the SQL
+    `IS NOT DISTINCT FROM` semantics, an ordinary hash join in Spark
+    (null-safe equality is still an equi-key)."""
+    c = read_table(spark, sf_dir, "customer")
+    seg = F.nullif("c_mktsegment", F.lit("BUILDING"))
+    cc = c.select("c_custkey", seg.alias("seg"))
+    d = (
+        c.select(seg.alias("dseg"))
+        .distinct()
+        .select("dseg", F.coalesce("dseg", F.lit("suppressed")).alias("label"))
+    )
+    return (
+        cc.join(F.broadcast(d), cc.seg.eqNullSafe(F.col("dseg")))
+        .groupBy("label")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Explicit null ordering (NULLS FIRST / LAST)
+# ---------------------------------------------------------------------------
+@query(
+    "sort_null_ordering",
+    oracle="""
+    SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg, c_acctbal
+    FROM customer
+    ORDER BY seg NULLS FIRST, c_acctbal DESC, c_custkey
+    LIMIT 50
+    """,
+)
+def sort_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULLS FIRST ordering with a unique tiebreak and limit:
+    Spark's default sort order puts nulls first ascending, but the
+    engine states it explicitly (asc_nulls_first) because the
+    reference semantics must not depend on engine defaults.  Top-k
+    with limit -> TakeOrdered, no global sort."""
+    c = read_table(spark, sf_dir, "customer")
+    seg = F.nullif("c_mktsegment", F.lit("BUILDING"))
+    return (
+        c.select("c_custkey", seg.alias("seg"), "c_acctbal")
+        .orderBy(
+            F.col("seg").asc_nulls_first(),
+            F.col("c_acctbal").desc(),
+            F.col("c_custkey"),
+        )
+        .limit(50)
+    )
