@@ -575,3 +575,34 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count("*").alias("n_customers")
     )
+
+
+# ---------------------------------------------------------------------------
+# Customer order-count distribution (TPC-H Q13 family)
+# ---------------------------------------------------------------------------
+@query(
+    "customer_order_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      GROUP BY c_custkey
+    )
+    SELECT c_count, count(*) AS n_customers
+    FROM per_cust GROUP BY c_count
+    """,
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of customers by order count (Q13's left-join
+    double aggregation) -- count(o_orderkey) over a LEFT join so
+    customers with zero orders land in the c_count=0 bucket instead
+    of vanishing.  First aggregation shuffles on custkey; the second
+    groups the tiny count domain."""
+    c = read_table(spark, sf_dir, "customer").select("c_custkey")
+    o = read_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("n_customers"))

@@ -508,3 +508,45 @@ def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "next_type")
         .agg(F.count("*").alias("n_transitions"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-score anomaly detection per event type
+# ---------------------------------------------------------------------------
+@query(
+    "events_value_anomaly",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           count(*) AS n_events,
+           count(CASE WHEN abs((e.value - s.mu) / s.sigma) > 3 THEN 1 END)
+             AS n_outliers,
+           round(max(abs((e.value - s.mu) / s.sigma)), 4) AS max_abs_z
+    FROM events e JOIN stats s ON s.event_type = e.event_type
+    GROUP BY e.event_type
+    """,
+)
+def events_value_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier accounting per event type: the per-type
+    mean/stddev aggregate (tiny -- one row per type) broadcasts back
+    onto the stream, so anomaly scoring is a narrow map over events
+    plus one keyed count.  The same two-pass shape at 100 TB: stats
+    pass, then score pass; no per-row subqueries."""
+    e = _events(spark, sf_dir)
+    stats = e.groupBy(F.col("event_type").alias("stype")).agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+    )
+    z = F.abs((F.col("value") - F.col("mu")) / F.col("sigma"))
+    return (
+        e.join(F.broadcast(stats), e.event_type == F.col("stype"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count(F.when(z > 3, 1)).alias("n_outliers"),
+            F.round(F.max(z), 4).alias("max_abs_z"),
+        )
+    )

@@ -365,3 +365,37 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("nrm"), 4).alias("max_norm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-label centroids (element-wise vector mean)
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_label_centroids",
+    oracle="""
+    SELECT label, p.pos,
+           round(avg(embedding[p.pos]), 6) AS centroid_val,
+           count(*)                        AS n_vectors
+    FROM embeddings, (SELECT unnest(range(1, 65)) AS pos) p
+    GROUP BY label, p.pos
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, one row per (label, dimension): the
+    element-wise mean computed via posexplode -> keyed aggregation.
+    This is the scalable shape for vector averaging -- the shuffle
+    carries (label, pos) partials (POSITIONS x LABELS rows), never
+    whole vectors, and it is exactly the reduce step of a distributed
+    k-means iteration (plans/similarity.py::similarity_ivf consumes
+    such centroids)."""
+    v = read_table(spark, sf_dir, "embeddings").select(
+        "label", _as_double(F.col("embedding")).alias("e")
+    )
+    exploded = v.select("label", F.posexplode("e").alias("pos0", "val"))
+    return (
+        exploded.groupBy("label", (F.col("pos0") + 1).alias("pos"))
+        .agg(
+            F.round(F.avg("val"), 6).alias("centroid_val"),
+            F.count("*").alias("n_vectors"),
+        )
+    )
