@@ -606,3 +606,35 @@ def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("o_orderkey").alias("c_count"))
     )
     return per_cust.groupBy("c_count").agg(F.count("*").alias("n_customers"))
+
+
+# ---------------------------------------------------------------------------
+# In-SQL linear regression (normal equations per group)
+# ---------------------------------------------------------------------------
+@query(
+    "regression_price_qty",
+    oracle="""
+    SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity), 4)     AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6)        AS r2,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def regression_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinary least squares per group, computed from algebraic
+    moments: slope = covar_pop/var_pop, intercept = E[y] - slope*E[x],
+    r2 = corr^2.  Spark carries no regr_* aggregates, but the normal
+    equations need only sums/cross-products -- constant partial state,
+    map-side combined, one shuffle of O(groups) rows (the oracle uses
+    DuckDB's native regr_* to prove the derivation)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    slope = F.covar_pop(y, x) / F.var_pop(x)
+    return li.groupBy("l_returnflag").agg(
+        F.round(slope, 4).alias("slope"),
+        F.round(F.avg(y) - slope * F.avg(x), 4).alias("intercept"),
+        F.round(F.pow(F.corr(y, x), 2), 6).alias("r2"),
+        F.count("*").alias("n"),
+    )

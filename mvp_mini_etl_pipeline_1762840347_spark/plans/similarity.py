@@ -399,3 +399,102 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_vectors"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# K-means, 2 deterministic iterations (assign -> recompute -> assign)
+# ---------------------------------------------------------------------------
+_KM_K = 8
+
+_ASSIGN_SQL = """
+      SELECT vec_id, e, cid AS cluster FROM (
+        SELECT v.vec_id, v.e, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY round({cos}, 4) DESC, c.cid) AS rnk
+        FROM {vtab} v CROSS JOIN {ctab} c
+      ) WHERE rnk = 1
+"""
+
+_RECOMPUTE_SQL = """
+      SELECT cluster AS cid, list(cv ORDER BY pos) AS ce FROM (
+        SELECT a.cluster, p.pos, round(avg(a.e[p.pos]), 6) AS cv
+        FROM {atab} a, (SELECT unnest(range(1, 65)) AS pos) p
+        GROUP BY a.cluster, p.pos
+      ) GROUP BY cluster
+"""
+
+
+@query(
+    "kmeans_2iter",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cent0 AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {_KM_K}),
+    a1 AS ({_ASSIGN_SQL.format(cos="list_dot_product(v.e, c.ce) / sqrt(list_dot_product(v.e, v.e) * list_dot_product(c.ce, c.ce))", vtab="v", ctab="cent0")}),
+    cent1 AS ({_RECOMPUTE_SQL.format(atab="a1")}),
+    a2 AS ({_ASSIGN_SQL.format(cos="list_dot_product(v.e, c.ce) / sqrt(list_dot_product(v.e, v.e) * list_dot_product(c.ce, c.ce))", vtab="v", ctab="cent1")})
+    SELECT cluster AS cluster_id, count(*) AS n_vectors
+    FROM a2 GROUP BY cluster
+    """,
+)
+def kmeans_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means, two deterministic iterations: seed
+    centroids (first K vectors), assign every vector to its nearest
+    centroid by cosine, recompute centroids as per-cluster
+    element-wise means, re-assign; report final cluster sizes.
+
+    The iteration is the production loop shape: assignment is a
+    broadcast-centroid-array argmax (narrow map, zero shuffle --
+    same machinery as similarity_ivf), recomputation is
+    posexplode -> (cluster, dim) aggregation (shuffles POSITIONS x K
+    partials, never whole vectors -- embedding_label_centroids'
+    shape).  Determinism for the oracle: similarities round to 4
+    with cid tiebreak, recomputed centroid components round to 6 so
+    both engines iterate on identical doubles.  The DuckDB oracle
+    unrolls the same two iterations in SQL."""
+    v = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("e")
+    )
+
+    def assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+        cents = centroids.select(
+            F.struct(F.col("cid"), F.col("ce")).alias("c")
+        ).agg(F.array_sort(F.collect_list("c")).alias("cents"))
+        ranked = F.array_sort(
+            F.transform(
+                F.col("cents"),
+                lambda c: F.struct(
+                    (-F.round(cosine(F.col("e"), c["ce"]), 4)).alias("neg_sim"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        )
+        return vectors.join(F.broadcast(cents)).select(
+            "vec_id", "e", F.element_at(ranked, 1)["cid"].alias("cluster")
+        )
+
+    def recompute(assigned: DataFrame) -> DataFrame:
+        per_dim = (
+            assigned.select("cluster", F.posexplode("e").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("cv"))
+        )
+        return (
+            per_dim.groupBy(F.col("cluster").alias("cid"))
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                    lambda s: s["cv"],
+                ).alias("ce")
+            )
+        )
+
+    cent0 = v.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+    a1 = assign(v, cent0)
+    cent1 = recompute(a1)
+    a2 = assign(v, cent1)
+    return a2.groupBy(F.col("cluster").alias("cluster_id")).agg(
+        F.count("*").alias("n_vectors")
+    )
