@@ -138,3 +138,62 @@ def merge_upsert(
         for c in target.columns
     ]
     return joined.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# SCD Type 2 merge (versioned dimension history)
+# ---------------------------------------------------------------------------
+def scd2_merge(
+    target: DataFrame,
+    updates: DataFrame,
+    key: str,
+    effective: Column,
+    attrs: list[str],
+    start_col: str = "valid_from",
+    end_col: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2 merge: rows whose attributes
+    changed get their current version CLOSED (end timestamp stamped,
+    current flag dropped) and a NEW open version appended; unchanged
+    and historical rows pass through untouched.
+
+    `target` carries (key, attrs..., valid_from, valid_to,
+    is_current); `updates` carries (key, attrs...).  One left join of
+    the current slice against updates decides changed/new; the
+    history slice never joins at all.  At deploy scale the target is
+    bucketed on the key so the join is shuffle-free, and the merge
+    output overwrites partitions, not the whole table.
+    """
+    cur = target.filter(F.col(current_col))
+    hist = target.filter(~F.col(current_col))
+
+    u = updates.select(
+        F.col(key).alias("__ukey"), *[F.col(a).alias(f"__u_{a}") for a in attrs]
+    )
+    joined = cur.join(u, cur[key] == F.col("__ukey"), "full_outer")
+
+    attr_changed = F.lit(False)
+    for a in attrs:
+        attr_changed = attr_changed | ~F.col(a).eqNullSafe(F.col(f"__u_{a}"))
+    is_new = cur[key].isNull()
+    is_changed = F.col("__ukey").isNotNull() & ~is_new & attr_changed
+
+    # untouched current rows (no update, or update identical)
+    untouched = joined.filter(~is_new & ~is_changed).select(*target.columns)
+    # closed-out versions of changed rows
+    closed = (
+        joined.filter(is_changed)
+        .select(*target.columns)
+        .withColumn(end_col, effective)
+        .withColumn(current_col, F.lit(False))
+    )
+    # fresh versions: changed rows' new values + brand-new keys
+    fresh = joined.filter(is_changed | is_new).select(
+        F.coalesce(cur[key], F.col("__ukey")).alias(key),
+        *[F.col(f"__u_{a}").alias(a) for a in attrs],
+        effective.alias(start_col),
+        F.lit(None).cast(target.schema[end_col].dataType).alias(end_col),
+        F.lit(True).alias(current_col),
+    )
+    return untouched.unionByName(closed).unionByName(fresh).unionByName(hist)

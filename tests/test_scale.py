@@ -172,3 +172,55 @@ def test_dynamic_partition_pruning(spark, tmp_path):
     j = fact.join(dim.filter(F.col("is_hot")), "event_date")
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan
+
+
+# ---------------------------------------------------------------------------
+# SCD Type 2 merge
+# ---------------------------------------------------------------------------
+def test_scd2_merge_versions(spark):
+    from mvp_mini_etl_pipeline_1762840347_spark.operators.scale import scd2_merge
+
+    target = spark.createDataFrame(
+        [
+            (1, "NYC", "2024-01-01", None, True),
+            (2, "LA", "2024-01-01", None, True),
+            # key 3 already has history: an old closed row + a current row
+            (3, "CHI", "2024-01-01", "2024-02-01", False),
+            (3, "MIA", "2024-02-01", None, True),
+        ],
+        "id int, city string, valid_from string, valid_to string, is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, "BOS"),   # changed -> close v1, open v2
+            (2, "LA"),    # identical -> untouched
+            (4, "SEA"),   # new key -> open v1
+        ],
+        "id int, city string",
+    )
+    out = scd2_merge(
+        target, updates, "id", F.lit("2024-03-01"), ["city"]
+    ).orderBy("id", "valid_from")
+    rows = [tuple(r) for r in out.collect()]
+    assert rows == [
+        (1, "NYC", "2024-01-01", "2024-03-01", False),  # closed
+        (1, "BOS", "2024-03-01", None, True),           # new version
+        (2, "LA", "2024-01-01", None, True),            # untouched
+        (3, "CHI", "2024-01-01", "2024-02-01", False),  # history passthrough
+        (3, "MIA", "2024-02-01", None, True),           # current untouched
+        (4, "SEA", "2024-03-01", None, True),           # brand new
+    ]
+
+
+def test_scd2_merge_idempotent(spark):
+    from mvp_mini_etl_pipeline_1762840347_spark.operators.scale import scd2_merge
+
+    target = spark.createDataFrame(
+        [(1, "NYC", "2024-01-01", None, True)],
+        "id int, city string, valid_from string, valid_to string, is_current boolean",
+    )
+    updates = spark.createDataFrame([(1, "BOS")], "id int, city string")
+    once = scd2_merge(target, updates, "id", F.lit("2024-03-01"), ["city"])
+    twice = scd2_merge(once, updates, "id", F.lit("2024-03-01"), ["city"])
+    # re-applying the same update changes nothing (values already current)
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
