@@ -660,3 +660,82 @@ def sort_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT (wide -> long)
+# ---------------------------------------------------------------------------
+@query(
+    "unpivot_balances",
+    oracle="""
+    WITH wide AS (
+      SELECT c_mktsegment,
+             round(sum(c_acctbal), 2)  AS total_bal,
+             round(avg(c_acctbal), 2)  AS avg_bal,
+             round(max(c_acctbal), 2)  AS max_bal
+      FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, metric, val
+    FROM wide
+    UNPIVOT (val FOR metric IN (total_bal, avg_bal, max_bal))
+    """,
+)
+def unpivot_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshaping (UNPIVOT / melt): per-segment balance
+    metrics stacked into (metric, value) rows via stack() -- a narrow
+    generator expression, the inverse of pivot_status_priority.  At
+    scale unpivot multiplies rows (cols x rows) but stays shuffle-free;
+    do it after aggregation, as here, not before."""
+    c = read_table(spark, sf_dir, "customer")
+    wide = c.groupBy("c_mktsegment").agg(
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+    )
+    return wide.select(
+        "c_mktsegment",
+        F.expr(
+            "stack(3, 'total_bal', total_bal, 'avg_bal', avg_bal, "
+            "'max_bal', max_bal) AS (metric, val)"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Frame-based window value functions (first/nth/last over frames)
+# ---------------------------------------------------------------------------
+@query(
+    "window_value_funcs",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           first_value(o_totalprice) OVER w                    AS first_price,
+           nth_value(o_totalprice, 2) OVER w                   AS second_price,
+           last_value(o_totalprice)
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING)           AS last_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_value_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / nth_value / last_value with an explicit
+    whole-partition ROWS frame: the default frame stops at CURRENT ROW,
+    which silently turns last_value into "current value" -- the classic
+    window-frame trap, stated explicitly here and ordered with a unique
+    tiebreak."""
+    o = read_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+    )

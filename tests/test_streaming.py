@@ -94,3 +94,27 @@ def test_stateful_running_totals(spark, sf_dir, events_dir):
         assert got == batch_counts
     finally:
         q.stop()
+
+
+def test_foreachbatch_merge_matches_batch(spark, sf_dir, events_dir, tmp_path_factory):
+    """Streaming incremental merge == batch aggregate over the same
+    input (the backfill-agrees-with-live property for the additive
+    merge path)."""
+    target = str(tmp_path_factory.mktemp("merge_target") / "per_user")
+    ev = jobs.stream_events(spark, events_dir)
+    q = jobs.merge_stream_into_parquet(spark, ev, target)
+    q.awaitTermination(120)
+    got = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 2))
+        for r in spark.read.parquet(target).collect()
+    }
+    from mvp_mini_etl_pipeline_1762840347_spark.io import read_events
+
+    batch = {
+        r["user_id"]: (r["n"], round(r["v"], 2))
+        for r in read_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+        .collect()
+    }
+    assert got == batch
