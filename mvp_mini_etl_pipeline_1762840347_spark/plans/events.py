@@ -550,3 +550,44 @@ def events_value_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(z), 4).alias("max_abs_z"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Trailing time-RANGE window (7-day rolling sum per user)
+# ---------------------------------------------------------------------------
+@query(
+    "events_trailing_7d",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           round(sum(value) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW
+           ), 2) AS trailing_7d_value,
+           count(*) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW
+           ) AS trailing_7d_events
+    FROM events
+    """,
+)
+def events_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day rolling aggregates per user -- a RANGE frame
+    over event TIME, not row counts (rowsBetween would count
+    neighbors; rangeBetween bounds by timestamp distance, which is
+    what a rolling business metric means).  Spark range frames need a
+    numeric ordering, so the frame runs over unix seconds with a
+    -7*86400 lower bound; ties in ts are included together in the
+    frame by RANGE semantics, identical in both engines."""
+    e = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-7 * 86400 * 1_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.sum("value").over(w), 2).alias("trailing_7d_value"),
+        F.count("*").over(w).alias("trailing_7d_events"),
+    )

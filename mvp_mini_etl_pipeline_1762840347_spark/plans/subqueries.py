@@ -53,12 +53,17 @@ def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = read_table(spark, sf_dir, "part").filter(
         F.col("p_brand") == _BRAND
     ).select("p_partkey")
-    per_part = li.groupBy("l_partkey").agg(
+    # partkey determines brand, so restricting lineitem to the brand's
+    # parts FIRST leaves the per-part average unchanged while the
+    # decorrelated aggregate runs over the pruned subset only
+    brand_items = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).drop(
+        "p_partkey"
+    )
+    per_part = brand_items.groupBy("l_partkey").agg(
         (0.5 * F.avg("l_quantity")).alias("half_avg_qty")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(per_part.join(F.broadcast(p), per_part.l_partkey == p.p_partkey).drop("p_partkey")), "l_partkey")
+        brand_items.join(F.broadcast(per_part), "l_partkey")
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
         .agg(
             F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
