@@ -739,3 +739,105 @@ def window_value_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
         F.last("o_totalprice").over(w).alias("last_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ranking with ties (dense_rank vs row_number semantics)
+# ---------------------------------------------------------------------------
+@query(
+    "top_parts_with_ties",
+    oracle="""
+    SELECT * FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             dense_rank() OVER (PARTITION BY p_brand
+                                ORDER BY p_retailprice DESC) AS price_rank
+      FROM part
+    ) WHERE price_rank <= 3
+    """,
+)
+def top_parts_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 price TIERS per brand including ties: dense_rank keeps
+    every part at a tied price (row_number would arbitrarily break
+    ties and drop rows; the engine uses row_number only with a unique
+    tiebreak, and dense_rank when tie inclusion is the semantics)."""
+    p = read_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc())
+    return (
+        p.select(
+            "p_brand",
+            "p_partkey",
+            "p_retailprice",
+            F.dense_rank().over(w).alias("price_rank"),
+        )
+        .filter(F.col("price_rank") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multiset set operations (INTERSECT ALL / EXCEPT ALL)
+# ---------------------------------------------------------------------------
+@query(
+    "setops_multiset",
+    oracle="""
+    WITH a AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'),
+    b AS (SELECT o_custkey AS k FROM orders WHERE o_totalprice > 100000),
+    i AS (SELECT k FROM a INTERSECT ALL SELECT k FROM b),
+    e AS (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+    SELECT 'intersect_all' AS op, count(*) AS n FROM i
+    UNION ALL
+    SELECT 'except_all', count(*) FROM e
+    """,
+)
+def setops_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations: INTERSECT ALL keeps min(m,n)
+    copies of a duplicated key, EXCEPT ALL keeps m-n -- different
+    results from the DISTINCT variants whenever keys repeat (a
+    customer with several qualifying orders).  Spark's
+    intersectAll/exceptAll implement this with a counted hash
+    aggregation, one shuffle per side."""
+    o = read_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("k")
+    )
+    b = o.filter(F.col("o_totalprice") > 100000).select(
+        F.col("o_custkey").alias("k")
+    )
+    i = a.intersectAll(b).agg(F.count("*").alias("n")).select(
+        F.lit("intersect_all").alias("op"), "n"
+    )
+    e = a.exceptAll(b).agg(F.count("*").alias("n")).select(
+        F.lit("except_all").alias("op"), "n"
+    )
+    return i.unionByName(e)
+
+
+# ---------------------------------------------------------------------------
+# Ordered string aggregation (listagg / string_agg)
+# ---------------------------------------------------------------------------
+@query(
+    "string_agg_nations",
+    oracle="""
+    SELECT r_name,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           count(*) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def string_agg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation per region (LISTAGG/string_agg):
+    Spark has no ordered string_agg aggregate, so the deterministic
+    form is collect_list -> array_sort -> array_join -- explicit
+    ordering instead of engine-dependent aggregation order."""
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations"
+            ),
+            F.count("*").alias("n_nations"),
+        )
+    )
