@@ -591,3 +591,57 @@ def events_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value").over(w), 2).alias("trailing_7d_value"),
         F.count("*").over(w).alias("trailing_7d_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution (conditional window over preceding frame)
+# ---------------------------------------------------------------------------
+@query(
+    "events_attribution",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, event_id, ts, event_type,
+             max(CASE WHEN event_type = 'click' THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS last_click_ts
+      FROM events
+    )
+    SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+           last_click_ts,
+           CAST(last_click_ts IS NOT NULL AS BOOLEAN) AS attributed
+    FROM tagged WHERE event_type = 'purchase'
+    """,
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase linked to the most recent
+    PRECEDING click by the same user -- a conditional max over a
+    [unbounded, 1 preceding] row frame, so the purchase row itself
+    never self-attributes and no self-join or as-of join is needed.
+    One shuffle on user_id; the frame scan is linear per user."""
+    e = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click = F.max(
+        F.when(F.col("event_type") == "click", F.col("ts"))
+    ).over(w)
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            "ts",
+            "event_type",
+            last_click.alias("last_click_ts"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            "last_click_ts",
+            F.col("last_click_ts").isNotNull().alias("attributed"),
+        )
+    )

@@ -6,7 +6,6 @@ from __future__ import annotations
 
 import os
 
-import pytest
 from pyspark.sql import functions as F
 
 from mvp_mini_etl_pipeline_1762840347_spark.io import read_events, read_table
