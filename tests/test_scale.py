@@ -223,3 +223,37 @@ def test_scd2_merge_idempotent(spark):
     twice = scd2_merge(once, updates, "id", F.lit("2024-03-01"), ["city"])
     # re-applying the same update changes nothing (values already current)
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_runtime_bloom_filter_join_pruning(spark):
+    """With a selective filter on one join side, Spark injects a
+    runtime Bloom filter (might_contain) on the big side so
+    non-matching rows drop BEFORE the shuffle.  Size thresholds are
+    lowered here because local test data is tiny; at deploy scale
+    (application side >= 10 GB by default) the injection fires on the
+    defaults -- this pins that the engine's plans are eligible."""
+    o = read_table(spark, SF, "orders").filter(F.col("o_totalprice") > 400000)
+    li = read_table(spark, SF, "lineitem")
+    expected = li.join(o, li.l_orderkey == o.o_orderkey).count()
+
+    prev = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    try:
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan.lower(), plan
+        # the Bloom pre-filter must not change results
+        assert j.count() == expected
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
