@@ -498,3 +498,66 @@ def kmeans_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a2.groupBy(F.col("cluster").alias("cluster_id")).agg(
         F.count("*").alias("n_vectors")
     )
+
+
+# ---------------------------------------------------------------------------
+# Centered residual norms (vector arithmetic between array columns)
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_centered_norms",
+    oracle="""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    cent AS (
+      SELECT label, list(cv ORDER BY pos) AS c FROM (
+        SELECT label, p.pos, avg(e[p.pos]) AS cv
+        FROM v, (SELECT unnest(range(1, 65)) AS pos) p
+        GROUP BY label, p.pos
+      ) GROUP BY label
+    ),
+    resid AS (
+      SELECT v.label,
+             list_transform(range(1, 65), i -> v.e[i] - cent.c[i]) AS d
+      FROM v JOIN cent USING (label)
+    )
+    SELECT label,
+           count(*) AS n_vectors,
+           round(avg(sqrt(list_dot_product(d, d))), 4) AS avg_residual_norm,
+           round(max(sqrt(list_dot_product(d, d))), 4) AS max_residual_norm
+    FROM resid GROUP BY label
+    """,
+)
+def embedding_centered_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-label dispersion: each vector minus its label centroid
+    (element-wise zip_with subtraction between the row's array and the
+    joined centroid array), L2 norm of the residual, aggregated per
+    label -- the spread statistic behind cluster-quality checks and
+    whitening.  Centroids are tiny (LABELS x DIM) and broadcast; the
+    subtraction is a narrow map; unrounded centroid doubles agree
+    across engines because avg() over the same values is
+    deterministic per (label, dim) group."""
+    v = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("e")
+    )
+    per_dim = (
+        v.select("label", F.posexplode("e").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.avg("val").alias("cv"))
+    )
+    cents = per_dim.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+            lambda s: s["cv"],
+        ).alias("c")
+    )
+    d = F.zip_with(F.col("e"), F.col("c"), lambda x, y: x - y)
+    resid_norm = F.sqrt(_dot(d, d))
+    return (
+        v.join(F.broadcast(cents), "label")
+        .select("label", resid_norm.alias("rn"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.avg("rn"), 4).alias("avg_residual_norm"),
+            F.round(F.max("rn"), 4).alias("max_residual_norm"),
+        )
+    )
