@@ -841,3 +841,64 @@ def string_agg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_nations"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Map-type functions (construction, keys, cardinality, lookup)
+# ---------------------------------------------------------------------------
+@query(
+    "map_funcs",
+    oracle="""
+    WITH cnt AS (
+      SELECT r_name, n_name, count(*) AS n_cust
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+    ),
+    m AS (
+      SELECT r_name,
+             map(list(n_name ORDER BY n_name),
+                 list(n_cust ORDER BY n_name)) AS nation_counts
+      FROM cnt GROUP BY r_name
+    )
+    SELECT r_name,
+           cardinality(nation_counts)                      AS n_nations,
+           array_to_string(map_keys(nation_counts), ',')   AS nations_csv,
+           nation_counts[map_keys(nation_counts)[1]][1]    AS first_nation_cust
+    FROM m
+    """,
+)
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-column surface: build a nation->customer-count map per
+    region from SORTED aligned key/value arrays (collect_list order is
+    nondeterministic, so construction sorts first -- same discipline
+    as every collect in this engine), then cardinality, key listing
+    and element lookup.  Maps ride Spark's MapType end to end; the
+    oracle's map element access returns a single-element list, hence
+    the [1] index there."""
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    cnt = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count("*").alias("n_cust"))
+    )
+    entries = F.array_sort(F.collect_list(F.struct("n_name", "n_cust")))
+    m = cnt.groupBy("r_name").agg(
+        F.map_from_arrays(
+            F.transform(entries, lambda s: s["n_name"]),
+            F.transform(entries, lambda s: s["n_cust"]),
+        ).alias("nation_counts")
+    )
+    return m.select(
+        "r_name",
+        F.size("nation_counts").alias("n_nations"),
+        F.array_join(F.map_keys("nation_counts"), ",").alias("nations_csv"),
+        F.element_at(
+            F.col("nation_counts"),
+            F.element_at(F.map_keys("nation_counts"), 1),
+        ).alias("first_nation_cust"),
+    )
