@@ -186,3 +186,63 @@ def merge_stream_into_parquet(
         .option("checkpointLocation", target_path + "_chk")
         .start()
     )
+
+
+def funnel_stream(events: DataFrame) -> DataFrame:
+    """Stateful streaming funnel: per-user first-seen timestamps of
+    view/click/purchase maintained as GroupState; each update emits
+    the user's current funnel stage (0-3, counting steps completed IN
+    ORDER).  The streaming twin of plans/events.events_funnel -- same
+    three-valued step gating, state is three micro-timestamps per
+    user regardless of event volume."""
+    import pandas as pd  # local import: only needed when the op runs
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id long, t_view long, t_click long, t_purchase long, stage int"
+    )
+    state_schema = "tv long, tc long, tp long"
+    _NONE = -1
+
+    def _min(a: int, b: int) -> int:
+        if a == _NONE:
+            return b
+        if b == _NONE:
+            return a
+        return min(a, b)
+
+    def fn(key, pdfs, state: GroupState):
+        tv, tc, tp = state.get if state.exists else (_NONE, _NONE, _NONE)
+        for pdf in pdfs:
+            micros = pdf["ts"].astype("int64") // 1000
+            for step, col in (("view", "tv"), ("click", "tc"), ("purchase", "tp")):
+                sel = micros[pdf["event_type"] == step]
+                if len(sel):
+                    first = int(sel.min())
+                    if col == "tv":
+                        tv = _min(tv, first)
+                    elif col == "tc":
+                        tc = _min(tc, first)
+                    else:
+                        tp = _min(tp, first)
+        state.update((tv, tc, tp))
+        stage = 0
+        if tv != _NONE:
+            stage = 1
+            if tc != _NONE and tv < tc:
+                stage = 2
+                if tp != _NONE and tc < tp:
+                    stage = 3
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "t_view": [tv],
+                "t_click": [tc],
+                "t_purchase": [tp],
+                "stage": [stage],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -118,3 +118,38 @@ def test_foreachbatch_merge_matches_batch(spark, sf_dir, events_dir, tmp_path_fa
         .collect()
     }
     assert got == batch
+
+
+def test_funnel_stream_matches_batch(spark, sf_dir, events_dir):
+    """Streaming stateful funnel stage == batch conditional-min funnel
+    over the same input, per user."""
+    ev = jobs.stream_events(spark, events_dir)
+    q = jobs.run_to_memory(
+        jobs.funnel_stream(ev), "funnel_out", output_mode="update"
+    )
+    try:
+        got = {
+            r["user_id"]: r["stage"]
+            for r in spark.sql("SELECT * FROM funnel_out").collect()
+        }
+        from mvp_mini_etl_pipeline_1762840347_spark.io import read_events
+
+        e = read_events(spark, sf_dir)
+        per_user = e.groupBy("user_id").agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("tv"),
+            F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("tc"),
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("tp"),
+        )
+        stage = (
+            F.when(F.col("tv").isNull(), 0)
+            .when(F.col("tc").isNull() | ~(F.col("tv") < F.col("tc")), 1)
+            .when(F.col("tp").isNull() | ~(F.col("tc") < F.col("tp")), 2)
+            .otherwise(3)
+        )
+        want = {
+            r["user_id"]: r["stage"]
+            for r in per_user.select("user_id", stage.alias("stage")).collect()
+        }
+        assert got == want
+    finally:
+        pass
