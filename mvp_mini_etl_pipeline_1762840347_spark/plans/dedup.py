@@ -201,16 +201,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_pairs_impl(_docs(spark, sf_dir))
 
 
-def _minhash_pairs_impl(docs: DataFrame) -> DataFrame:
-    # Signature computation stays in the exploded (doc_id, shingle)
-    # form: the 8 per-seed md5s are computed inside the partial
-    # (map-side) aggregation, which streams shingle-at-a-time.  The
-    # tempting narrow alternative -- per-row shingle ARRAY with 8x
-    # array_min(transform(md5)) -- measured ~2x SLOWER at sf0.1: it
-    # materializes 8 intermediate md5 arrays per document and
-    # re-evaluates the 3-gram construction per seed when Catalyst
-    # collapses the projections.  Here the shuffle after partial agg
-    # carries one row per doc either way.
+def band_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, sig) LSH band signatures -- the persisted unit
+    of the incremental dedup path (see incremental_lsh_candidates).
+
+    Signature computation stays in the exploded (doc_id, shingle)
+    form: the 8 per-seed md5s are computed inside the partial
+    (map-side) aggregation, which streams shingle-at-a-time.  The
+    tempting narrow alternative -- per-row shingle ARRAY with 8x
+    array_min(transform(md5)) -- measured ~2x SLOWER at sf0.1: it
+    materializes 8 intermediate md5 arrays per document and
+    re-evaluates the 3-gram construction per seed when Catalyst
+    collapses the projections.  Here the shuffle after partial agg
+    carries one row per doc either way."""
     sh = _shingles(docs, distinct=False)
     minhashes = sh.groupBy("doc_id").agg(
         *[
@@ -231,9 +234,13 @@ def _minhash_pairs_impl(docs: DataFrame) -> DataFrame:
         ],
     )
     stack_args = ", ".join(f"{b}, sig{b}" for b in range(n_bands))
-    sigs = band_sigs.select(
+    return band_sigs.select(
         "doc_id", F.expr(f"stack({n_bands}, {stack_args}) AS (band, sig)")
     )
+
+
+def _minhash_pairs_impl(docs: DataFrame) -> DataFrame:
+    sigs = band_signatures(docs)
     a, b = sigs.alias("a"), sigs.alias("b")
     return (
         a.join(
@@ -435,3 +442,45 @@ def dedup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental LSH dedup (signature store + new-batch candidates)
+# ---------------------------------------------------------------------------
+def incremental_lsh_candidates(
+    store_sigs: DataFrame, new_docs: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Daily-ingest dedup shape: candidates for a NEW batch of
+    documents against an existing corpus, touching only the persisted
+    band-signature store -- the full corpus text is never re-read and
+    never re-hashed.
+
+    Returns (candidate_pairs, new_sigs): pairs are (doc_a < doc_b,
+    n_shared_bands) where at least one side is a new doc (new-new and
+    new-old; old-old pairs were produced by earlier runs), and
+    new_sigs is what the caller appends to the store.  The join keys
+    on (band, sig) exactly like the batch path; at deploy scale the
+    store is bucketed on (band, sig) so each day's candidate join is
+    shuffle-free on the store side."""
+    new_sigs = band_signatures(new_docs)
+    all_sigs = store_sigs.unionByName(new_sigs)
+    n, a = new_sigs.alias("n"), all_sigs.alias("a")
+    pairs = (
+        n.join(
+            a,
+            (F.col("n.band") == F.col("a.band"))
+            & (F.col("n.sig") == F.col("a.sig"))
+            & (F.col("n.doc_id") != F.col("a.doc_id")),
+        )
+        .select(
+            F.least(F.col("n.doc_id"), F.col("a.doc_id")).alias("doc_a"),
+            F.greatest(F.col("n.doc_id"), F.col("a.doc_id")).alias("doc_b"),
+            F.col("n.band").alias("band"),
+        )
+        # a new-new pair matches twice per shared band (once from each
+        # side); distinct on (pair, band) collapses that before counting
+        .distinct()
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+    return pairs, new_sigs

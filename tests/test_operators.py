@@ -79,3 +79,35 @@ def test_frame_sample(spark, sf_dir):
     frames = mm.frame_sample(media, every_n=10).collect()
     assert frames, "expected sampled frames for video rows"
     assert all(f["frame_idx"] % 10 == 0 for f in frames)
+
+
+# ---------------------------------------------------------------------------
+# Incremental LSH dedup
+# ---------------------------------------------------------------------------
+def test_incremental_lsh_matches_batch(spark, sf_dir):
+    """Old-corpus signature store + new batch must yield exactly the
+    batch pipeline's candidate pairs that involve a new doc."""
+    from mvp_mini_etl_pipeline_1762840347_spark.io import read_table
+    from mvp_mini_etl_pipeline_1762840347_spark.plans.dedup import (
+        band_signatures,
+        incremental_lsh_candidates,
+        minhash_pairs,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    cut = 400
+    old_docs = docs.filter(F.col("doc_id") < cut)
+    new_docs = docs.filter(F.col("doc_id") >= cut)
+
+    store = band_signatures(old_docs)
+    inc_pairs, new_sigs = incremental_lsh_candidates(store, new_docs)
+
+    full = minhash_pairs(spark, sf_dir)
+    expected = full.filter(
+        (F.col("doc_a") >= cut) | (F.col("doc_b") >= cut)
+    )
+    got = sorted(tuple(r) for r in inc_pairs.collect())
+    want = sorted(tuple(r) for r in expected.collect())
+    assert got == want
+    # the appended store equals the batch signatures of the new docs
+    assert new_sigs.count() == band_signatures(new_docs).count()
