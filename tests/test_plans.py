@@ -100,3 +100,51 @@ def test_no_cartesian_products_anywhere(spark):
     for name in entrymod.queries():
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+def test_plan_features_match_committed_audit(spark):
+    """Plan-shape regression guard: the live exchange / join-strategy /
+    python counts per query must match the committed PLAN_AUDIT.md.
+    An edit that adds a shuffle, drops a broadcast, or pushes work
+    into Python fails here instead of surfacing as a silent slowdown.
+    (Regenerate with `python tools/plan_audit.py` when a change is
+    intentional.)"""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"),
+    )
+    from plan_audit import audit
+
+    committed = {}
+    with open("PLAN_AUDIT.md") as f:
+        for line in f:
+            if line.startswith("| ") and not line.startswith("| query"):
+                cells = [c.strip() for c in line.strip().strip("|").split("|")]
+                if len(cells) == 8:
+                    committed[cells[0]] = cells[1:]
+    live = audit(spark, SF)
+    assert committed, "PLAN_AUDIT.md has no rows"
+    mismatches = []
+    for row in live:
+        if len(row) == 2:
+            mismatches.append((row[0], "ERROR", row[1]))
+            continue
+        name, c, pushed = row
+        got = [
+            str(c["exchanges"]),
+            str(c["broadcast_joins"]),
+            str(c["sortmerge_joins"]),
+            str(c["bnl_joins"]),
+            str(c["windows"]),
+            str(c["python"]) if c["python"] else "-",
+            pushed,
+        ]
+        want = committed.get(name)
+        if want is None:
+            mismatches.append((name, "missing from PLAN_AUDIT.md", got))
+        elif got != want:
+            mismatches.append((name, want, got))
+    assert not mismatches, mismatches
