@@ -645,3 +645,54 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("last_click_ts").isNotNull().alias("attributed"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Online anomaly detection (running stats, streaming-compatible)
+# ---------------------------------------------------------------------------
+@query(
+    "events_anomaly_online",
+    oracle="""
+    WITH t AS (
+      SELECT event_type, event_id, value,
+             avg(value)         OVER w AS mu,
+             stddev_samp(value) OVER w AS sigma,
+             count(*)           OVER w AS n_seen
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type,
+           count(*) AS n_events,
+           count(CASE WHEN n_seen >= 30
+                       AND abs((value - mu) / sigma) > 3 THEN 1 END)
+             AS n_online_outliers
+    FROM t GROUP BY event_type
+    """,
+)
+def events_anomaly_online(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE z-score anomalies: each event scored against the
+    running mean/stddev of the events BEFORE it (expanding frame to 1
+    preceding, 30-event warmup) -- the causal form a stream can
+    actually compute, unlike events_value_anomaly's two-pass global
+    stats.  streaming/jobs.py::anomaly_stream maintains the same
+    running moments as GroupState; this batch form is its
+    backfill-parity twin."""
+    e = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    z = F.abs((F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w))
+    scored = e.select(
+        "event_type",
+        F.count("*").over(w).alias("n_seen"),
+        z.alias("z"),
+    )
+    return scored.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count(F.when((F.col("n_seen") >= 30) & (F.col("z") > 3), 1)).alias(
+            "n_online_outliers"
+        ),
+    )

@@ -246,3 +246,48 @@ def funnel_stream(events: DataFrame) -> DataFrame:
     return events.groupBy("user_id").applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def anomaly_stream(events: DataFrame) -> DataFrame:
+    """Online z-score anomaly detector: per event type, running
+    count/mean/M2 (Welford) maintained as GroupState; each update
+    emits cumulative totals of events seen and outliers flagged
+    (|z| > 3 against the stats BEFORE the event, 30-event warmup).
+    Streaming twin of plans/events.events_anomaly_online -- rows are
+    scored in (ts, event_id) order inside each batch so a single-batch
+    replay exactly matches the batch window form."""
+    import math
+
+    import pandas as pd  # local import: only needed when the op runs
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "event_type string, n_events long, n_online_outliers long"
+    state_schema = "n long, mean double, m2 double, outliers long"
+
+    def fn(key, pdfs, state: GroupState):
+        n, mean, m2, outliers = (
+            state.get if state.exists else (0, 0.0, 0.0, 0)
+        )
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        for v in rows["value"].astype(float):
+            if n >= 30:
+                sigma = math.sqrt(m2 / (n - 1))
+                if sigma > 0 and abs((v - mean) / sigma) > 3:
+                    outliers += 1
+            n += 1
+            delta = v - mean
+            mean += delta / n
+            m2 += delta * (v - mean)
+        state.update((n, mean, m2, outliers))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_events": [n],
+                "n_online_outliers": [outliers],
+            }
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -153,3 +153,21 @@ def test_funnel_stream_matches_batch(spark, sf_dir, events_dir):
         assert got == want
     finally:
         pass
+
+
+def test_anomaly_stream_matches_batch(spark, sf_dir, events_dir):
+    """Streaming Welford running-stats outlier counts == the batch
+    expanding-window form over the same input."""
+    ev = jobs.stream_events(spark, events_dir)
+    q = jobs.run_to_memory(
+        jobs.anomaly_stream(ev), "anomaly_out", output_mode="update"
+    )
+    got = {
+        r["event_type"]: (r["n_events"], r["n_online_outliers"])
+        for r in spark.sql("SELECT * FROM anomaly_out").collect()
+    }
+    want = {
+        r["event_type"]: (r["n_events"], r["n_online_outliers"])
+        for r in plans.QUERIES["events_anomaly_online"](spark, sf_dir).collect()
+    }
+    assert got == want
