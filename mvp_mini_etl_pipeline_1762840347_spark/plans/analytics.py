@@ -638,3 +638,58 @@ def regression_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.pow(F.corr(y, x), 2), 6).alias("r2"),
         F.count("*").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ratio-to-report (percent-of-total window)
+# ---------------------------------------------------------------------------
+@query(
+    "nation_revenue_share",
+    oracle="""
+    WITH nat AS (
+      SELECT r_name, n_name,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation   ON n_nationkey = c_nationkey
+      JOIN region   ON r_regionkey = n_regionkey
+      GROUP BY r_name, n_name
+    )
+    SELECT r_name, n_name, revenue,
+           round(100.0 * revenue / sum(revenue) OVER (PARTITION BY r_name), 4)
+             AS pct_of_region
+    FROM nat
+    """,
+)
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of its region's revenue
+    via sum() over a partition window -- computed on the AGGREGATED
+    (25-row) series, so the window is trivial; the data-sized work is
+    the underlying star join, shuffled once on orderkey with all
+    dimensions broadcast."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = read_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    nat = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    share = 100.0 * F.col("revenue") / F.sum("revenue").over(
+        W.partitionBy("r_name")
+    )
+    return nat.select(
+        "r_name", "n_name", "revenue", F.round(share, 4).alias("pct_of_region")
+    )

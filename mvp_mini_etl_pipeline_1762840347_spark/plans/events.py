@@ -696,3 +696,60 @@ def events_anomaly_online(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_online_outliers"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sessionized funnel (session windows x ordered steps)
+# ---------------------------------------------------------------------------
+@query(
+    "events_session_funnel",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 3600000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM t
+    ), per_session AS (
+      SELECT user_id, session_id,
+             min(CASE WHEN event_type = 'view'     THEN ts END) AS tv,
+             min(CASE WHEN event_type = 'click'    THEN ts END) AS tc,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+      FROM s GROUP BY user_id, session_id
+    )
+    SELECT CASE WHEN tv IS NULL THEN 0
+                WHEN tc IS NULL OR NOT tv < tc THEN 1
+                WHEN tp IS NULL OR NOT tc < tp THEN 2
+                ELSE 3 END AS stage,
+           count(*) AS n_sessions
+    FROM per_session GROUP BY 1
+    """,
+)
+def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel evaluated WITHIN sessions: gap-based session windows
+    (1 h) composed with the conditional-min ordered-step funnel --
+    each session independently counts how far it got.  One
+    session_window aggregation produces the three step times; the
+    stage CASE and the final count run over one row per session."""
+    e = _events(spark, sf_dir)
+    per_session = e.groupBy(
+        F.session_window("ts", "1 hour").alias("w"), "user_id"
+    ).agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("tv"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("tc"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("tp"),
+    )
+    stage = (
+        F.when(F.col("tv").isNull(), 0)
+        .when(F.col("tc").isNull() | ~(F.col("tv") < F.col("tc")), 1)
+        .when(F.col("tp").isNull() | ~(F.col("tc") < F.col("tp")), 2)
+        .otherwise(3)
+    )
+    return per_session.select(stage.alias("stage")).groupBy("stage").agg(
+        F.count("*").alias("n_sessions")
+    )
