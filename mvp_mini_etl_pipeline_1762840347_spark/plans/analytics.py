@@ -693,3 +693,83 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nat.select(
         "r_name", "n_name", "revenue", F.round(share, 4).alias("pct_of_region")
     )
+
+
+# ---------------------------------------------------------------------------
+# Forecast revenue change (TPC-H Q6 family)
+# ---------------------------------------------------------------------------
+@query(
+    "forecast_revenue_change",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue_delta,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    GROUP BY ALL
+    """,
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue gained by eliminating small discounts on low-quantity
+    orders in one year (Q6): a pure scan-filter-aggregate -- every
+    predicate pushes into the parquet scan, no join, one partial
+    aggregate, a single row over the final exchange.  The simplest
+    shape in the suite and the purest pushdown test."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue_delta"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Priority shipping distribution (TPC-H Q12 family, adapted)
+# ---------------------------------------------------------------------------
+@query(
+    "priority_shipping_dist",
+    oracle="""
+    SELECT l_linestatus,
+           count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS high_priority_items,
+           count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS low_priority_items
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l_linestatus
+    """,
+)
+def priority_shipping_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Urgent vs non-urgent item counts per line status for one ship
+    year (Q12's conditional-count-over-join shape, keyed on our
+    schema's priority column).  The date range pushes into the
+    lineitem scan before the orderkey shuffle join; the conditional
+    counts fold into one aggregation pass."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_priority_items"),
+            F.count(F.when(~high, 1)).alias("low_priority_items"),
+        )
+    )
