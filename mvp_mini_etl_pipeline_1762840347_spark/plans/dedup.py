@@ -484,3 +484,82 @@ def incremental_lsh_candidates(
         .agg(F.count("*").alias("n_shared_bands"))
     )
     return pairs, new_sigs
+
+
+# ---------------------------------------------------------------------------
+# SimHash Hamming-radius candidates (pigeonhole block join)
+# ---------------------------------------------------------------------------
+_SIMHASH_SQL = rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+      FROM documents
+    ),
+    bits AS (
+      SELECT t.doc_id, b.bitpos,
+             CASE WHEN ((instr('{_HEX}', substring(md5(t.tok), b.bitpos // 4 + 1, 1)) - 1)
+                        // CAST(pow(2, b.bitpos % 4) AS BIGINT)) % 2 = 1
+                  THEN 1 ELSE -1 END AS contrib
+      FROM toks t, (SELECT unnest(range(16)) AS bitpos) b
+    ),
+    votes AS (
+      SELECT doc_id, bitpos, sum(contrib) AS s FROM bits GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           sum(CASE WHEN s > 0 THEN CAST(pow(2, bitpos) AS BIGINT) ELSE 0 END) AS simhash
+    FROM votes GROUP BY doc_id
+"""
+
+HAMMING_RADIUS = 2
+
+
+@query(
+    "dedup_simhash_hamming",
+    oracle=f"""
+    WITH sh AS ({_SIMHASH_SQL})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_RADIUS}
+    """,
+)
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidates within Hamming distance {radius} of the
+    16-bit SimHash, WITHOUT the O(n^2) comparison: the fingerprint is
+    split into 3 blocks (6+5+5 bits); by pigeonhole, any pair within
+    distance 2 agrees exactly on at least one block, so candidates
+    come from 3 equi-joins on (block_id, block_value) -- the
+    multi-table LSH trick applied to Hamming space.  Exact distance
+    then filters the small candidate set.  The oracle brute-forces
+    all pairs (fine at test scale) proving the blocked join loses
+    nothing."""
+    sh = dedup_simhash(spark, sf_dir)
+    blocks = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("bid"), F.shiftright("simhash", 10).alias("bval")),
+                F.struct(F.lit(1).alias("bid"), (F.shiftright("simhash", 5) % 32).alias("bval")),
+                F.struct(F.lit(2).alias("bid"), (F.col("simhash") % 32).alias("bval")),
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", F.col("b.bid").alias("bid"), F.col("b.bval").alias("bval"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.bid") == F.col("b.bid"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAMMING_RADIUS)
+        .distinct()
+    )

@@ -291,3 +291,24 @@ def anomaly_stream(events: DataFrame) -> DataFrame:
     return events.groupBy("event_type").applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def sliding_counts_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked sliding windows (1 h window, 30 min slide), the
+    streaming twin of plans/events.events_sliding -- same window
+    expression, so backfill and live agree; each event contributes to
+    exactly two windows and state is bounded by the watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

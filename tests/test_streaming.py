@@ -171,3 +171,24 @@ def test_anomaly_stream_matches_batch(spark, sf_dir, events_dir):
         for r in plans.QUERIES["events_anomaly_online"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_sliding_stream_matches_batch(spark, sf_dir, events_dir):
+    ev = jobs.stream_events(spark, events_dir)
+    q = jobs.run_to_memory(
+        jobs.sliding_counts_stream(ev), "sliding_out", output_mode="append"
+    )
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM sliding_out").collect()
+    }
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in plans.QUERIES["events_sliding"](spark, sf_dir).collect()
+    }
+    # append mode emits only watermark-closed windows; each emitted
+    # window must match the batch result exactly, and most must emit
+    assert got
+    for k, v in got.items():
+        assert batch[k] == v
+    assert len(got) >= len(batch) - 4  # at most the tail windows open
