@@ -773,3 +773,34 @@ def priority_shipping_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(~high, 1)).alias("low_priority_items"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted statistics (quantity-weighted pricing)
+# ---------------------------------------------------------------------------
+@query(
+    "weighted_price_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
+             AS qty_weighted_price,
+           round(avg(l_extendedprice), 4) AS unweighted_avg_price,
+           round(sum(l_quantity), 2)      AS total_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def weighted_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted average price per return flag vs the
+    unweighted mean -- weighted aggregates decompose into plain sums
+    (sum(x*w)/sum(w)), so they partial-aggregate map-side like any
+    sum; no special aggregate needed at any scale."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+            / F.sum("l_quantity"),
+            4,
+        ).alias("qty_weighted_price"),
+        F.round(F.avg("l_extendedprice"), 4).alias("unweighted_avg_price"),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+    )

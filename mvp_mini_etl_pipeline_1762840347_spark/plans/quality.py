@@ -192,3 +192,44 @@ def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("user_id").isNull(), 1)).alias("n_violations"),
     )
     return pk.unionByName(fk).unionByName(rng).unionByName(nn)
+
+
+# ---------------------------------------------------------------------------
+# Systematic (every-Nth) sampling
+# ---------------------------------------------------------------------------
+@query(
+    "sample_systematic",
+    oracle="""
+    WITH numbered AS (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (ORDER BY doc_id) AS rn
+      FROM documents
+    )
+    SELECT lang, count(*) AS n_docs, round(avg(n_chars), 2) AS avg_chars
+    FROM numbered WHERE rn % 20 = 0
+    GROUP BY lang
+    """,
+)
+def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic 1-in-20 sampling over the key order: row_number on
+    the unique key, keep every 20th.  Deterministic like the hash
+    split, but PERIODIC -- the right tool when coverage across the
+    key range matters more than per-row independence (e.g. sampling a
+    time-ordered table evenly).  The global row_number serializes on
+    one reducer, so at 100 TB the same effect comes from
+    `pmod(doc_id, 20) = 0` when keys are dense, or per-partition
+    systematic sampling; the oracle-checked form documents the
+    semantics."""
+    from pyspark.sql.window import Window as W
+
+    d = read_table(spark, sf_dir, "documents")
+    rn = F.row_number().over(W.orderBy("doc_id"))
+    return (
+        d.select("doc_id", "lang", "n_chars", rn.alias("rn"))
+        .filter(F.col("rn") % 20 == 0)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+    )
