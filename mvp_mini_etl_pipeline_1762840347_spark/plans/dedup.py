@@ -280,7 +280,7 @@ _HEX = "0123456789abcdef"
       SELECT doc_id, bitpos, sum(contrib) AS s FROM bits GROUP BY 1, 2
     )
     SELECT doc_id,
-           sum(CASE WHEN s > 0 THEN CAST(pow(2, bitpos) AS BIGINT) ELSE 0 END) AS simhash
+           CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, bitpos) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
     FROM votes GROUP BY doc_id
     """,
 )
@@ -505,7 +505,7 @@ _SIMHASH_SQL = rf"""
       SELECT doc_id, bitpos, sum(contrib) AS s FROM bits GROUP BY 1, 2
     )
     SELECT doc_id,
-           sum(CASE WHEN s > 0 THEN CAST(pow(2, bitpos) AS BIGINT) ELSE 0 END) AS simhash
+           CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, bitpos) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
     FROM votes GROUP BY doc_id
 """
 
