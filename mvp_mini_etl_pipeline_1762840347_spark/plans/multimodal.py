@@ -58,14 +58,17 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def multimodal_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic slice of the mapInPandas feature pipeline
-    (byte counts + sha256 content ids), value-checked against DuckDB's
-    sha256 -- proving the Arrow batch path computes exactly what a SQL
-    engine would, row for row.  The fake feature vectors stay under
-    the rows-only twin below (no SQL equivalent by construction)."""
+    """Byte counts + sha256 content ids over binary media columns,
+    computed entirely JVM-side (`F.sha2` / `F.length`): codegen'd,
+    no Python in the plan.  The Arrow/mapInPandas plumbing is
+    exercised (and value-checked) by multimodal_features instead,
+    where no builtin exists for the feature step."""
     media = fake_media_from_documents(read_table(spark, sf_dir, "documents"))
-    return extract_features(media).select(
-        "media_id", "kind", "n_bytes", "content_sha"
+    return media.select(
+        "media_id",
+        "kind",
+        F.length("content").cast("long").alias("n_bytes"),
+        F.lower(F.sha2("content", 256)).alias("content_sha"),
     )
 
 
@@ -94,12 +97,32 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Arrow-batched feature extraction (rows-only: mapInPandas, not SQL)
 # ---------------------------------------------------------------------------
-@query("multimodal_features")  # no oracle: Pandas-UDF pipeline, non-SQL
+@query(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id                          AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END           AS kind,
+           octet_length(encode(text))      AS n_bytes,
+           sha256(text)                    AS content_sha,
+           round((16.0 * (instr('0123456789abcdef',
+                                substring(sha256(text), 1, 1)) - 1)
+                  + (instr('0123456789abcdef',
+                           substring(sha256(text), 2, 1)) - 1)) / 255.0,
+                 4)                        AS f0
+    FROM documents
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction through the mapInPandas plumbing: sha256
     content ids + deterministic fake feature vectors.  Exercises the
     real Arrow batch path end-to-end; deterministic output regardless
-    of partitioning."""
+    of partitioning.  The fake features are sha-derived, so the first
+    component f0 (= sha byte0 / 255) is oracle-checkable: the SQL twin
+    recomputes it from the hex digest, value-proving the Arrow path.
+    (b/255 can only land on an exact 4-decimal boundary at b in
+    {0,51,...,255} -- clean one-decimal values -- so float32 transport
+    of the feature cannot flip the rounding.)"""
     media = fake_media_from_documents(read_table(spark, sf_dir, "documents"))
     feats = extract_features(media)
     return feats.select(

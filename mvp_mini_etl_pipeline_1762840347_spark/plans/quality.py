@@ -200,33 +200,24 @@ def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sample_systematic",
     oracle="""
-    WITH numbered AS (
-      SELECT doc_id, lang, n_chars,
-             row_number() OVER (ORDER BY doc_id) AS rn
-      FROM documents
-    )
     SELECT lang, count(*) AS n_docs, round(avg(n_chars), 2) AS avg_chars
-    FROM numbered WHERE rn % 20 = 0
+    FROM documents WHERE doc_id % 20 = 0
     GROUP BY lang
     """,
 )
 def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Systematic 1-in-20 sampling over the key order: row_number on
-    the unique key, keep every 20th.  Deterministic like the hash
-    split, but PERIODIC -- the right tool when coverage across the
-    key range matters more than per-row independence (e.g. sampling a
-    time-ordered table evenly).  The global row_number serializes on
-    one reducer, so at 100 TB the same effect comes from
-    `pmod(doc_id, 20) = 0` when keys are dense, or per-partition
-    systematic sampling; the oracle-checked form documents the
-    semantics."""
-    from pyspark.sql.window import Window as W
-
+    """Systematic 1-in-20 sampling over the key order: keep every row
+    whose dense unique key is ≡ 0 (mod 20).  Deterministic like the
+    hash split, but PERIODIC -- the right tool when coverage across
+    the key range matters more than per-row independence (e.g.
+    sampling a time-ordered table evenly).  `pmod(key, 20)` is a
+    narrow, pushdown-friendly filter -- no global row_number, no
+    single-reducer window, so the plan is identical at 100 TB.  For
+    sparse keys, substitute per-partition systematic sampling
+    (row_number over a partitioned window) to keep the period exact."""
     d = read_table(spark, sf_dir, "documents")
-    rn = F.row_number().over(W.orderBy("doc_id"))
     return (
-        d.select("doc_id", "lang", "n_chars", rn.alias("rn"))
-        .filter(F.col("rn") % 20 == 0)
+        d.filter(F.pmod(F.col("doc_id"), F.lit(20)) == 0)
         .groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),

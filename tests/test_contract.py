@@ -19,11 +19,12 @@ def test_oracle_keys_subset_of_queries():
 
 
 def test_rows_only_queries_are_known():
-    """Every query without an oracle is a deliberate, documented
-    exception (non-SQL-expressible), not an accident."""
+    """Every registered query carries an oracle (multimodal_features
+    gained one via its sha-derived f0 column in round 2 -- the
+    registry has no rows-only entries left)."""
     q, o = entrymod.queries(), entrymod.oracle_sql()
     rows_only = set(q) - set(o)
-    assert rows_only == {"multimodal_features"}, rows_only
+    assert rows_only == set(), rows_only
 
 
 def test_query_names_are_snake_case():

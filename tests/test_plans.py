@@ -15,7 +15,7 @@ SF = "/root/testdata/sf0.001"
 
 # Queries allowed to run Python (the sanctioned Arrow escape hatch
 # for the multimodal decode plumbing).
-ARROW_ALLOWED = {"multimodal_features", "multimodal_checksums"}
+ARROW_ALLOWED = {"multimodal_features"}
 
 
 def _plan(spark, name: str) -> str:
@@ -44,6 +44,23 @@ def test_no_row_at_a_time_python_anywhere(spark):
         if name not in ARROW_ALLOWED:
             for marker in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
                 assert marker not in plan, f"{name} unexpectedly runs Python ({marker})"
+
+
+def test_systematic_sample_has_no_global_window(spark):
+    """sample_systematic must stay a narrow modulo filter: no Window
+    node and no single-partition Exchange (the former global
+    row_number serialized the table through one reducer)."""
+    plan = _plan(spark, "sample_systematic")
+    assert "Window" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_multimodal_checksums_stays_jvm_side(spark):
+    """sha256 checksums must run as codegen'd F.sha2, never through
+    the Python/Arrow path (that path lives in multimodal_features)."""
+    plan = _plan(spark, "multimodal_checksums")
+    for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan, plan
 
 
 def test_predicate_pushdown_reaches_scan(spark):
