@@ -15,18 +15,33 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def js_truthy(c: Column) -> Column:
-    """JS truthiness for string/numeric/boolean columns.
+def js_truthy(c: Column, kind: str = "coerced") -> Column:
+    """JS truthiness (``Boolean(x)``): NULL/''/0/NaN/false -> false.
 
-    NULL -> false, '' -> false, 0 -> false, false -> false, else true.
-    Matches e.g. the ``user.valid && user.email`` filter
-    (reference src/lib/users.js:67).
+    A bare Column carries no schema, so the caller names the type
+    family (matches e.g. the ``user.valid && user.email`` filter,
+    reference src/lib/users.js:67):
+
+    - ``"string"``:  only NULL and '' are falsy (JS treats the
+      strings '0' and 'false' as TRUE).
+    - ``"numeric"``: 0, -0, NaN and NULL are falsy.
+    - ``"boolean"``: the value itself, NULL -> false.
+    - ``"coerced"`` (default): cross-type form comparing the string
+      rendering against ''/'0'/'false'.  Exact for string, boolean
+      and integer columns; NOT for fractional numerics (0.0 renders
+      as '0.0', NaN as 'NaN') -- pass kind="numeric" for those.
     """
-    # Compare against the column's own type: cast through string for ''
-    # and rely on Spark's numeric/boolean equality for 0/false.
-    return c.isNotNull() & (c.cast("string") != "") & (c.cast("string") != "0") & (
-        c.cast("string") != "false"
-    )
+    if kind == "string":
+        return c.isNotNull() & (c != "")
+    if kind == "numeric":
+        d = c.cast("double")
+        return c.isNotNull() & ~F.isnan(d) & (d != 0)
+    if kind == "boolean":
+        return F.coalesce(c, F.lit(False))
+    if kind == "coerced":
+        s = c.cast("string")
+        return c.isNotNull() & (s != "") & (s != "0") & (s != "false")
+    raise ValueError(f"js_truthy: unknown kind {kind!r}")
 
 
 def js_str_or(c: Column, fallback: Column) -> Column:
@@ -38,9 +53,9 @@ def js_str_or(c: Column, fallback: Column) -> Column:
     return F.when(c.isNotNull() & (c != ""), c).otherwise(fallback)
 
 
-def js_or(c: Column, fallback: Column) -> Column:
+def js_or(c: Column, fallback: Column, kind: str = "coerced") -> Column:
     """General ``a || b``: any JS-falsy value of ``c`` yields ``fallback``."""
-    return F.when(js_truthy(c), c).otherwise(fallback)
+    return F.when(js_truthy(c, kind), c).otherwise(fallback)
 
 
 def full_name(first: Column, last: Column) -> Column:

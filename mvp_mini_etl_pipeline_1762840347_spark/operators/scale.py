@@ -39,7 +39,17 @@ def salted_join(
     plans are replayable.  Use when AQE's skew-join split can't help
     (e.g. the skew is in a join feeding an aggregation that must not
     be split).  Result == plain join, verified by test_scale.py.
+
+    Only inner/left joins are supported: the small side is replicated
+    n_salts times, so a right/full outer join would emit every
+    unmatched small-side row once per salt replica.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got {how!r}: "
+            "the replicated small side would duplicate unmatched rows "
+            "under right/full outer semantics"
+        )
     salt = (F.pmod(F.xxhash64(*big.columns), F.lit(n_salts))).cast("int")
     b = big.withColumn("__salt", salt)
     s = small.withColumn(

@@ -1,0 +1,131 @@
+"""Transactional-table stand-in: snapshot directories + an atomic
+current-pointer file (SURVEY §2.8 ST3 restart semantics, ROADMAP
+"plain parquet, no table format").
+
+This is the minimal slice of what Delta/Iceberg provide that the
+merge operators need: writers never mutate a live directory -- each
+commit lands a fresh ``snapshot-N`` parquet directory and then swaps
+a one-line pointer file via atomic rename, so readers always see a
+complete snapshot (snapshot isolation), a crashed write leaves the
+table untouched (write atomicity), re-running a merge is idempotent
+(same inputs -> same next snapshot content), and any past snapshot
+can be restored by pointer rewrite (time travel / rollback).
+
+Deploy mapping (documented, not stubbed): on a real lakehouse each
+``commit`` is ``MERGE INTO target USING updates ON t.key = u.key
+WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *``
+(Delta/Iceberg), and ``restore`` is ``RESTORE TABLE t TO VERSION AS
+OF n`` -- the join plan produced by ``operators.scale.merge_upsert``
+is exactly the join those engines run under the hood.  The pointer
+file here plays the role of the Delta transaction log's latest
+commit / Iceberg's table metadata pointer.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .scale import merge_upsert
+
+_POINTER = "_CURRENT"
+
+
+class SnapshotTable:
+    """A parquet table with snapshot-isolated commits.
+
+    Layout::
+
+        <root>/_CURRENT          one line: the live snapshot name
+        <root>/snapshot-0/...    immutable parquet directories
+        <root>/snapshot-1/...
+    """
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- pointer plumbing ---------------------------------------------------
+    def _pointer_path(self) -> str:
+        return os.path.join(self.root, _POINTER)
+
+    def current_snapshot(self) -> str | None:
+        try:
+            with open(self._pointer_path()) as f:
+                return f.read().strip() or None
+        except FileNotFoundError:
+            return None
+
+    def snapshots(self) -> list[str]:
+        """All landed snapshot names, oldest first."""
+        names = [
+            n
+            for n in os.listdir(self.root)
+            if n.startswith("snapshot-") and n.split("-", 1)[1].isdigit()
+        ]
+        return sorted(names, key=lambda n: int(n.split("-", 1)[1]))
+
+    def _swap_pointer(self, snapshot: str) -> None:
+        # POSIX rename is atomic within a directory: readers see either
+        # the old pointer or the new one, never a partial write.  (On a
+        # real object store this is the transaction-log append.)
+        fd, tmp = tempfile.mkstemp(dir=self.root, prefix="._ptr_")
+        with os.fdopen(fd, "w") as f:
+            f.write(snapshot + "\n")
+        os.replace(tmp, self._pointer_path())
+
+    # -- table operations ---------------------------------------------------
+    def read(self) -> DataFrame:
+        """The live snapshot as a DataFrame (errors if never written)."""
+        cur = self.current_snapshot()
+        if cur is None:
+            raise FileNotFoundError(f"snapshot table {self.root} has no commits")
+        return self.spark.read.parquet(os.path.join(self.root, cur))
+
+    def read_version(self, n: int) -> DataFrame:
+        """Time travel: read snapshot n regardless of the pointer."""
+        return self.spark.read.parquet(os.path.join(self.root, f"snapshot-{n}"))
+
+    def commit(self, df: DataFrame) -> str:
+        """Land `df` as the next snapshot and swap the pointer.
+        The write happens BEFORE the swap: a failure mid-write leaves
+        the previous snapshot live and the half-written directory
+        unreferenced (garbage, not corruption)."""
+        snaps = self.snapshots()
+        nxt = f"snapshot-{int(snaps[-1].split('-', 1)[1]) + 1 if snaps else 0}"
+        df.write.mode("overwrite").parquet(os.path.join(self.root, nxt))
+        self._swap_pointer(nxt)
+        return nxt
+
+    def merge(self, updates: DataFrame, key: str) -> str:
+        """MERGE INTO: matched keys update, unmatched insert -- the
+        merge_upsert full-outer-join plan committed as a new snapshot.
+        Maps 1:1 to Delta/Iceberg ``MERGE INTO`` at deploy (module
+        docstring); re-running with the same updates produces an
+        identical snapshot (idempotent restart, ST3)."""
+        return self.commit(merge_upsert(self.read(), updates, key))
+
+    def restore(self, n: int) -> None:
+        """Rollback: point the table back at snapshot n (RESTORE TABLE
+        ... VERSION AS OF n).  Later snapshots stay on disk for audit
+        until vacuumed."""
+        name = f"snapshot-{n}"
+        if name not in self.snapshots():
+            raise FileNotFoundError(f"{name} does not exist under {self.root}")
+        self._swap_pointer(name)
+
+    def vacuum(self, keep_last: int = 2) -> list[str]:
+        """Drop all but the newest `keep_last` snapshots (never the
+        live one).  Returns the removed names."""
+        import shutil
+
+        live = self.current_snapshot()
+        removable = [
+            n for n in self.snapshots()[:-keep_last] if n != live
+        ]
+        for n in removable:
+            shutil.rmtree(os.path.join(self.root, n))
+        return removable

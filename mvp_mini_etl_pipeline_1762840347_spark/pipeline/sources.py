@@ -216,6 +216,123 @@ def load_users(
         return ExtractResult(fallback_users_df(spark), True, src, _now_iso())
 
 
+# ---------------------------------------------------------------------------
+# Launches source (S2 multi-endpoint scan -> S4 static fallback)
+# ---------------------------------------------------------------------------
+SPACEX_API_ENV = "SPACEX_API_URL"
+SPACEX_API_DEFAULT = "https://api.spacexdata.com/v5"
+
+# Raw launch shape as the reference's fallbackLaunches() emits it
+# (spacex.js:82-115): rocket/launchpad are display strings, payloads
+# an empty id list -- the enrichment joins (J1-J3) upgrade these to
+# structs when dimension data is available.
+RAW_LAUNCH_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("date_utc", T.StringType()),
+        T.StructField("success", T.BooleanType()),
+        T.StructField("upcoming", T.BooleanType()),
+        T.StructField("rocket", T.StringType()),
+        T.StructField("launchpad", T.StringType()),
+        T.StructField("payloads", T.ArrayType(T.StringType())),
+        T.StructField("ingest_idx", T.LongType()),
+    ]
+)
+
+# S4: the reference's 3 demo launches (spacex.js:82-115) -- the
+# de-facto fixtures for P4/P5 truthy filters and P8 CASE status.
+FALLBACK_LAUNCHES = [
+    ("demo-1", "Demo Mission Alpha", "2025-01-12T14:30:00.000Z",
+     True, False, "Falcon 9", "LC-39A"),
+    ("demo-2", "Demo Mission Beta", "2025-02-02T09:45:00.000Z",
+     False, False, "Falcon 9", "SLC-40"),
+    ("demo-3", "Demo Mission Gamma", "2025-03-05T18:00:00.000Z",
+     False, True, "Starship", "Starbase"),
+]
+
+
+def fallback_launches_df(spark: SparkSession) -> DataFrame:
+    """S4: static demo launches in the raw source shape."""
+    rows = [
+        {
+            "id": lid,
+            "name": name,
+            "date_utc": date_utc,
+            "success": success,
+            "upcoming": upcoming,
+            "rocket": rocket,
+            "launchpad": launchpad,
+            "payloads": [],
+            "ingest_idx": i,
+        }
+        for i, (lid, name, date_utc, success, upcoming, rocket, launchpad)
+        in enumerate(FALLBACK_LAUNCHES)
+    ]
+    return spark.createDataFrame(rows, schema=RAW_LAUNCH_SCHEMA)
+
+
+def build_launch_metrics(launches: DataFrame) -> dict:
+    """Launch metrics record (reference spacex.js:67-80 buildMetrics):
+    one aggregate pass -- total/success/upcoming counts and the last
+    mission by explicit ingest order ('N/A' on empty input).  The
+    reference's hard-coded duration_sec:95 is NOT reproduced; callers
+    measure real durations (see runner.py)."""
+    row = (
+        launches.agg(
+            F.count("*").alias("rows_in"),
+            F.count(F.when(F.col("success"), 1)).alias("rows_out"),
+            F.count(F.when(F.col("upcoming"), 1)).alias("upcoming"),
+            F.max_by("name", "ingest_idx").alias("last_mission"),
+        )
+        .collect()[0]
+        .asDict()
+    )
+    row["dedup_removed"] = row["rows_in"] - row["rows_out"]
+    row["last_mission"] = row["last_mission"] or "N/A"
+    return row
+
+
+def load_launches(
+    spark: SparkSession, base_url: str | None = None, timeout: float = 10.0
+) -> ExtractResult:
+    """S2+S4+S7: multi-endpoint fail-soft scan with static failover.
+
+    Mirrors the reference flow (spacex.js:1-65): past + upcoming
+    launches fetched fail-soft (each endpoint independently falls back
+    to []), concatenated in source order; zero combined rows triggers
+    the S4 demo dataset, with provenance recorded either way."""
+    base = base_url or os.environ.get(SPACEX_API_ENV) or SPACEX_API_DEFAULT
+    rows: list[dict] = []
+    for endpoint in ("launches/past", "launches/upcoming"):
+        try:
+            payload = _fetch_json(f"{base}/{endpoint}", timeout)
+            if isinstance(payload, list):
+                rows.extend(payload)
+        except Exception:
+            pass  # S2: per-endpoint fail-soft
+    if rows:
+        launches = spark.createDataFrame(
+            [
+                {
+                    "id": r.get("id"),
+                    "name": r.get("name"),
+                    "date_utc": r.get("date_utc"),
+                    "success": r.get("success"),
+                    "upcoming": r.get("upcoming"),
+                    "rocket": r.get("rocket"),
+                    "launchpad": r.get("launchpad"),
+                    "payloads": r.get("payloads") or [],
+                    "ingest_idx": i,
+                }
+                for i, r in enumerate(rows)
+            ],
+            schema=RAW_LAUNCH_SCHEMA,
+        )
+        return ExtractResult(launches, False, base, _now_iso())
+    return ExtractResult(fallback_launches_df(spark), True, base, _now_iso())
+
+
 def load_json_sources_failsoft(
     spark: SparkSession, urls: dict[str, str], timeout: float = 10.0
 ) -> dict[str, DataFrame]:

@@ -41,32 +41,32 @@ def connected_components(edges: DataFrame, src: str, dst: str) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    # Convergence is checked every CHECK_EVERY rounds: the check is a
-    # join + count ACTION, and near-dup component diameters are small,
-    # so halving the number of driver-side actions beats detecting
-    # convergence one round earlier.
-    check_every = 2
-    for it in range(MAX_ITERS):
+    # The convergence probe is FUSED into each round: the node's
+    # previous label rides through the min-aggregation as a second
+    # column (max over exactly-one-non-null), so "did anything
+    # change" is a filter+count over the freshly checkpointed round
+    # output -- no separate join action, and convergence is detected
+    # the round it happens.
+    label_type = dict(labels.dtypes)["label"]
+    for _ in range(MAX_ITERS):
         neighbor_labels = both.join(
             labels, both.b == labels.node, "inner"
-        ).select(F.col("a").alias("node"), "label")
+        ).select(
+            F.col("a").alias("node"),
+            "label",
+            F.lit(None).cast(label_type).alias("old"),
+        )
         new_labels = (
-            labels.unionByName(neighbor_labels)
+            labels.select("node", "label", F.col("label").alias("old"))
+            .unionByName(neighbor_labels)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("label"), F.max("old").alias("old"))
             .localCheckpoint()
         )
-        if (it + 1) % check_every == 0 or it == MAX_ITERS - 1:
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
-            if changed == 0:
-                labels = new_labels
-                break
-        labels = new_labels
+        changed = new_labels.filter(F.col("label") != F.col("old")).count()
+        labels = new_labels.drop("old")
+        if changed == 0:
+            break
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 

@@ -369,7 +369,8 @@ def scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(month(o_orderdate) AS INTEGER) AS order_month,
            strftime(o_orderdate, '%Y-%m')      AS order_ym,
            epoch_ms(o_orderdate)               AS epoch_millis,
-           date_trunc('month', o_orderdate)    AS month_start
+           date_trunc('month', o_orderdate)    AS month_start,
+           strftime(o_orderdate, '%-m/%-d/%Y, %-I:%M:%S %p') AS locale_display
     FROM orders
     """,
 )
@@ -388,6 +389,11 @@ def datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # DuckDB's UTC-naive timestamps.
         F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("epoch_millis"),
         F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        # F4: new Date(d).toLocaleString() en-US display form
+        # (reference pages/analytics.js:32) = 'M/d/yyyy, h:mm:ss a'.
+        F.date_format("o_orderdate", "M/d/yyyy, h:mm:ss a").alias(
+            "locale_display"
+        ),
     )
 
 

@@ -224,3 +224,51 @@ def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("n_chars"), 2).alias("avg_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Stratified exact-quota sampling (per-group)
+# ---------------------------------------------------------------------------
+_STRATA_QUOTA = 25
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents
+    )
+    SELECT lang,
+           count(*)                 AS n_sampled,
+           round(avg(n_chars), 2)   AS avg_chars,
+           max(doc_id)              AS max_doc_id
+    FROM ranked WHERE rn <= {_STRATA_QUOTA}
+    GROUP BY lang
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with an EXACT per-group quota: the first
+    {quota} docs of every language by key order.  Unlike the hash and
+    modulo samplers (proportional, approximate per-group counts),
+    this guarantees every stratum its quota -- the training-mix
+    builder's tool when low-resource languages must not be diluted
+    away.  The window is PARTITIONED by the stratum, so each group
+    sorts independently in its own reducer -- per-group top-k, never
+    a global sort; with a heavily skewed stratum, pre-filter by a
+    key-range guess or sample within the partition first."""
+    d = read_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window as W
+
+    rn = F.row_number().over(W.partitionBy("lang").orderBy("doc_id"))
+    return (
+        d.select("doc_id", "lang", "n_chars", rn.alias("rn"))
+        .filter(F.col("rn") <= _STRATA_QUOTA)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )

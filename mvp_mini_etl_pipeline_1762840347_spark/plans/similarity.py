@@ -425,6 +425,66 @@ _RECOMPUTE_SQL = """
 """
 
 
+def _km_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("e")
+    )
+
+
+def _km_seed(vectors: DataFrame) -> DataFrame:
+    """Deterministic seeds: the first K vectors by key."""
+    return vectors.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+
+
+def _km_assign(
+    vectors: DataFrame, centroids: DataFrame, extra: tuple[str, ...] = ()
+) -> DataFrame:
+    """Nearest-centroid assignment as a broadcast-array argmax: the K
+    centroids collapse to one array row, broadcast against the corpus,
+    and each vector ranks them locally -- a narrow map, zero shuffle.
+    Similarities round to 4 with cid tiebreak so both engines pick
+    identical winners.  ``extra`` columns of ``vectors`` ride along
+    (the convergence loop carries the previous assignment this way)."""
+    cents = centroids.select(
+        F.struct(F.col("cid"), F.col("ce")).alias("c")
+    ).agg(F.array_sort(F.collect_list("c")).alias("cents"))
+    ranked = F.array_sort(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                (-F.round(cosine(F.col("e"), c["ce"]), 4)).alias("neg_sim"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )
+    return vectors.join(F.broadcast(cents)).select(
+        "vec_id", "e", *extra, F.element_at(ranked, 1)["cid"].alias("cluster")
+    )
+
+
+def _km_recompute(assigned: DataFrame) -> DataFrame:
+    """Centroid recompute as posexplode -> (cluster, dim) aggregation:
+    the shuffle carries K x DIMS partial means, never whole vectors.
+    Components round to 6 so both engines iterate on identical
+    doubles."""
+    per_dim = (
+        assigned.select("cluster", F.posexplode("e").alias("pos", "val"))
+        .groupBy("cluster", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("cv"))
+    )
+    return (
+        per_dim.groupBy(F.col("cluster").alias("cid"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                lambda s: s["cv"],
+            ).alias("ce")
+        )
+    )
+
+
 @query(
     "kmeans_2iter",
     oracle=f"""
@@ -452,50 +512,73 @@ def kmeans_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     with cid tiebreak, recomputed centroid components round to 6 so
     both engines iterate on identical doubles.  The DuckDB oracle
     unrolls the same two iterations in SQL."""
-    v = read_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _as_double(F.col("embedding")).alias("e")
-    )
-
-    def assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
-        cents = centroids.select(
-            F.struct(F.col("cid"), F.col("ce")).alias("c")
-        ).agg(F.array_sort(F.collect_list("c")).alias("cents"))
-        ranked = F.array_sort(
-            F.transform(
-                F.col("cents"),
-                lambda c: F.struct(
-                    (-F.round(cosine(F.col("e"), c["ce"]), 4)).alias("neg_sim"),
-                    c["cid"].alias("cid"),
-                ),
-            )
-        )
-        return vectors.join(F.broadcast(cents)).select(
-            "vec_id", "e", F.element_at(ranked, 1)["cid"].alias("cluster")
-        )
-
-    def recompute(assigned: DataFrame) -> DataFrame:
-        per_dim = (
-            assigned.select("cluster", F.posexplode("e").alias("pos", "val"))
-            .groupBy("cluster", "pos")
-            .agg(F.round(F.avg("val"), 6).alias("cv"))
-        )
-        return (
-            per_dim.groupBy(F.col("cluster").alias("cid"))
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "cv"))),
-                    lambda s: s["cv"],
-                ).alias("ce")
-            )
-        )
-
-    cent0 = v.filter(F.col("vec_id") < _KM_K).select(
-        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
-    )
-    a1 = assign(v, cent0)
-    cent1 = recompute(a1)
-    a2 = assign(v, cent1)
+    v = _km_vectors(spark, sf_dir)
+    a1 = _km_assign(v, _km_seed(v))
+    cent1 = _km_recompute(a1)
+    a2 = _km_assign(v, cent1)
     return a2.groupBy(F.col("cluster").alias("cluster_id")).agg(
+        F.count("*").alias("n_vectors")
+    )
+
+
+# ---------------------------------------------------------------------------
+# K-means, convergence-looped (until-stable assign/recompute)
+# ---------------------------------------------------------------------------
+_KM_MAX_ITERS = 8
+
+
+def _km_unrolled_oracle(n_iters: int) -> str:
+    """Oracle twin of the convergence loop: n_iters assign/recompute
+    rounds unrolled as a CTE chain.  The Spark side stops early only
+    at a genuine fixed point (assignments unchanged), where further
+    unrolled rounds are identity -- so both forms agree whether or not
+    the loop converges before the cap."""
+    cos = _COS_SQL.format(a="v.e", b="c.ce")
+    ctes = [
+        "v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+        f"cent0 AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {_KM_K})",
+    ]
+    for i in range(1, n_iters + 1):
+        ctes.append(
+            f"a{i} AS ({_ASSIGN_SQL.format(cos=cos, vtab='v', ctab=f'cent{i - 1}')})"
+        )
+        if i < n_iters:
+            ctes.append(f"cent{i} AS ({_RECOMPUTE_SQL.format(atab=f'a{i}')})")
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"""
+    SELECT cluster AS cluster_id, count(*) AS n_vectors
+    FROM a{n_iters} GROUP BY cluster
+    """
+    )
+
+
+@query("kmeans_converged", oracle=_km_unrolled_oracle(_KM_MAX_ITERS))
+def kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means looped until the assignment is stable (or _KM_MAX_ITERS
+    rounds), reusing the 2-iter query's assign/recompute plan shapes
+    and connected_components' driver-loop pattern (plans/graph.py:49):
+    localCheckpoint each round truncates lineage so the plan never
+    grows, and the convergence probe is a keyed join + count -- a
+    bounded action, not a data collect.  At 100 TB the probe joins two
+    (vec_id, cluster) projections: shuffle-light, and worth checking
+    every round here since a k-means round (K x DIMS recompute + full
+    re-assign) costs far more than the probe."""
+    v = _km_vectors(spark, sf_dir).localCheckpoint()
+    assigned = _km_assign(v, _km_seed(v)).localCheckpoint()
+    for _ in range(1, _KM_MAX_ITERS):
+        # Re-assign with the previous cluster riding along: the
+        # convergence probe is then a filter+count over the freshly
+        # checkpointed partitions -- no join, no extra shuffle.
+        prev = assigned.withColumnRenamed("cluster", "prev")
+        nxt = _km_assign(
+            prev, _km_recompute(assigned), extra=("prev",)
+        ).localCheckpoint()
+        changed = nxt.filter(F.col("cluster") != F.col("prev")).count()
+        assigned = nxt.drop("prev")
+        if changed == 0:
+            break
+    return assigned.groupBy(F.col("cluster").alias("cluster_id")).agg(
         F.count("*").alias("n_vectors")
     )
 

@@ -69,3 +69,22 @@ def test_url_hostname_with_fallback(spark):
     rows = [("https://api.example.com/path",), ("not a url",)]
     out = _vals(spark, url_hostname(F.col("a")), rows, "a string")
     assert out == ["api.example.com", "not a url"]
+
+
+def test_js_truthy_numeric_kind(spark):
+    rows = [(0.0,), (-0.0,), (float("nan"),), (None,), (0.5,), (-3.0,)]
+    out = _vals(spark, js_truthy(F.col("a"), kind="numeric"), rows, "a double")
+    assert out == [False, False, False, False, True, True]
+
+
+def test_js_truthy_string_kind_matches_js(spark):
+    # JS Boolean('0') and Boolean('false') are TRUE -- only '' is falsy.
+    rows = [("",), (None,), ("0",), ("false",), ("x",)]
+    out = _vals(spark, js_truthy(F.col("a"), kind="string"), rows, "a string")
+    assert out == [False, False, True, True, True]
+
+
+def test_js_truthy_boolean_kind(spark):
+    rows = [(True,), (False,), (None,)]
+    out = _vals(spark, js_truthy(F.col("a"), kind="boolean"), rows, "a boolean")
+    assert out == [True, False, False]

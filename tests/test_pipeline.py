@@ -72,3 +72,45 @@ def test_preview_json(spark):
     previews = preview_json(fallback_users_df(spark), n=2)
     assert len(previews) == 2
     assert '"name":"John Doe"' in previews[0]
+
+
+# ---------------------------------------------------------------------------
+# S4: launches failover chain (reference spacex.js:51-65,82-115)
+# ---------------------------------------------------------------------------
+def test_launches_fallback_golden(spark):
+    from mvp_mini_etl_pipeline_1762840347_spark.pipeline.sources import (
+        build_launch_metrics,
+        fallback_launches_df,
+        load_launches,
+    )
+
+    # Unreachable base URL -> both endpoints fail soft -> S4 fallback.
+    ext = load_launches(spark, base_url="http://127.0.0.1:1/nope", timeout=0.2)
+    assert ext.fallback_used is True
+    rows = ext.df.orderBy("ingest_idx").collect()
+    assert [r.name for r in rows] == [
+        "Demo Mission Alpha", "Demo Mission Beta", "Demo Mission Gamma",
+    ]
+    assert [r.success for r in rows] == [True, False, False]
+    assert [r.upcoming for r in rows] == [False, False, True]
+    assert all(r.payloads == [] for r in rows)
+
+    # buildMetrics golden values over the demo rows (spacex.js:67-80).
+    m = build_launch_metrics(fallback_launches_df(spark))
+    assert m["rows_in"] == 3
+    assert m["rows_out"] == 1          # only Alpha succeeded
+    assert m["dedup_removed"] == 2
+    assert m["upcoming"] == 1
+    assert m["last_mission"] == "Demo Mission Gamma"
+
+
+def test_launch_metrics_empty_input(spark):
+    from mvp_mini_etl_pipeline_1762840347_spark.pipeline.sources import (
+        build_launch_metrics,
+        fallback_launches_df,
+    )
+
+    empty = fallback_launches_df(spark).filter("ingest_idx < 0")
+    m = build_launch_metrics(empty)
+    assert m["rows_in"] == 0
+    assert m["last_mission"] == "N/A"

@@ -257,3 +257,65 @@ def test_runtime_bloom_filter_join_pruning(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_salted_join_rejects_outer_joins(spark):
+    import pytest as _pytest
+
+    o = read_table(spark, SF, "orders").limit(10)
+    c = read_table(spark, SF, "customer").limit(10)
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with _pytest.raises(ValueError, match="inner/left"):
+            salted_join(o, c, "o_custkey", "c_custkey", n_salts=4, how=how)
+
+
+# ---------------------------------------------------------------------------
+# Snapshot table (transactional-format stand-in for MERGE INTO)
+# ---------------------------------------------------------------------------
+def test_snapshot_table_merge_restore(spark, tmp_path):
+    from mvp_mini_etl_pipeline_1762840347_spark.operators.table_format import (
+        SnapshotTable,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k int, name string, v int"
+    )
+    assert t.commit(base) == "snapshot-0"
+
+    updates = spark.createDataFrame(
+        [(2, "b2", 25), (3, "c", 30)], "k int, name string, v int"
+    )
+    assert t.merge(updates, "k") == "snapshot-1"
+    rows = {r.k: (r.name, r.v) for r in t.read().collect()}
+    assert rows == {1: ("a", 10), 2: ("b2", 25), 3: ("c", 30)}
+
+    # idempotent restart (ST3): same merge again -> identical content
+    t.merge(updates, "k")
+    rows2 = {r.k: (r.name, r.v) for r in t.read().collect()}
+    assert rows2 == rows
+
+    # old snapshot still readable (snapshot isolation / time travel)
+    assert {r.k for r in t.read_version(0).collect()} == {1, 2}
+
+    # rollback, then vacuum keeps the live snapshot
+    t.restore(0)
+    assert {r.k for r in t.read().collect()} == {1, 2}
+    removed = t.vacuum(keep_last=1)
+    assert "snapshot-0" not in removed
+    assert {r.k for r in t.read().collect()} == {1, 2}
+
+
+def test_snapshot_table_crash_leaves_previous_live(spark, tmp_path):
+    from mvp_mini_etl_pipeline_1762840347_spark.operators.table_format import (
+        SnapshotTable,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.commit(spark.createDataFrame([(1, "a")], "k int, name string"))
+    # Simulate a failed write landing a partial directory: the pointer
+    # still names snapshot-0, so readers are unaffected.
+    import os
+    os.makedirs(str(tmp_path / "tbl" / "snapshot-1"))
+    assert t.current_snapshot() == "snapshot-0"
+    assert [r.k for r in t.read().collect()] == [1]
