@@ -524,7 +524,10 @@ def kmeans_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # K-means, convergence-looped (until-stable assign/recompute)
 # ---------------------------------------------------------------------------
-_KM_MAX_ITERS = 8
+# Round budget: the loop stops earlier at any fixed point; the cap
+# bounds cost on data that keeps oscillating.  Correctness does not
+# depend on the value (the oracle unrolls exactly this many rounds).
+_KM_MAX_ITERS = 5
 
 
 def _km_unrolled_oracle(n_iters: int) -> str:

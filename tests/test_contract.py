@@ -55,3 +55,22 @@ def test_registry_size_matches_coverage_doc():
     assert f"{n}/{n} OK" in text, (
         f"COVERAGE.md gate line out of date (registry has {n} queries)"
     )
+
+
+def test_never_driver_checked_queries_come_first():
+    """The external driver oracle-checks a bounded prefix of queries()
+    per round; names without a past green CORRECTNESS row must precede
+    every previously-checked name so coverage extends each round."""
+    names = list(entrymod.queries())
+    checked = set(entrymod._DRIVER_CHECKED)
+    assert checked <= set(names), checked - set(names)
+    seen_checked = False
+    for n in names:
+        if n in checked:
+            seen_checked = True
+        else:
+            assert not seen_checked, f"unchecked {n!r} after a checked name"
+    # the same ordering applies to the oracle dict
+    assert [n for n in names if n in entrymod.oracle_sql()] == list(
+        entrymod.oracle_sql()
+    )
