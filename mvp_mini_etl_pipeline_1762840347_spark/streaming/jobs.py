@@ -312,3 +312,93 @@ def sliding_counts_stream(events: DataFrame, watermark: str = "10 minutes") -> D
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming incremental LSH dedup (stream-static join + foreachBatch store)
+# ---------------------------------------------------------------------------
+DOCS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def stream_documents(spark: SparkSession, docs_dir: str) -> DataFrame:
+    """File-source stream over a landing directory of documents
+    parquet -- the daily-ingest shape for the dedup pipeline."""
+    return (
+        spark.readStream.schema(DOCS_RAW_SCHEMA)
+        .format("parquet")
+        .load(docs_dir)
+    )
+
+
+def lsh_candidates_stream(
+    new_docs: DataFrame, store_sigs: DataFrame
+) -> DataFrame:
+    """Streaming near-dup candidates: per-row band signatures on the
+    stream (row_band_signatures -- array folds only, NO stateful
+    aggregation) equi-joined stream-static against the persisted
+    signature store.  Stateless, append mode, no watermark: every
+    arriving doc emits its (new, store) candidate pairs immediately.
+
+    New-new pairs (both docs inside the live stream) are intentionally
+    out of scope here -- a stream self-join needs watermark state; the
+    foreachBatch form below reuses the batch operator per micro-batch
+    and covers them by appending each batch's signatures to the store
+    before the next batch joins."""
+    from ..plans.dedup import row_band_signatures
+
+    n = row_band_signatures(new_docs).alias("n")
+    s = store_sigs.alias("s")
+    return (
+        n.join(
+            s,
+            (F.col("n.band") == F.col("s.band"))
+            & (F.col("n.sig") == F.col("s.sig"))
+            & (F.col("n.doc_id") != F.col("s.doc_id")),
+        )
+        .select(
+            F.least(F.col("n.doc_id"), F.col("s.doc_id")).alias("doc_a"),
+            F.greatest(F.col("n.doc_id"), F.col("s.doc_id")).alias("doc_b"),
+            F.col("n.band").alias("band"),
+        )
+        .dropDuplicates(["doc_a", "doc_b", "band"])
+    )
+
+
+def incremental_dedup_stream(
+    docs_stream: DataFrame,
+    store_path: str,
+    pairs_path: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Full-parity streaming incremental dedup via foreachBatch: each
+    micro-batch runs the BATCH incremental_lsh_candidates against the
+    parquet signature store (new-old AND new-new pairs), appends the
+    batch's candidate pairs, then appends its signatures to the store
+    so the next micro-batch dedups against it.  Exactly the daily-
+    ingest batch pipeline, driven by the stream scheduler -- batch
+    backfill and live processing share one code path.  At deploy the
+    store is a bucketed (band, sig) table (SCALE.md) or a Delta table
+    via SnapshotTable semantics."""
+    from ..plans.dedup import incremental_lsh_candidates
+
+    def _step(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        store = spark.read.parquet(store_path)
+        pairs, new_sigs = incremental_lsh_candidates(store, batch_df)
+        pairs.write.mode("append").parquet(pairs_path)
+        new_sigs.write.mode("append").parquet(store_path)
+
+    return (
+        docs_stream.writeStream.foreachBatch(_step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -192,3 +192,105 @@ def test_sliding_stream_matches_batch(spark, sf_dir, events_dir):
     for k, v in got.items():
         assert batch[k] == v
     assert len(got) >= len(batch) - 4  # at most the tail windows open
+
+
+# ---------------------------------------------------------------------------
+# Streaming incremental LSH dedup
+# ---------------------------------------------------------------------------
+def test_row_band_signatures_match_grouped_form(spark, sf_dir):
+    from mvp_mini_etl_pipeline_1762840347_spark.plans.dedup import (
+        band_signatures,
+        row_band_signatures,
+    )
+    from mvp_mini_etl_pipeline_1762840347_spark.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    grouped = {tuple(r) for r in band_signatures(docs).collect()}
+    per_row = {tuple(r) for r in row_band_signatures(docs).collect()}
+    assert per_row == grouped
+
+
+def _split_docs(spark, sf_dir, tmp_path_factory):
+    """Old/new halves of documents landed as parquet dirs."""
+    from mvp_mini_etl_pipeline_1762840347_spark.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    base = tmp_path_factory.mktemp("docs_split")
+    new_dir = str(base / "new_landing")
+    new.write.parquet(new_dir)
+    return old, new, new_dir, base
+
+
+def test_lsh_candidates_stream_matches_batch_new_old(
+    spark, sf_dir, tmp_path_factory
+):
+    from mvp_mini_etl_pipeline_1762840347_spark.plans.dedup import (
+        band_signatures,
+        incremental_lsh_candidates,
+    )
+
+    old, new, new_dir, _ = _split_docs(spark, sf_dir, tmp_path_factory)
+    store = band_signatures(old)
+
+    stream = jobs.stream_documents(spark, new_dir)
+    q = jobs.run_to_memory(
+        jobs.lsh_candidates_stream(stream, store), "lsh_cand_out"
+    )
+    try:
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in spark.sql(
+                "SELECT DISTINCT doc_a, doc_b FROM lsh_cand_out"
+            ).collect()
+        }
+    finally:
+        q.stop()
+
+    batch_pairs, _ = incremental_lsh_candidates(store, new)
+    # stream-static covers new-old pairs only (odd/even doc_id split)
+    want = {
+        (r.doc_a, r.doc_b)
+        for r in batch_pairs.collect()
+        if (r.doc_a % 2 == 0) != (r.doc_b % 2 == 0)
+    }
+    assert got == want
+    assert got, "no candidates emitted (degenerate fixture)"
+
+
+def test_incremental_dedup_stream_full_parity(spark, sf_dir, tmp_path_factory):
+    from mvp_mini_etl_pipeline_1762840347_spark.plans.dedup import (
+        band_signatures,
+        incremental_lsh_candidates,
+    )
+
+    old, new, new_dir, base = _split_docs(spark, sf_dir, tmp_path_factory)
+    store_path = str(base / "sig_store")
+    pairs_path = str(base / "pairs_out")
+    band_signatures(old).write.parquet(store_path)
+
+    q = jobs.incremental_dedup_stream(
+        jobs.stream_documents(spark, new_dir),
+        store_path,
+        pairs_path,
+        str(base / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.doc_a, r.doc_b, r.n_shared_bands)
+        for r in spark.read.parquet(pairs_path).collect()
+    }
+    batch_pairs, new_sigs = incremental_lsh_candidates(
+        spark.read.parquet(store_path).limit(0).unionByName(band_signatures(old)),
+        new,
+    )
+    want = {
+        (r.doc_a, r.doc_b, r.n_shared_bands) for r in batch_pairs.collect()
+    }
+    assert got == want
+    assert got, "no candidates emitted (degenerate fixture)"
+    # the store grew by the new batch's signatures
+    n_store = spark.read.parquet(store_path).count()
+    assert n_store == band_signatures(old).count() + new_sigs.count()
