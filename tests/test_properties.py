@@ -121,3 +121,32 @@ def test_hash_bucket_range_and_determinism(spark, keys):
     rev = spark.createDataFrame([(k,) for k in reversed(keys)], "k long").repartition(3)
     b = {r["k"]: r["b"] for r in rev.select("k", hash_bucket(F.col("k")).alias("b")).collect()}
     assert a == b
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab \t\né世 "),
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_row_band_signatures_equal_grouped_any_text(spark, texts):
+    """The per-row (array-fold) and grouped (partial-agg) LSH signature
+    builders must agree on arbitrary text: empty strings, runs of mixed
+    whitespace, unicode, and sub-3-token docs (both drop them)."""
+    from mvp_mini_etl_pipeline_1762840347_spark.plans.dedup import (
+        band_signatures,
+        row_band_signatures,
+    )
+
+    rows = [(i, t, "xx", "src", len(t)) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    grouped = {tuple(r) for r in band_signatures(docs).collect()}
+    per_row = {tuple(r) for r in row_band_signatures(docs).collect()}
+    assert per_row == grouped
