@@ -5,9 +5,10 @@ Generalizes the reference's only dedup artifact -- the
 src/lib/users.js:68) -- into the dedup family a training-data
 pipeline needs: exact, MinHash+LSH, SimHash, n-gram Jaccard.
 
-Portability-by-construction: all hashing is md5-over-strings, which
-exists with identical output in Spark and DuckDB, so every operator
-has a full value-checked oracle (no engine-specific hash32/xxhash).
+Portability-by-construction: all hashing bottoms out in md5 (identical
+in Spark and DuckDB) plus integer modular arithmetic both engines
+evaluate exactly, so every operator has a full value-checked oracle
+(no engine-specific hash32/xxhash).
 
 Scale notes
 -----------
@@ -138,21 +139,52 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # MinHash + LSH banding
 # ---------------------------------------------------------------------------
+# Integer MinHash: ONE md5 per shingle (its first 8 hex chars as a
+# 32-bit integer), then each of the 8 "permutations" is a cheap
+# affine universal hash (A_s*h + B_s) mod P -- the production design:
+# hashing cost is 1/8th of md5-per-seed, the min-aggregate compares
+# integers instead of 32-char strings, and the shuffle rows shrink.
+# Both engines evaluate the identical arithmetic (values < P ~ 2^30,
+# products < 2^60: no bigint overflow under ANSI mode).
+_MH_P = 1_000_000_007
+
+
+def _mh_mult(seed: int) -> int:
+    return (104_729 * seed + 976_369) % _MH_P
+
+
+def _mh_add(seed: int) -> int:
+    return (15_485_863 * seed + 32_452_843) % _MH_P
+
+
+# DuckDB fragments: shingle -> reduced 32-bit hash; per-seed affine
+# minhash; band signatures.  (The affine constants are generated from
+# the seed by the same formula the Python helpers use.)
+_HASHED_SQL = rf"""
+      SELECT doc_id,
+             ('0x' || substring(md5(shingle), 1, 8))::BIGINT % {_MH_P} AS h
+      FROM ({_SHINGLES_SQL})
+"""
+
+_SIGS_SQL = rf"""
+      SELECT doc_id, seed // {BAND_ROWS} AS band,
+             md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS sig
+      FROM (
+        SELECT hs.doc_id, seeds.seed,
+               min((((104729 * seeds.seed + 976369) % {_MH_P}) * hs.h
+                    + ((15485863 * seeds.seed + 32452843) % {_MH_P}))
+                   % {_MH_P}) AS mh
+        FROM ({_HASHED_SQL}) hs,
+             (SELECT unnest(range({N_HASHES})) AS seed) seeds
+        GROUP BY hs.doc_id, seeds.seed
+      )
+      GROUP BY doc_id, seed // {BAND_ROWS}
+"""
+
 # Self-contained SQL producing the candidate pairs (reused by the
 # clustering oracle in plans/graph.py).
 _MINHASH_PAIRS_SQL = rf"""
-    WITH shingles AS ({_SHINGLES_SQL}),
-    hashed AS (
-      SELECT s.doc_id, seeds.seed,
-             min(md5(CAST(seeds.seed AS VARCHAR) || '_' || s.shingle)) AS mh
-      FROM shingles s, (SELECT unnest(range({N_HASHES})) AS seed) seeds
-      GROUP BY s.doc_id, seeds.seed
-    ),
-    sigs AS (
-      SELECT doc_id, seed // {BAND_ROWS} AS band,
-             md5(string_agg(mh, ',' ORDER BY seed)) AS sig
-      FROM hashed GROUP BY doc_id, seed // {BAND_ROWS}
-    )
+    WITH sigs AS ({_SIGS_SQL})
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
     FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
                            AND a.doc_id < b.doc_id
@@ -166,32 +198,13 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_pairs_impl(_docs(spark, sf_dir))
 
 
-@query(
-    "dedup_minhash_lsh",
-    oracle=rf"""
-    WITH shingles AS ({_SHINGLES_SQL}),
-    hashed AS (
-      SELECT s.doc_id, seeds.seed,
-             min(md5(CAST(seeds.seed AS VARCHAR) || '_' || s.shingle)) AS mh
-      FROM shingles s, (SELECT unnest(range({N_HASHES})) AS seed) seeds
-      GROUP BY s.doc_id, seeds.seed
-    ),
-    sigs AS (
-      SELECT doc_id, seed // {BAND_ROWS} AS band,
-             md5(string_agg(mh, ',' ORDER BY seed)) AS sig
-      FROM hashed GROUP BY doc_id, seed // {BAND_ROWS}
-    )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
-    FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
-                           AND a.doc_id < b.doc_id
-    GROUP BY 1, 2
-    """,
-)
+@query("dedup_minhash_lsh", oracle=_MINHASH_PAIRS_SQL)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash (8 permutations as md5(seed||shingle)) + LSH banding
-    (4 bands x 2 rows): candidate near-dup pairs are docs agreeing on
-    at least one full band signature.  The pairwise step is an
-    equi-join on (band, sig) -- candidate pairs only, never O(n^2).
+    """Integer MinHash (one md5 per shingle, 8 affine universal-hash
+    permutations) + LSH banding (4 bands x 2 rows): candidate near-dup
+    pairs are docs agreeing on at least one full band signature.  The
+    pairwise step is an equi-join on (band, sig) -- candidate pairs
+    only, never O(n^2).
 
     Plan shape: the 8 minhashes are 8 aggregate *columns* over the
     shingle rows (map-side partial min per hash), so the only wide
@@ -206,18 +219,26 @@ def band_signatures(docs: DataFrame) -> DataFrame:
     of the incremental dedup path (see incremental_lsh_candidates).
 
     Signature computation stays in the exploded (doc_id, shingle)
-    form: the 8 per-seed md5s are computed inside the partial
-    (map-side) aggregation, which streams shingle-at-a-time.  The
-    tempting narrow alternative -- per-row shingle ARRAY with 8x
-    array_min(transform(md5)) -- measured ~2x SLOWER at sf0.1: it
-    materializes 8 intermediate md5 arrays per document and
-    re-evaluates the 3-gram construction per seed when Catalyst
-    collapses the projections.  Here the shuffle after partial agg
-    carries one row per doc either way."""
+    form: each shingle is md5'd ONCE into a reduced integer, and the
+    8 per-seed minima are cheap affine universal hashes computed
+    inside the partial (map-side) aggregation, which streams
+    shingle-at-a-time.  The shuffle after partial agg carries one row
+    of 8 ints per doc.  (The per-row array form lives in
+    row_band_signatures for streaming; in batch the grouped form wins
+    because the shingle array never materializes per row.)"""
     sh = _shingles(docs, distinct=False)
-    minhashes = sh.groupBy("doc_id").agg(
+    # ONE md5 per shingle, staged in its own projection (inlining it
+    # would re-evaluate the hash once per referencing minhash column).
+    h = (
+        F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("bigint")
+        % _MH_P
+    )
+    hashed = sh.select("doc_id", h.alias("h"))
+    minhashes = hashed.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat_ws("_", F.lit(s), F.col("shingle")))).alias(f"mh{s}")
+            F.min(
+                (F.lit(_mh_mult(s)) * F.col("h") + F.lit(_mh_add(s))) % _MH_P
+            ).alias(f"mh{s}")
             for s in range(N_HASHES)
         ]
     )
@@ -487,32 +508,40 @@ def incremental_lsh_candidates(
 
 
 def row_band_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, band, sig) computed entirely PER ROW: each minhash is
-    an ``array_min`` fold over the shingle array, bands are md5 of
-    the concatenated minhashes, exploded with stack().  Produces
-    byte-identical signatures to :func:`band_signatures` (same
-    seed||'_'||shingle hashing; min over an array with duplicates ==
-    min over the distinct exploded rows).
+    """(doc_id, band, sig) computed entirely PER ROW: the reduced
+    shingle-hash array is built once per document (one md5 per
+    shingle), each minhash is an ``array_min`` fold applying the
+    affine permutation, bands are md5 of the concatenated minhashes,
+    exploded with stack().  Produces byte-identical signatures to
+    :func:`band_signatures` (same hashing; min over an array with
+    duplicates == min over the distinct exploded rows).
 
-    Trade-off: in batch this narrow form measured ~2x slower than the
-    grouped partial-agg form (8 md5 arrays materialize per document).
     Its value is that it needs NO aggregation at all -- a streaming
     source can compute it statelessly, which a groupBy(doc_id) on a
     stream cannot do without watermark state (see
     streaming/jobs.py::lsh_candidates_stream)."""
     arr = _shingle_array(docs)
+    # ONE md5 per shingle, staged as its own array column so the 8
+    # per-seed folds reuse it instead of re-hashing.
+    hs = F.transform(
+        F.col("sh"),
+        lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("bigint")
+        % _MH_P,
+    )
+    hashed = arr.select("doc_id", hs.alias("hs"))
 
     def _mh(seed: int):
         # closure factory: a 2-arg lambda (even via a default) would
         # make transform() pass the element INDEX as the second arg
+        a, b = _mh_mult(seed), _mh_add(seed)
         return F.array_min(
             F.transform(
-                F.col("sh"),
-                lambda x: F.md5(F.concat_ws("_", F.lit(seed), x)),
+                F.col("hs"),
+                lambda h: (F.lit(a) * h + F.lit(b)) % _MH_P,
             )
         )
 
-    minhashes = arr.select(
+    minhashes = hashed.select(
         "doc_id", *[_mh(s).alias(f"mh{s}") for s in range(N_HASHES)]
     )
     n_bands = N_HASHES // BAND_ROWS
