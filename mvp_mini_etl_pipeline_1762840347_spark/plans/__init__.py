@@ -12,3 +12,4 @@ from . import analytics  # noqa: F401,E402
 from . import graph  # noqa: F401,E402
 from . import subqueries  # noqa: F401,E402
 from . import quality  # noqa: F401,E402
+from . import sketches  # noqa: F401,E402

@@ -1,0 +1,375 @@
+"""Distributed cardinality / frequency sketches, built portable.
+
+A 100 TB pipeline cannot afford exact COUNT(DISTINCT) or per-key
+exact frequencies on every monitoring query; the standard answers are
+KMV/theta sketches, HyperLogLog and Count-Min.  Spark ships opaque
+engine-native versions (``approx_count_distinct``,
+``hll_sketch_agg``, ``count_min_sketch``) whose binary state no other
+engine reproduces -- so they could never be value-checked against the
+DuckDB oracle.  These implementations make the sketch *algorithms*
+first-class DataFrame plans instead:
+
+* all hashing is md5 reduced to a 60-bit integer (identical bytes in
+  Spark and DuckDB -- same trick as plans/dedup.py);
+* every accumulation is exact integer arithmetic (min / max / sum of
+  BIGINT, powers of two), so results are independent of partial-agg
+  order and identical across engines;
+* the single float division producing each estimate happens once, on
+  one row, with both engines evaluating the same literal expression.
+
+That gives real, scale-shaped sketch plans (map-side partial
+aggregation into a tiny fixed-size state, one narrow shuffle) whose
+output the driver can hash-compare exactly.
+
+Generalizes the reference's exact reduce-based distinct/count metrics
+(src/lib/users.js:31-46, pages/analytics.js:60-78) to the approximate
+forms a 100 TB corpus requires.
+
+Scale notes
+-----------
+- KMV: per-partition top-K smallest hashes (TakeOrderedAndProject --
+  no global sort), K rows into a 1-row agg.  State = K int64s.
+- HLL: groupBy over at most 256 bucket rows after map-side partial
+  max -- the shuffle carries <= 256 rows per upstream partition.
+  State = 256 small ints; the estimate math is one row.
+- CMS: the sketch is built from the exact per-key aggregate here
+  (cheap at test SF and provably the same cells, since cell sums
+  commute with pre-aggregation); at 100 TB you skip the exact pass
+  and explode d rows per *input row* pre-shuffle, so the shuffle is
+  on (j, cell) with at most d*w = 2048 distinct keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import read_events, read_table
+from .registry import query
+
+# 60-bit hash space: 15 hex chars of md5.  Fits BIGINT with headroom.
+_HASH_BITS = 60
+_HASH_SPACE = float(1 << _HASH_BITS)  # 2^60, exact in double
+
+
+def _h60(c: Column) -> Column:
+    """md5 of the string form reduced to a 60-bit non-negative int;
+    byte-identical to the oracle's ('0x' || substring(md5(x),1,15))."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def _h60_sql(expr: str) -> str:
+    return f"('0x' || substring(md5({expr}), 1, 15))::BIGINT"
+
+
+# ---------------------------------------------------------------------------
+# KMV (k minimum values) distinct-count sketch
+# ---------------------------------------------------------------------------
+_KMV_K = 64
+
+_KMV_SQL = rf"""
+    WITH hashes AS (
+      SELECT DISTINCT {_h60_sql("CAST(o_custkey AS VARCHAR)")} AS h
+      FROM orders
+    ),
+    kmin AS (
+      SELECT max(h) AS kth_hash, count(*) AS k
+      FROM (SELECT h FROM hashes ORDER BY h LIMIT {_KMV_K})
+    ),
+    exact AS (SELECT count(DISTINCT o_custkey) AS exact_distinct FROM orders)
+    SELECT kmin.k, kmin.kth_hash, exact.exact_distinct,
+           round(({_KMV_K} - 1)
+                 / (CAST(kmin.kth_hash AS DOUBLE) / {_HASH_SPACE!r}), 2)
+               AS est_distinct,
+           round(100.0 * (({_KMV_K} - 1)
+                 / (CAST(kmin.kth_hash AS DOUBLE) / {_HASH_SPACE!r})
+                 / exact.exact_distinct - 1.0), 2) AS rel_err_pct
+    FROM kmin CROSS JOIN exact
+"""
+
+
+@query("sketch_kmv_distinct", oracle=_KMV_SQL)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k / theta) distinct-count sketch over
+    orders.o_custkey: keep the K smallest distinct 60-bit hashes; the
+    K-th smallest, as a fraction of the hash space, estimates density
+    => distinct ~= (K-1) / (h_K / 2^60).
+
+    Plan shape: hash projection -> hash-distinct (map-side partial)
+    -> ``orderBy(h).limit(K)``, which Spark executes as
+    TakeOrderedAndProject -- each partition keeps its own K smallest,
+    only K rows per partition reach the single merge.  No global
+    sort, no wide shuffle; the K retained int64s are also exactly the
+    state a cross-dataset sketch MERGE would ship (union = merge the
+    two bottom-K sets, keep the K smallest).
+
+    The exact count rides along for the relative-error column -- at
+    100 TB you would drop it; the sketch side alone never carries
+    more than K rows past the scan."""
+    o = read_table(spark, sf_dir, "orders")
+    hashes = o.select(
+        _h60(F.col("o_custkey").cast("string")).alias("h")
+    ).distinct()
+    kmin = (
+        hashes.orderBy("h")
+        .limit(_KMV_K)
+        .agg(F.max("h").alias("kth_hash"), F.count("*").alias("k"))
+    )
+    exact = o.agg(F.countDistinct("o_custkey").alias("exact_distinct"))
+    est = F.lit(float(_KMV_K - 1)) / (
+        F.col("kth_hash").cast("double") / F.lit(_HASH_SPACE)
+    )
+    return kmin.crossJoin(F.broadcast(exact)).select(
+        "k",
+        "kth_hash",
+        "exact_distinct",
+        F.round(est, 2).alias("est_distinct"),
+        F.round(100.0 * (est / F.col("exact_distinct") - 1.0), 2).alias(
+            "rel_err_pct"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch (portable, integer-exact state)
+# ---------------------------------------------------------------------------
+_HLL_M = 256  # 2^8 buckets
+_HLL_WBITS = _HASH_BITS - 8  # 52 bits of rank material
+# alpha_256 = 0.7213 / (1 + 1.079/256), precomputed so both engines
+# use the same double literal instead of re-deriving it at runtime.
+_HLL_ALPHA = 0.7182725932495458
+
+_HLL_SQL = rf"""
+    WITH h AS (
+      SELECT {_h60_sql("CAST(o_custkey AS VARCHAR)")} AS h FROM orders
+    ),
+    buckets AS (
+      SELECT h % {_HLL_M} AS bucket,
+             max(CASE WHEN h // {_HLL_M} = 0 THEN {_HLL_WBITS + 1}
+                      ELSE {_HLL_WBITS + 1} - length(bin(h // {_HLL_M}))
+                 END) AS m_j
+      FROM h GROUP BY 1
+    ),
+    mm AS (SELECT max(m_j) AS m_max, count(*) AS n_buckets FROM buckets),
+    folded AS (
+      SELECT mm.n_buckets, mm.m_max,
+             sum(1::BIGINT << (mm.m_max - b.m_j))::BIGINT AS sum_occupied
+      FROM buckets b CROSS JOIN mm
+      GROUP BY mm.n_buckets, mm.m_max
+    ),
+    denom AS (
+      SELECT n_buckets, m_max,
+             (sum_occupied
+              + ({_HLL_M} - n_buckets) * (1::BIGINT << m_max))::BIGINT
+                 AS sum_scaled
+      FROM folded
+    ),
+    exact AS (SELECT count(DISTINCT o_custkey) AS exact_distinct FROM orders),
+    est AS (
+      SELECT n_buckets, m_max, sum_scaled,
+             CAST({_HLL_ALPHA!r} AS DOUBLE) * {_HLL_M * _HLL_M}.0
+               * power(2.0, m_max) / sum_scaled AS raw_est
+      FROM denom
+    ),
+    corrected AS (
+      SELECT n_buckets, m_max, sum_scaled,
+             CASE WHEN raw_est <= 2.5 * {_HLL_M} AND n_buckets < {_HLL_M}
+                  THEN {_HLL_M}.0
+                       * ln({_HLL_M}.0 / ({_HLL_M} - n_buckets))
+                  ELSE raw_est
+             END AS est
+      FROM est
+    )
+    SELECT c.n_buckets, c.m_max, c.sum_scaled, exact.exact_distinct,
+           round(c.est, 2) AS est_distinct,
+           round(100.0 * (c.est / exact.exact_distinct - 1.0), 2)
+               AS rel_err_pct
+    FROM corrected c CROSS JOIN exact
+"""
+
+
+@query("sketch_hll_distinct", oracle=_HLL_SQL)
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog with integer-exact state: bucket = low 8 hash
+    bits, rank rho = leading-zero count of the remaining 52 bits + 1
+    (computed as 53 - bit_length via ``bin()`` -- exact in both
+    engines, no floating log2).  Registers are max(rho) per bucket.
+
+    The harmonic-mean denominator sum_j 2^-M_j is kept integer by
+    scaling with 2^m_max: sum_j 2^(m_max - M_j) is an exact BIGINT
+    (<= 256 * 2^53 < 2^62), so the only float op is the final
+    one-row division -- the estimate is bit-identical regardless of
+    partition count or aggregation order, which a double-summed HLL
+    cannot guarantee.  Bucket extraction uses integer `div`, never
+    double division (h > 2^53 would lose low bits in a double).
+
+    Small-range correction: when the raw estimate is <= 2.5m and
+    empty buckets remain, linear counting (m * ln(m / empties)) is
+    used instead -- the one place a libm call enters; the branch
+    condition itself is integer/compare-exact, and the single ln()
+    feeds a round(_, 2) so a cross-engine ulp difference could only
+    matter if the value sat within 1e-13 of a 0.005 boundary.
+
+    Plan shape: scan -> map-side partial max per bucket -> shuffle of
+    <= 256 rows per partition -> 256-row final agg -> 1-row estimate.
+    Register state is exactly the mergeable HLL sketch (max per
+    bucket), so cross-dataset union = elementwise max."""
+    o = read_table(spark, sf_dir, "orders")
+    h = _h60(F.col("o_custkey").cast("string"))
+    w = F.expr(f"h div {_HLL_M}")
+    rho = F.when(w == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+        F.lit(_HLL_WBITS + 1) - F.length(F.bin(w))
+    )
+    buckets = (
+        o.select(h.alias("h"))
+        .select((F.col("h") % _HLL_M).alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    mm = buckets.agg(
+        F.max("m_j").alias("m_max"), F.count("*").alias("n_buckets")
+    )
+    folded = (
+        buckets.crossJoin(F.broadcast(mm))
+        .groupBy("n_buckets", "m_max")
+        .agg(
+            F.sum(F.expr("shiftleft(cast(1 as bigint), m_max - m_j)"))
+            .cast("bigint")
+            .alias("sum_occupied")
+        )
+    )
+    denom = folded.select(
+        "n_buckets",
+        "m_max",
+        (
+            F.col("sum_occupied")
+            + (F.lit(_HLL_M) - F.col("n_buckets"))
+            * F.expr("shiftleft(cast(1 as bigint), m_max)")
+        ).cast("bigint").alias("sum_scaled"),
+    )
+    exact = o.agg(F.countDistinct("o_custkey").alias("exact_distinct"))
+    raw_est = (
+        F.lit(_HLL_ALPHA)
+        * F.lit(float(_HLL_M * _HLL_M))
+        * F.pow(F.lit(2.0), F.col("m_max"))
+        / F.col("sum_scaled")
+    )
+    est = F.when(
+        (raw_est <= F.lit(2.5 * _HLL_M)) & (F.col("n_buckets") < _HLL_M),
+        F.lit(float(_HLL_M))
+        * F.log(
+            F.lit(float(_HLL_M)) / (F.lit(_HLL_M) - F.col("n_buckets"))
+        ),
+    ).otherwise(raw_est)
+    return denom.crossJoin(F.broadcast(exact)).select(
+        "n_buckets",
+        "m_max",
+        "sum_scaled",
+        "exact_distinct",
+        F.round(est, 2).alias("est_distinct"),
+        F.round(100.0 * (est / F.col("exact_distinct") - 1.0), 2).alias(
+            "rel_err_pct"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min frequency sketch
+# ---------------------------------------------------------------------------
+_CMS_D = 4  # hash rows
+_CMS_W = 512  # cells per row
+
+def _cms_cell_sql(j: str, key: str) -> str:
+    expr = f"CAST({j} AS VARCHAR) || '_' || CAST({key} AS VARCHAR)"
+    return f"{_h60_sql(expr)} % {_CMS_W}"
+
+
+_CMS_SQL = rf"""
+    WITH counts AS (
+      SELECT user_id, count(*) AS exact_cnt FROM events GROUP BY 1
+    ),
+    cells AS (
+      SELECT d.j,
+             {_cms_cell_sql("d.j", "c.user_id")} AS cell,
+             sum(c.exact_cnt)::BIGINT AS cell_total
+      FROM counts c CROSS JOIN (SELECT unnest(range({_CMS_D})) AS j) d
+      GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT user_id, exact_cnt FROM counts
+      ORDER BY exact_cnt DESC, user_id LIMIT 10
+    )
+    SELECT t.user_id, t.exact_cnt,
+           min(c.cell_total) AS cm_est,
+           (min(c.cell_total) - t.exact_cnt)::BIGINT AS overestimate
+    FROM top t
+    CROSS JOIN (SELECT unnest(range({_CMS_D})) AS j) d
+    JOIN cells c
+      ON c.j = d.j
+     AND c.cell = {_cms_cell_sql("d.j", "t.user_id")}
+    GROUP BY 1, 2
+"""
+
+
+@query("sketch_countmin_freq", oracle=_CMS_SQL)
+def sketch_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (d=4 x w=512) over events.user_id, then
+    point-estimate the 10 heaviest users: est(key) = min_j
+    sketch[j][h_j(key)] -- always >= the true count, never under.
+
+    The sketch here is built from the exact per-key counts (cell sums
+    commute with pre-aggregation, so the cells are provably identical
+    to streaming raw rows in); the `overestimate` column exposes the
+    collision error the 512-cell width induces.  All counts and cell
+    sums are BIGINT -- no floats anywhere.
+
+    Plan shape: keyed count -> explode d rows per *key* -> groupBy
+    (j, cell) with at most d*w = 2048 groups (map-side partial sums
+    do almost all the work) -> broadcast the <=2048-row sketch to the
+    top-k probe join.  At 100 TB, skip the exact pre-count and
+    explode per input row before the same (j, cell) aggregation; the
+    sketch stays <=2048 rows no matter the input size."""
+    e = read_events(spark, sf_dir)
+    counts = e.groupBy("user_id").agg(F.count("*").alias("exact_cnt"))
+
+    def _cell(j: Column, key: Column) -> Column:
+        return (
+            _h60(
+                F.concat_ws("_", j.cast("string"), key.cast("string"))
+            )
+            % _CMS_W
+        )
+
+    jcol = F.explode(
+        F.array(*[F.lit(i) for i in range(_CMS_D)])
+    ).alias("j")
+    cells = (
+        counts.select("user_id", "exact_cnt", jcol)
+        .select(
+            "exact_cnt",
+            "j",
+            _cell(F.col("j"), F.col("user_id")).alias("cell"),
+        )
+        .groupBy("j", "cell")
+        .agg(F.sum("exact_cnt").cast("bigint").alias("cell_total"))
+    )
+    top = counts.orderBy(F.desc("exact_cnt"), "user_id").limit(10)
+    probes = top.select("user_id", "exact_cnt", jcol).select(
+        "user_id",
+        "exact_cnt",
+        "j",
+        _cell(F.col("j"), F.col("user_id")).alias("cell"),
+    )
+    return (
+        probes.join(F.broadcast(cells), ["j", "cell"])
+        .groupBy("user_id", "exact_cnt")
+        .agg(F.min("cell_total").alias("cm_est"))
+        .select(
+            "user_id",
+            "exact_cnt",
+            "cm_est",
+            (F.col("cm_est") - F.col("exact_cnt"))
+            .cast("bigint")
+            .alias("overestimate"),
+        )
+    )

@@ -73,3 +73,47 @@ def test_sketches_partial_aggregate(spark):
     # plan prints top-down: final agg, exchange, partial agg
     assert "partial_approx_count_distinct" in plan
     assert first_agg < first_exchange
+
+
+# ---------------------------------------------------------------------------
+# Portable (oracle-checkable) sketches from plans/sketches.py
+# ---------------------------------------------------------------------------
+from mvp_mini_etl_pipeline_1762840347_spark.plans import sketches as psk  # noqa: E402
+
+
+def test_kmv_estimate_bounds(spark):
+    row = psk.sketch_kmv_distinct(spark, SF).first()
+    # k=64 => 1-sigma ~ 12.5%; allow 4 sigma.
+    assert row["k"] <= 64
+    assert abs(row["est_distinct"] - row["exact_distinct"]) <= max(
+        0.5 * row["exact_distinct"], 10
+    )
+
+
+def test_portable_hll_estimate_bounds_and_state(spark):
+    row = psk.sketch_hll_distinct(spark, SF).first()
+    assert 1 <= row["n_buckets"] <= 256
+    # m=256 => 1-sigma ~ 6.5%; allow 4 sigma.
+    assert abs(row["est_distinct"] - row["exact_distinct"]) <= max(
+        0.30 * row["exact_distinct"], 10
+    )
+    # integer-exact invariant: every occupied bucket contributes at
+    # least 1 to the scaled sum, empties contribute 2^m_max.
+    assert row["sum_scaled"] >= 256 - row["n_buckets"] + row["n_buckets"] * 1
+
+
+def test_countmin_never_underestimates(spark):
+    rows = psk.sketch_countmin_freq(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["cm_est"] >= r["exact_cnt"]
+        assert r["overestimate"] == r["cm_est"] - r["exact_cnt"]
+
+
+def test_kmv_plan_is_take_ordered(spark):
+    """The bottom-K selection must be per-partition top-K merged once
+    (TakeOrderedAndProject), not a global sort."""
+    df = psk.sketch_kmv_distinct(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
