@@ -804,3 +804,118 @@ def weighted_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("l_extendedprice"), 4).alias("unweighted_avg_price"),
         F.round(F.sum("l_quantity"), 2).alias("total_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# National market share (TPC-H Q8 family)
+# ---------------------------------------------------------------------------
+@query(
+    "market_share",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           round(sum(CASE WHEN s_nat = 'NATION_1'
+                          THEN volume ELSE 0 END) / sum(volume), 6)
+             AS mkt_share,
+           round(sum(volume), 2)          AS total_volume
+    FROM (
+      SELECT o.o_orderdate,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             sn.n_name                              AS s_nat
+      FROM lineitem l
+      JOIN orders   o  ON l.l_orderkey = o.o_orderkey
+      JOIN customer c  ON o.o_custkey  = c.c_custkey
+      JOIN nation   cn ON c.c_nationkey = cn.n_nationkey
+      JOIN region   r  ON cn.n_regionkey = r.r_regionkey
+      JOIN supplier s  ON l.l_suppkey  = s.s_suppkey
+      JOIN nation   sn ON s.s_nationkey = sn.n_nationkey
+      JOIN part     p  ON l.l_partkey  = p.p_partkey
+      WHERE r.r_name = 'AMERICA' AND p.p_type = 'PROMO'
+    ) GROUP BY 1
+    """,
+)
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share (TPC-H Q8 shape): the fraction of
+    AMERICA-region PROMO-part revenue supplied by NATION_1, by order
+    year.  The share is a conditional-sum / sum ratio inside one
+    aggregation, so the whole query is a star join plus a single
+    partial-aggregating pass: part (filtered), supplier, both nation
+    copies and region broadcast; only lineitem<->orders shuffles.
+    The p_type and r_name filters prune the broadcast sides before
+    the fact join ever sees them."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("s_nat")
+    )
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    p = read_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO"
+    ).select("p_partkey")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            volume.alias("volume"),
+            "s_nat",
+        )
+    )
+    nation_volume = F.sum(
+        F.when(F.col("s_nat") == "NATION_1", F.col("volume")).otherwise(0.0)
+    )
+    return joined.groupBy("o_year").agg(
+        F.round(nation_volume / F.sum("volume"), 6).alias("mkt_share"),
+        F.round(F.sum("volume"), 2).alias("total_volume"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram (single-pass distribution profile)
+# ---------------------------------------------------------------------------
+_HIST_W = 25_000
+
+
+@query(
+    "histogram_totalprice",
+    oracle=f"""
+    SELECT CAST(least(floor(o_totalprice / {_HIST_W}), 19) AS BIGINT) AS bucket,
+           CAST(least(floor(o_totalprice / {_HIST_W}), 19) * {_HIST_W} AS BIGINT)
+             AS bucket_lo,
+           count(*)                       AS n_orders,
+           round(avg(o_totalprice), 2)    AS avg_price
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals (20 x 25k buckets, last
+    bucket open-ended): the single-pass distribution profile used for
+    sizing decisions (salt counts, bucket boundaries, AQE thresholds).
+    Bucketing is a narrow arithmetic map feeding an ordinary partial
+    aggregation on a 20-value key -- the profile of a 100 TB column
+    costs exactly one scan, no window, no sort."""
+    o = read_table(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / _HIST_W), F.lit(19))
+    return (
+        o.select(
+            bucket.alias("bucket"),
+            (bucket * _HIST_W).cast("bigint").alias("bucket_lo"),
+            "o_totalprice",
+        )
+        .groupBy("bucket", "bucket_lo")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+    )

@@ -272,3 +272,131 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled source mixture (data-recipe weighting)
+# ---------------------------------------------------------------------------
+_TEMP_ALPHA = 0.7
+_TEMP_BUDGET = 10_000
+
+
+@query(
+    "sample_temperature",
+    oracle=f"""
+    WITH c AS (
+      SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, n_docs,
+             pow(n_docs, {_TEMP_ALPHA})
+               / sum(pow(n_docs, {_TEMP_ALPHA})) OVER () AS weight
+      FROM c
+    )
+    SELECT source, n_docs,
+           round(weight, 6)                              AS weight,
+           CAST(round(weight * {_TEMP_BUDGET}, 0) AS BIGINT) AS target_n
+    FROM w
+    """,
+)
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights per corpus source
+    (w_s = n_s^alpha / sum n^alpha, alpha={alpha}): the standard
+    recipe for flattening a skewed source distribution toward the
+    small, high-quality components when drawing a fixed training
+    budget.  One partial-aggregating scan produces the per-source
+    counts; the normalization runs over the HANDFUL of source rows
+    (a 1-row broadcast of the denominator), so the plan is a single
+    fact scan at any corpus size.  Actual row selection then reuses
+    the deterministic hash-bucket filter of sample_mixture with
+    rate = target_n / n_docs."""
+    d = read_table(spark, sf_dir, "documents")
+    c = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    denom = c.agg(
+        F.sum(F.pow("n_docs", F.lit(_TEMP_ALPHA))).alias("denom")
+    )
+    w = F.pow("n_docs", F.lit(_TEMP_ALPHA)) / F.col("denom")
+    return c.crossJoin(F.broadcast(denom)).select(
+        "source",
+        "n_docs",
+        F.round(w, 6).alias("weight"),
+        F.round(w * _TEMP_BUDGET, 0).cast("bigint").alias("target_n"),
+    )
+
+
+sample_temperature.__doc__ = sample_temperature.__doc__.format(alpha=_TEMP_ALPHA)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus quality funnel (filter-stage accounting)
+# ---------------------------------------------------------------------------
+@query(
+    "corpus_quality_funnel",
+    oracle=r"""
+    WITH staged AS (
+      SELECT doc_id,
+             len(string_split_regex(lower(text), '\s+'))  AS n_tokens,
+             CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x IN ('the','a','of','and','to','in',
+                                             'is','on','for'))) AS DOUBLE)
+               / len(string_split_regex(lower(text), '\s+')) AS stop_ratio,
+             CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]',
+                                                       '', 'g')) AS DOUBLE)
+               / length(text)                              AS punct_ratio,
+             md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_fp
+      FROM documents WHERE length(text) > 0
+    )
+    SELECT count(*)                                        AS n_total,
+           count(CASE WHEN stop_ratio >= 0.05 THEN 1 END)  AS n_lang_pass,
+           count(CASE WHEN stop_ratio >= 0.05 AND n_tokens >= 15
+                       AND punct_ratio < 0.1 THEN 1 END)   AS n_quality_pass,
+           count(DISTINCT CASE WHEN stop_ratio >= 0.05 AND n_tokens >= 15
+                               AND punct_ratio < 0.1
+                               THEN norm_fp END)           AS n_unique_kept
+    FROM staged
+    """,
+)
+def corpus_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data cleaning pipeline as ONE accounting query:
+    corpus size -> survivors of the language gate (stopword ratio) ->
+    survivors of the quality gate (length + punctuation) -> distinct
+    docs after exact dedup of the survivors.  Every stage is a
+    conditional count inside a single aggregation over one scan --
+    the funnel that normally takes four pipeline runs costs one pass,
+    and the conditional countDistinct dedups only the kept subset.
+    The per-stage filters reuse text_langid / text_quality /
+    dedup_exact semantics so the funnel numbers reconcile with the
+    per-stage operators."""
+    from .text import STOPWORDS
+
+    d = read_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    staged = d.select(
+        F.size(toks).alias("n_tokens"),
+        (
+            F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double")
+            / F.size(toks)
+        ).alias("stop_ratio"),
+        (
+            (
+                F.length("text")
+                - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))
+            ).cast("double")
+            / F.length("text")
+        ).alias("punct_ratio"),
+        F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")).alias(
+            "norm_fp"
+        ),
+    )
+    lang_pass = F.col("stop_ratio") >= 0.05
+    quality_pass = lang_pass & (F.col("n_tokens") >= 15) & (
+        F.col("punct_ratio") < 0.1
+    )
+    return staged.agg(
+        F.count("*").alias("n_total"),
+        F.count(F.when(lang_pass, 1)).alias("n_lang_pass"),
+        F.count(F.when(quality_pass, 1)).alias("n_quality_pass"),
+        F.countDistinct(F.when(quality_pass, F.col("norm_fp"))).alias(
+            "n_unique_kept"
+        ),
+    )

@@ -405,3 +405,140 @@ def regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("masked_head"),
         F.col("text").rlike("data").alias("mentions_data"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Within-document repetition (duplicate n-gram ratios)
+# ---------------------------------------------------------------------------
+@query(
+    "text_repetition",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+      FROM documents
+    ),
+    tri AS (
+      SELECT doc_id, toks,
+             list_transform(range(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+               AS tris
+      FROM t WHERE len(toks) >= 3
+    )
+    SELECT doc_id,
+           len(toks)                                               AS n_tokens,
+           round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                       / len(toks), 4)                             AS word_dup_ratio,
+           round(1.0 - CAST(len(list_distinct(tris)) AS DOUBLE)
+                       / len(tris), 4)                             AS trigram_dup_ratio
+    FROM tri
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (the Gopher-rule family):
+    fraction of duplicate words and duplicate word-trigrams per doc.
+    High values flag boilerplate/template/spam pages that per-corpus
+    dedup never sees.  Entirely narrow: both ratios are array
+    higher-order expressions (array_distinct over the staged token /
+    trigram arrays) -- no explode, no shuffle, one pass at any
+    corpus size."""
+    d = _docs(spark, sf_dir)
+    toks = F.col("toks")
+    tris = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+        ),
+    )
+    staged = (
+        d.select("doc_id", _toks(F.col("text")).alias("toks"))
+        .filter(F.size(toks) >= 3)
+        .select("doc_id", toks.alias("toks"), tris.alias("tris"))
+    )
+    return staged.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.round(
+            1.0
+            - F.size(F.array_distinct(toks)).cast("double") / F.size(toks),
+            4,
+        ).alias("word_dup_ratio"),
+        F.round(
+            1.0
+            - F.size(F.array_distinct(F.col("tris"))).cast("double")
+            / F.size(F.col("tris")),
+            4,
+        ).alias("trigram_dup_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus bigram language-model scoring (model-free perplexity filter)
+# ---------------------------------------------------------------------------
+@query(
+    "text_bigram_lm",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+      FROM documents
+    ),
+    big AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+                    i -> {'w1': toks[i], 'w2': toks[i+1]})) AS bg
+      FROM t WHERE len(toks) >= 2
+    ),
+    flat AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM big),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM flat GROUP BY 1, 2),
+    c1  AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1)
+    SELECT f.doc_id,
+           count(*)                                             AS n_bigrams,
+           round(avg(-ln(CAST(c12.c12 AS DOUBLE) / c1.c1)), 4)  AS avg_nll
+    FROM flat f
+    JOIN c12 ON f.w1 = c12.w1 AND f.w2 = c12.w2
+    JOIN c1  ON f.w1 = c1.w1
+    GROUP BY f.doc_id
+    """,
+)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free perplexity filter: score each document by the mean
+    negative log-likelihood of its word bigrams under the corpus's own
+    bigram MLE (KenLM-style fluency filtering without an external
+    model).  Two aggregation passes build the counts -- bigram counts
+    partial-aggregate map-side, context counts reduce the already-tiny
+    bigram table -- then the probability table joins back onto the
+    per-doc bigram stream by (w1, w2): an equi-join on a
+    vocabulary-bounded key, never a per-document loop.  avg(-ln p)
+    sums IEEE doubles whose addition order varies with partitioning;
+    rounded at 1e-4 against terms of magnitude ~1e0, far beyond the
+    ~1e-15 accumulation jitter."""
+    d = _docs(spark, sf_dir)
+    toks = F.col("toks")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("w1"),
+            F.element_at(toks, i + 1).alias("w2"),
+        ),
+    )
+    flat = (
+        d.select("doc_id", _toks(F.col("text")).alias("toks"))
+        .filter(F.size(toks) >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bg"))
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    c12 = flat.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    probs = c12.join(c1, "w1").select(
+        "w1", "w2", (F.col("c12").cast("double") / F.col("c1")).alias("p")
+    )
+    return (
+        flat.join(probs, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(-F.log("p")), 4).alias("avg_nll"),
+        )
+    )
