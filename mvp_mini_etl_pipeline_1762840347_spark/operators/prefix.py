@@ -1,0 +1,97 @@
+"""Distributed prefix sum: global running totals in key order WITHOUT
+a global window.
+
+The naive form -- ``sum(x) OVER (ORDER BY key)`` with no PARTITION BY
+-- moves the entire table through one reducer (the scale-killer class
+the plan audit bans).  This operator computes the identical result as
+a three-level hierarchical scan, the classic parallel prefix-sum
+decomposition:
+
+1. rows cumsum WITHIN a bucket of the key space   (partitioned window)
+2. bucket totals cumsum WITHIN a super-bucket     (partitioned window)
+3. super-bucket totals cumsum globally            (unpartitioned, but
+   over N / (bucket_width * super_width) rows -- with the default
+   4096 x 4096 widths a 10^11-row table yields ~6 super rows, so the
+   "global" step is trivially bounded; recurse another level if a
+   key space ever outgrows width^3)
+
+Every row then reconstructs its exclusive global prefix as
+``within-bucket prefix + bucket offset (within super) + super offset``.
+The per-row work is one partitioned window plus one equi-join against
+the bucket-offset table (N / bucket_width rows -- broadcastable for
+most real tables, an ordinary shuffle join otherwise).
+
+This unlocks the order-dependent analytics that otherwise force a
+single reducer: global running totals, exact sequence packing
+(plans/packing.py), systematic sampling with exact periods over
+sparse keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def exclusive_cumsum(
+    df: DataFrame,
+    key: str,
+    value: Column | str,
+    out: str = "cumsum_before",
+    bucket_width: int = 4096,
+    super_width: int = 4096,
+) -> DataFrame:
+    """Add column ``out`` = sum of ``value`` over all rows with a
+    strictly smaller ``key`` (exclusive global prefix sum).
+
+    ``key`` must be unique per row (it defines the global order).
+    Result is identical to
+    ``coalesce(sum(value) OVER (ORDER BY key ROWS BETWEEN UNBOUNDED
+    PRECEDING AND 1 PRECEDING), 0)`` on any partitioning -- asserted
+    in tests/test_operators.py -- but no stage ever sees more than
+    max(bucket rows, N/bucket_width, N/(bucket_width*super_width))
+    rows in one task.
+    """
+    v = F.col(value) if isinstance(value, str) else value
+    b0 = F.floor(F.col(key) / bucket_width).alias("__b0")
+    staged = df.withColumn("__v", v).withColumn("__b0", b0).withColumn(
+        "__b1", F.floor(F.col("__b0") / super_width)
+    )
+
+    w0 = (
+        Window.partitionBy("__b0")
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = F.coalesce(F.sum("__v").over(w0), F.lit(0).cast("bigint"))
+
+    # Level 1: per-bucket totals, cumulated within each super-bucket.
+    b0_sums = staged.groupBy("__b0", "__b1").agg(F.sum("__v").alias("__s0"))
+    w1 = (
+        Window.partitionBy("__b1")
+        .orderBy("__b0")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    b0_local = b0_sums.withColumn(
+        "__off0", F.coalesce(F.sum("__s0").over(w1), F.lit(0).cast("bigint"))
+    )
+
+    # Level 2: per-super totals, cumulated globally.  The window is
+    # unpartitioned BUT its input is the super-bucket aggregate --
+    # N/(bucket_width*super_width) rows by construction.
+    b1_sums = b0_sums.groupBy("__b1").agg(F.sum("__s0").alias("__s1"))
+    w2 = Window.orderBy("__b1").rowsBetween(Window.unboundedPreceding, -1)
+    b1_off = b1_sums.withColumn(
+        "__off1", F.coalesce(F.sum("__s1").over(w2), F.lit(0).cast("bigint"))
+    ).select("__b1", "__off1")
+
+    offsets = (
+        b0_local.join(F.broadcast(b1_off), "__b1")
+        .select("__b0", (F.col("__off0") + F.col("__off1")).alias("__bucket_off"))
+    )
+    return (
+        staged.join(offsets, "__b0")
+        .withColumn(out, (within + F.col("__bucket_off")).cast("bigint"))
+        .drop("__v", "__b0", "__b1", "__bucket_off")
+    )

@@ -1,0 +1,138 @@
+"""Sequence packing: assign documents to fixed-token-budget training
+sequences in key order -- the step between a cleaned corpus and a
+token stream that every LLM data pipeline runs last.
+
+The semantics are offset packing: a document starts in the sequence
+``floor(tokens_before_it / budget)`` (documents may straddle a
+boundary; the reader concatenates in key order, so byte offsets are
+exact).  That is a pure function of the EXCLUSIVE GLOBAL PREFIX SUM
+of token counts -- the operation that naively needs an unpartitioned
+window.  Here it runs through operators/prefix.py::exclusive_cumsum
+(three-level hierarchical scan), so the plan holds at corpus scale
+while the DuckDB oracle states the same semantics as the single
+global window it would be on one node.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import read_table
+from ..operators.prefix import exclusive_cumsum
+from .registry import query
+
+_PACK_BUDGET = 512
+# Narrow widths locally so all three prefix levels are genuinely
+# exercised at test scale (sf0.01's 500 docs -> 8 buckets / 1 super;
+# sf0.1 -> 79 buckets / 5 supers).  Deploy uses the 4096 defaults.
+_BUCKET_W, _SUPER_W = 64, 16
+
+
+@query(
+    "pack_sequences",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split_regex(lower(text), '\s+')) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS tokens_before
+      FROM t
+    )
+    SELECT CAST(floor(tokens_before / {_PACK_BUDGET}) AS BIGINT) AS seq_id,
+           count(*)        AS n_docs,
+           sum(n_tokens)   AS seq_tokens,
+           min(doc_id)     AS first_doc,
+           max(doc_id)     AS last_doc
+    FROM c GROUP BY 1
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into {budget}-token training sequences by key
+    order: seq_id = floor(exclusive-prefix-sum(tokens) / budget),
+    then per-sequence accounting (doc count, token count, doc-id
+    range).  The prefix sum is the distributed three-level scan --
+    no unpartitioned window ever sees more than a bucket -- and the
+    final accounting is an ordinary partial aggregation on seq_id.
+    The oracle states the identical semantics as the global window
+    DuckDB can afford on one node."""
+    d = read_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.size(F.split(F.lower(F.col("text")), r"\s+")).alias("n_tokens"),
+    )
+    c = exclusive_cumsum(
+        t,
+        "doc_id",
+        "n_tokens",
+        out="tokens_before",
+        bucket_width=_BUCKET_W,
+        super_width=_SUPER_W,
+    )
+    return (
+        c.select(
+            F.floor(F.col("tokens_before") / _PACK_BUDGET)
+            .cast("bigint")
+            .alias("seq_id"),
+            "n_tokens",
+            "doc_id",
+        )
+        .groupBy("seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("seq_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+pack_sequences.__doc__ = pack_sequences.__doc__.format(budget=_PACK_BUDGET)
+
+
+@query(
+    "running_corpus_tokens",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(string_split_regex(lower(text), '\s+')) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, source, n_tokens,
+           coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) + n_tokens AS running_total
+    FROM t
+    """,
+)
+def running_corpus_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global running token total per document in key order (the
+    inclusive prefix sum) -- the curriculum/checkpoint bookkeeping
+    query ("how many tokens precede document X?").  Inclusive = the
+    exclusive three-level scan plus the row's own count; same
+    distributed shape as pack_sequences, per-row output."""
+    d = read_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.lower(F.col("text")), r"\s+")).alias("n_tokens"),
+    )
+    c = exclusive_cumsum(
+        t,
+        "doc_id",
+        "n_tokens",
+        out="tokens_before",
+        bucket_width=_BUCKET_W,
+        super_width=_SUPER_W,
+    )
+    return c.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        (F.col("tokens_before") + F.col("n_tokens")).alias("running_total"),
+    )

@@ -111,3 +111,51 @@ def test_incremental_lsh_matches_batch(spark, sf_dir):
     assert got == want
     # the appended store equals the batch signatures of the new docs
     assert new_sigs.count() == band_signatures(new_docs).count()
+
+
+# ---------------------------------------------------------------------------
+# Distributed prefix sum (operators/prefix.py)
+# ---------------------------------------------------------------------------
+def test_exclusive_cumsum_matches_global_window(spark):
+    """Three-level hierarchical prefix sum == the single global window
+    it replaces, on sparse keys with widths small enough that every
+    level is exercised (multiple buckets AND multiple super-buckets)."""
+    from pyspark.sql.window import Window
+
+    from mvp_mini_etl_pipeline_1762840347_spark.operators.prefix import (
+        exclusive_cumsum,
+    )
+
+    rows = [(k * 7 + 3, (k * 37) % 11 + 1) for k in range(200)]
+    df = spark.createDataFrame(rows, "key long, v long").repartition(8)
+    got = exclusive_cumsum(
+        df, "key", "v", bucket_width=16, super_width=4
+    )
+    w = Window.orderBy("key").rowsBetween(Window.unboundedPreceding, -1)
+    want = df.withColumn(
+        "cumsum_before", F.coalesce(F.sum("v").over(w), F.lit(0))
+    )
+    assert sorted(got.collect(), key=lambda r: r.key) == sorted(
+        want.collect(), key=lambda r: r.key
+    )
+    assert got.columns == ["key", "v", "cumsum_before"]
+
+
+def test_exclusive_cumsum_single_bucket_edge(spark):
+    """Degenerate case: everything lands in one bucket/super -- the
+    operator must still agree (offsets all zero)."""
+    from pyspark.sql.window import Window
+
+    from mvp_mini_etl_pipeline_1762840347_spark.operators.prefix import (
+        exclusive_cumsum,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "key long, v long"
+    )
+    got = exclusive_cumsum(df, "key", "v")
+    w = Window.orderBy("key").rowsBetween(Window.unboundedPreceding, -1)
+    want = df.withColumn(
+        "cumsum_before", F.coalesce(F.sum("v").over(w), F.lit(0))
+    )
+    assert sorted(got.collect()) == sorted(want.collect())
