@@ -753,3 +753,58 @@ def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_session.select(stage.alias("stage")).groupBy("stage").agg(
         F.count("*").alias("n_sessions")
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval self-join (view -> click pairs within a horizon)
+# ---------------------------------------------------------------------------
+@query(
+    "events_view_click_pairs",
+    oracle="""
+    SELECT v.user_id,
+           v.event_id                              AS view_id,
+           c.event_id                              AS click_id,
+           epoch_us(c.ts) - epoch_us(v.ts)         AS delay_us
+    FROM events v
+    JOIN events c
+      ON v.user_id = c.user_id
+     AND v.event_type = 'view' AND c.event_type = 'click'
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+    """,
+)
+def events_view_click_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval self-join: every click within 30 minutes after a view
+    by the same user (the impression-attribution primitive).  The join
+    is an EQUI-join on user_id with the time range as a residual
+    predicate, so it shuffles each side once on the user key -- never
+    a theta join -- and per-user match work is bounded by the horizon.
+    This is the batch twin of streaming/jobs.view_click_join_stream
+    (same predicate as a watermarked stream-stream join), parity-
+    tested in tests/test_streaming.py."""
+    e = _events(spark, sf_dir)
+    v = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    return (
+        v.join(
+            c,
+            (v.user_id == c.c_user_id)
+            & (c.click_ts >= v.view_ts)
+            & (c.click_ts <= v.view_ts + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .select(
+            "user_id",
+            "view_id",
+            "click_id",
+            (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias(
+                "delay_us"
+            ),
+        )
+    )

@@ -156,3 +156,93 @@ def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("dropped").alias("n_dropped"),
         (F.count("*") - F.count("dropped")).alias("n_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank (2 unrolled iterations) over the candidate graph
+# ---------------------------------------------------------------------------
+_PR_DAMP = 0.85
+
+
+@query(
+    "pagerank_candidates",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT doc_a, doc_b FROM ({_MINHASH_PAIRS_SQL})
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    deg AS (SELECT a, count(*) AS d FROM edges GROUP BY a),
+    n AS (SELECT count(*) AS c FROM deg),
+    pr0 AS (SELECT deg.a, deg.d, 1.0 / n.c AS pr FROM deg CROSS JOIN n),
+    agg1 AS (
+      SELECT e.b AS a, sum(p.pr / p.d) AS inflow
+      FROM edges e JOIN pr0 p ON e.a = p.a GROUP BY e.b
+    ),
+    pr1 AS (
+      SELECT deg.a, deg.d,
+             {1 - _PR_DAMP} / n.c + {_PR_DAMP} * coalesce(agg1.inflow, 0) AS pr
+      FROM deg CROSS JOIN n LEFT JOIN agg1 ON deg.a = agg1.a
+    ),
+    agg2 AS (
+      SELECT e.b AS a, sum(p.pr / p.d) AS inflow
+      FROM edges e JOIN pr1 p ON e.a = p.a GROUP BY e.b
+    ),
+    pr2 AS (
+      SELECT deg.a,
+             {1 - _PR_DAMP} / n.c + {_PR_DAMP} * coalesce(agg2.inflow, 0) AS pr
+      FROM deg CROSS JOIN n LEFT JOIN agg2 ON deg.a = agg2.a
+    )
+    SELECT a AS doc_id, round(pr, 8) AS pagerank FROM pr2
+    """,
+)
+def pagerank_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 2 deterministic iterations) over the
+    LSH candidate graph: ranks the "hubs" of near-duplicate evidence,
+    the centrality signal for picking cluster canonicals by
+    connectivity rather than min-id.  Each iteration is one edge-keyed
+    equi-join plus one aggregation -- the Pregel round as DataFrames,
+    same loop discipline as connected_components; the node count is a
+    1-row broadcast.  The oracle unrolls both iterations in SQL, so
+    the iterative operator is still value-checked end-to-end.  On a
+    symmetric graph every node has indegree >= 1, but the LEFT join +
+    coalesce keeps the form correct for directed deployments."""
+    pairs = minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = edges.groupBy("a").agg(F.count("*").alias("d"))
+    n = deg.agg(F.count("*").alias("c"))
+    state = deg.crossJoin(F.broadcast(n)).select(
+        "a", "d", "c", (F.lit(1.0) / F.col("c")).alias("pr")
+    )
+    for _ in range(2):
+        inflow = (
+            edges.join(state, edges.a == state.a)
+            .groupBy(edges["b"].alias("node"))
+            .agg(F.sum(F.col("pr") / F.col("d")).alias("inflow"))
+        )
+        state = (
+            deg.crossJoin(F.broadcast(n))
+            .join(inflow, deg.a == inflow.node, "left")
+            .select(
+                "a",
+                "d",
+                "c",
+                (
+                    F.lit(1 - _PR_DAMP) / F.col("c")
+                    + F.lit(_PR_DAMP) * F.coalesce("inflow", F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    return state.select(
+        F.col("a").alias("doc_id"), F.round("pr", 8).alias("pagerank")
+    )

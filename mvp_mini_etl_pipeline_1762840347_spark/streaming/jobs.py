@@ -402,3 +402,45 @@ def incremental_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def view_click_join_stream(
+    events: DataFrame, watermark: str = "1 hour", horizon: str = "30 minutes"
+) -> DataFrame:
+    """Stream-stream interval self-join: clicks matched to the same
+    user's preceding views within the horizon -- the streaming twin of
+    plans/events.events_view_click_pairs (identical predicate, parity-
+    tested).  Both sides carry a watermark and the join condition
+    bounds event-time distance, so Spark can expire join state: a view
+    is dropped from state once the click-side watermark passes
+    view_ts + horizon.  Unbounded-state stream joins are exactly what
+    this form avoids at topic scale."""
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    return views.join(
+        clicks,
+        (views.user_id == clicks.c_user_id)
+        & (clicks.click_ts >= views.view_ts)
+        & (clicks.click_ts <= views.view_ts + F.expr(f"INTERVAL {horizon}")),
+    ).select(
+        "user_id",
+        "view_id",
+        "click_id",
+        (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias("delay_us"),
+    )

@@ -294,3 +294,26 @@ def test_incremental_dedup_stream_full_parity(spark, sf_dir, tmp_path_factory):
     # the store grew by the new batch's signatures
     n_store = spark.read.parquet(store_path).count()
     assert n_store == band_signatures(old).count() + new_sigs.count()
+
+
+def test_view_click_join_stream_matches_batch(spark, sf_dir, events_dir):
+    """Stream-stream interval join == the batch interval self-join
+    (inner joins emit on match, so the full-input replay is exact)."""
+    ev = jobs.stream_events(spark, events_dir)
+    q = jobs.run_to_memory(
+        jobs.view_click_join_stream(ev), "vc_join_out", output_mode="append"
+    )
+    try:
+        got = sorted(
+            (r["user_id"], r["view_id"], r["click_id"], r["delay_us"])
+            for r in spark.sql("SELECT * FROM vc_join_out").collect()
+        )
+        want = sorted(
+            (r["user_id"], r["view_id"], r["click_id"], r["delay_us"])
+            for r in plans.QUERIES["events_view_click_pairs"](
+                spark, sf_dir
+            ).collect()
+        )
+        assert got == want and len(got) > 0
+    finally:
+        q.stop()
