@@ -919,3 +919,48 @@ def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Zone map (data-skipping statistics per key range)
+# ---------------------------------------------------------------------------
+_ZONE_W = 5_000
+
+
+@query(
+    "zone_map_lineitem",
+    oracle=f"""
+    SELECT CAST(floor(l_orderkey / {_ZONE_W}) AS BIGINT) AS zone,
+           count(*)                     AS n_rows,
+           min(l_shipdate)              AS min_shipdate,
+           max(l_shipdate)              AS max_shipdate,
+           round(min(l_extendedprice), 2) AS min_price,
+           round(max(l_extendedprice), 2) AS max_price
+    FROM lineitem GROUP BY 1
+    """,
+)
+def zone_map_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone map over the fact table: per key-range zone, row count and
+    min/max of the filter columns -- the data-skipping index that lets
+    a 100 TB scan drop whole zones when a predicate falls outside
+    [min, max] (what Parquet row-group stats / Delta file stats do,
+    materialized as a queryable table for planning and monitoring).
+    One partial-aggregating scan; maintenance under append is
+    per-new-zone incremental.  Pairs with operators/scale.py::
+    read_pruned, which demonstrates the same idea at directory
+    granularity via PartitionFilters."""
+    li = read_table(spark, sf_dir, "lineitem")
+    zone = F.floor(F.col("l_orderkey") / _ZONE_W).cast("bigint")
+    return (
+        li.select(
+            zone.alias("zone"), "l_shipdate", "l_extendedprice"
+        )
+        .groupBy("zone")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("l_shipdate").alias("min_shipdate"),
+            F.max("l_shipdate").alias("max_shipdate"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        )
+    )

@@ -542,3 +542,108 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(-F.log("p")), 4).alias("avg_nll"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-distribution entropy per corpus slice
+# ---------------------------------------------------------------------------
+@query(
+    "text_token_entropy",
+    oracle=r"""
+    WITH t AS (
+      SELECT lang, source,
+             unnest(string_split_regex(lower(text), '\s+')) AS tok
+      FROM documents
+    ),
+    c AS (
+      SELECT lang, source, tok, count(*) AS c
+      FROM t GROUP BY 1, 2, 3
+    )
+    SELECT lang, source,
+           sum(c)                                            AS total_tokens,
+           count(*)                                          AS vocab,
+           round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6)    AS entropy_nats
+    FROM c GROUP BY lang, source
+    """,
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the token distribution per (lang, source)
+    slice -- the corpus-diversity diagnostic (low entropy = templated
+    or repetitive source; a drop between snapshots flags collapse).
+    Uses the algebraic identity H = ln T - (sum c*ln c)/T so entropy
+    falls out of ONE aggregation over per-token counts: token counts
+    partial-aggregate map-side on (lang, source, tok), then the slice
+    rollup is a second tiny aggregation -- no per-token probability
+    join, no second scan of the corpus."""
+    d = _docs(spark, sf_dir)
+    t = d.select(
+        "lang", "source", F.explode(_toks(F.col("text"))).alias("tok")
+    )
+    c = t.groupBy("lang", "source", "tok").agg(F.count("*").alias("c"))
+    return c.groupBy("lang", "source").agg(
+        F.sum("c").alias("total_tokens"),
+        F.count("*").alias("vocab"),
+        F.round(
+            F.log(F.sum("c"))
+            - F.sum(F.col("c") * F.log("c")) / F.sum("c"),
+            6,
+        ).alias("entropy_nats"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Source-vs-corpus distribution shift (KL divergence)
+# ---------------------------------------------------------------------------
+@query(
+    "text_source_divergence",
+    oracle=r"""
+    WITH t AS (
+      SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS tok
+      FROM documents
+    ),
+    s AS (SELECT source, tok, count(*) AS cs FROM t GROUP BY 1, 2),
+    st AS (SELECT source, sum(cs) AS ts FROM s GROUP BY 1),
+    g AS (SELECT tok, sum(cs) AS cg FROM s GROUP BY 1),
+    gt AS (SELECT sum(cg) AS tg FROM g)
+    SELECT s.source,
+           st.ts                                     AS total_tokens,
+           round(sum((CAST(s.cs AS DOUBLE) / st.ts)
+                     * ln((CAST(s.cs AS DOUBLE) / st.ts)
+                          / (CAST(g.cg AS DOUBLE) / gt.tg))), 6)
+             AS kl_vs_corpus_nats
+    FROM s
+    JOIN st ON s.source = st.source
+    JOIN g  ON s.tok = g.tok
+    CROSS JOIN gt
+    GROUP BY s.source, st.ts
+    """,
+)
+def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence of each source's token distribution from the
+    whole-corpus distribution -- the distribution-shift monitor that
+    catches a crawler or source going off the rails between snapshots.
+    One explode feeds per-(source, token) counts; the corpus marginal
+    is a second aggregation OF THOSE COUNTS (vocabulary-sized, never
+    rescanning the corpus); the final join is token-keyed against the
+    vocabulary table with the two totals broadcast.  KL >= 0 always;
+    a source identical to the corpus mix scores ~0."""
+    d = _docs(spark, sf_dir)
+    t = d.select("source", F.explode(_toks(F.col("text"))).alias("tok"))
+    s = t.groupBy("source", "tok").agg(F.count("*").alias("cs"))
+    st = s.groupBy("source").agg(F.sum("cs").alias("ts"))
+    g = s.groupBy("tok").agg(F.sum("cs").alias("cg"))
+    gt = g.agg(F.sum("cg").alias("tg"))
+    ps = F.col("cs").cast("double") / F.col("ts")
+    pg = F.col("cg").cast("double") / F.col("tg")
+    return (
+        s.join(F.broadcast(st), "source")
+        .join(g, "tok")
+        .crossJoin(F.broadcast(gt))
+        .groupBy("source", "ts")
+        .agg(F.round(F.sum(ps * F.log(ps / pg)), 6).alias("kl_vs_corpus_nats"))
+        .select(
+            "source",
+            F.col("ts").alias("total_tokens"),
+            "kl_vs_corpus_nats",
+        )
+    )
