@@ -373,3 +373,221 @@ def sketch_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("overestimate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (membership sketch + false-positive accounting)
+# ---------------------------------------------------------------------------
+_BLOOM_M = 65_536  # bits
+_BLOOM_K = 4  # hash functions
+
+
+def _bloom_pos_sql(j: str, key: str) -> str:
+    expr = f"CAST({j} AS VARCHAR) || '_' || CAST({key} AS VARCHAR)"
+    return f"{_h60_sql(expr)} % {_BLOOM_M}"
+
+
+_BLOOM_SQL = rf"""
+    WITH keys AS (SELECT DISTINCT c_custkey AS k FROM customer),
+    bits AS (
+      SELECT DISTINCT {_bloom_pos_sql("d.j", "keys.k")} AS pos
+      FROM keys CROSS JOIN (SELECT unnest(range({_BLOOM_K})) AS j) d
+    ),
+    mx AS (SELECT max(k) AS mk FROM keys),
+    probes AS (
+      SELECT k AS probe_key, TRUE AS actually_present
+      FROM (SELECT k FROM keys ORDER BY k LIMIT 10)
+      UNION ALL
+      SELECT mx.mk + i.i, FALSE
+      FROM mx CROSS JOIN (SELECT unnest(range(1, 11)) AS i) i
+    ),
+    cells AS (
+      SELECT p.probe_key, p.actually_present,
+             {_bloom_pos_sql("d.j", "p.probe_key")} AS pos
+      FROM probes p CROSS JOIN (SELECT unnest(range({_BLOOM_K})) AS j) d
+    )
+    SELECT c.probe_key, c.actually_present,
+           bool_and(b.pos IS NOT NULL) AS bloom_positive
+    FROM cells c LEFT JOIN bits b ON c.pos = b.pos
+    GROUP BY 1, 2
+"""
+
+
+@query("sketch_bloom_membership", oracle=_BLOOM_SQL)
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter (m={m} bits, k={k} hashes) over the customer key
+    set, probed with 10 known-present and 10 known-absent keys.  A
+    probe is positive iff ALL k bit positions are occupied -- no false
+    negatives ever; the absent probes expose the false-positive rate
+    the (m, k, n) sizing buys.  Same portable md5 hashing as the other
+    sketches, so the DuckDB oracle reproduces the exact bit pattern.
+
+    Plan shape: k positions explode per DISTINCT key, then the bit
+    set dedups to at most m rows -- the full filter is a <= m-row
+    DataFrame that BROADCASTS to the probe join (this is precisely the
+    runtime-filter side of a broadcast bloom join: build once from the
+    dim side, probe the fact side for free).  At 100 TB the build
+    side's explode happens after a keyed dedup shuffle; the filter
+    itself never exceeds m rows regardless of input size."""
+    c = read_table(spark, sf_dir, "customer")
+    keys = c.select(F.col("c_custkey").alias("k")).distinct()
+    jcol = F.explode(F.array(*[F.lit(i) for i in range(_BLOOM_K)])).alias("j")
+
+    def _pos(j: Column, key: Column) -> Column:
+        return (
+            _h60(F.concat_ws("_", j.cast("string"), key.cast("string")))
+            % _BLOOM_M
+        )
+
+    bits = (
+        keys.select("k", jcol)
+        .select(_pos(F.col("j"), F.col("k")).alias("pos"))
+        .distinct()
+    )
+    mx = keys.agg(F.max("k").alias("mk"))
+    present = keys.orderBy("k").limit(10).select(
+        F.col("k").alias("probe_key"), F.lit(True).alias("actually_present")
+    )
+    absent = (
+        mx.select(
+            F.explode(F.sequence(F.lit(1), F.lit(10))).alias("i"), "mk"
+        )
+        .select(
+            (F.col("mk") + F.col("i")).alias("probe_key"),
+            F.lit(False).alias("actually_present"),
+        )
+    )
+    probes = present.unionByName(absent)
+    cells = probes.select(
+        "probe_key", "actually_present", jcol
+    ).select(
+        "probe_key",
+        "actually_present",
+        _pos(F.col("j"), F.col("probe_key")).alias("pos"),
+    )
+    return (
+        cells.join(
+            F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left"
+        )
+        .groupBy("probe_key", "actually_present")
+        .agg(F.bool_and(F.col("hit").isNotNull()).alias("bloom_positive"))
+    )
+
+
+sketch_bloom_membership.__doc__ = sketch_bloom_membership.__doc__.format(
+    m=_BLOOM_M, k=_BLOOM_K
+)
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch (approximate percentiles from fixed bins)
+# ---------------------------------------------------------------------------
+_QH_LO = 0.0  # price domain lower bound
+_QH_W = 2_000  # bin width
+_QH_BINS = 256  # fits o_totalprice's [1k, 500k) domain
+
+
+_QH_SQL = rf"""
+    WITH cells AS (
+      SELECT CAST(least(floor((o_totalprice - {_QH_LO}) / {_QH_W}),
+                        {_QH_BINS - 1}) AS BIGINT) AS cell,
+             count(*) AS c
+      FROM orders GROUP BY 1
+    ),
+    cum AS (
+      SELECT cell, c,
+             coalesce(sum(c) OVER (ORDER BY cell
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS cum_before
+      FROM cells
+    ),
+    n AS (SELECT count(*) AS n, quantile_cont(o_totalprice, 0.50) AS ex50,
+                 quantile_cont(o_totalprice, 0.95) AS ex95,
+                 quantile_cont(o_totalprice, 0.99) AS ex99
+          FROM orders),
+    qs AS (SELECT unnest([0.50, 0.95, 0.99]) AS q),
+    hit AS (
+      SELECT qs.q, min(cum.cell) AS cell
+      FROM qs CROSS JOIN n JOIN cum ON cum.cum_before + cum.c >= qs.q * n.n
+      GROUP BY qs.q
+    )
+    SELECT h.q,
+           round({_QH_LO} + h.cell * {_QH_W}
+                 + {_QH_W} * (h.q * n.n - cum.cum_before) / cum.c, 2) AS est,
+           round(CASE h.q WHEN 0.50 THEN n.ex50
+                          WHEN 0.95 THEN n.ex95 ELSE n.ex99 END, 2)  AS exact,
+           round(100.0 * (({_QH_LO} + h.cell * {_QH_W}
+                 + {_QH_W} * (h.q * n.n - cum.cum_before) / cum.c)
+                 / CASE h.q WHEN 0.50 THEN n.ex50
+                            WHEN 0.95 THEN n.ex95 ELSE n.ex99 END - 1.0),
+                 2) AS rel_err_pct
+    FROM hit h JOIN cum ON cum.cell = h.cell CROSS JOIN n
+"""
+
+
+@query("sketch_quantile_hist", oracle=_QH_SQL)
+def sketch_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p50/p95/p99 of order totals from a {bins}-cell
+    equi-width histogram with linear interpolation inside the hit
+    cell -- the fixed-memory quantile sketch (t-digest/KLL's simple
+    cousin) for columns with a known domain.  One scan partial-
+    aggregates into <= {bins} cells; every later step (cumulative
+    walk, quantile probe, interpolation) runs on the tiny cell table,
+    so estimating any number of percentiles of a 100 TB column costs
+    one pass + epsilon.  The exact percentiles (both engines use
+    linear interpolation on the sorted column) ride along to expose
+    the bin-width error."""
+    o = read_table(spark, sf_dir, "orders")
+    cell = F.least(
+        F.floor((F.col("o_totalprice") - _QH_LO) / _QH_W),
+        F.lit(_QH_BINS - 1),
+    ).cast("bigint")
+    cells = o.select(cell.alias("cell")).groupBy("cell").agg(
+        F.count("*").alias("c")
+    )
+    from pyspark.sql.window import Window
+
+    # Window over the <=256-row cell aggregate: bounded by
+    # construction, same discipline as the sketch folds above.
+    wc = Window.orderBy("cell").rowsBetween(Window.unboundedPreceding, -1)
+    cum = cells.withColumn(
+        "cum_before", F.coalesce(F.sum("c").over(wc), F.lit(0))
+    )
+    n = o.agg(
+        F.count("*").alias("n"),
+        F.percentile("o_totalprice", F.lit(0.50)).alias("ex50"),
+        F.percentile("o_totalprice", F.lit(0.95)).alias("ex95"),
+        F.percentile("o_totalprice", F.lit(0.99)).alias("ex99"),
+    )
+    qdf = cum.sparkSession.createDataFrame(
+        [(0.50,), (0.95,), (0.99,)], "q double"
+    )
+    hit = (
+        qdf.crossJoin(F.broadcast(n))
+        .join(cum, F.col("cum_before") + F.col("c") >= F.col("q") * F.col("n"))
+        .groupBy("q")
+        .agg(F.min("cell").alias("cell"))
+    )
+    est = (
+        F.lit(_QH_LO)
+        + F.col("cell") * _QH_W
+        + _QH_W * (F.col("q") * F.col("n") - F.col("cum_before")) / F.col("c")
+    )
+    exact = (
+        F.when(F.col("q") == 0.50, F.col("ex50"))
+        .when(F.col("q") == 0.95, F.col("ex95"))
+        .otherwise(F.col("ex99"))
+    )
+    return (
+        hit.join(cum, "cell")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "q",
+            F.round(est, 2).alias("est"),
+            F.round(exact, 2).alias("exact"),
+            F.round(100.0 * (est / exact - 1.0), 2).alias("rel_err_pct"),
+        )
+    )
+
+
+sketch_quantile_hist.__doc__ = sketch_quantile_hist.__doc__.format(bins=_QH_BINS)

@@ -444,3 +444,81 @@ def view_click_join_stream(
         "click_id",
         (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias("delay_us"),
     )
+
+
+def merge_stream_into_snapshot_table(
+    spark: SparkSession, events: DataFrame, table_root: str
+) -> StreamingQuery:
+    """Transactional streaming merge: every micro-batch's per-user
+    aggregate deltas are merged into a SnapshotTable
+    (operators/table_format.py) as ONE atomic snapshot commit, with a
+    batch-id high-water mark making retried batches no-ops.
+
+    foreachBatch alone is at-least-once across failures (a batch can
+    re-run after a crash between sink write and checkpoint commit);
+    pairing it with an idempotence guard keyed on batch_id upgrades
+    the sink to exactly-once -- precisely the txn-version check Delta's
+    `txnAppId`/`txnVersion` and Iceberg's WAP commit run internally.
+    Readers meanwhile only ever see complete snapshots (pointer swap
+    is atomic), so a crashed commit leaves garbage, not corruption."""
+    from ..operators.table_format import SnapshotTable
+
+    table = SnapshotTable(spark, table_root)
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        snapshot_merge_step(table, batch_df, batch_id)
+
+    return (
+        events.writeStream.foreachBatch(_merge)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", table_root + "_chk")
+        .start()
+    )
+
+
+def snapshot_merge_step(table, batch_df: DataFrame, batch_id: int) -> bool:
+    """One exactly-once merge step (the foreachBatch body, exposed for
+    direct retry testing): skip if batch_id is at or below the
+    committed high-water mark, else additively merge the batch's
+    per-user deltas and commit one snapshot + advance the mark.
+    Returns True if the batch was applied, False if skipped."""
+    import os
+
+    hw_path = os.path.join(table.root, "_LAST_BATCH")
+    try:
+        with open(hw_path) as f:
+            applied = int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        applied = -1
+    if batch_id <= applied:
+        return False  # retried batch: already committed, exactly-once no-op
+    delta = batch_df.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum("value").alias("total_value"),
+    )
+    if table.current_snapshot() is None:
+        merged = delta
+    else:
+        t = table.read().select(
+            F.col("user_id").alias("t_user"),
+            F.col("n_events").alias("t_n"),
+            F.col("total_value").alias("t_v"),
+        )
+        merged = delta.join(t, delta.user_id == t.t_user, "full_outer").select(
+            F.coalesce(delta.user_id, t.t_user).alias("user_id"),
+            (
+                F.coalesce(delta.n_events, F.lit(0)) + F.coalesce(t.t_n, F.lit(0))
+            ).alias("n_events"),
+            (
+                F.coalesce(delta.total_value, F.lit(0.0))
+                + F.coalesce(t.t_v, F.lit(0.0))
+            ).alias("total_value"),
+        )
+    # commit() writes the new snapshot BEFORE swapping the pointer, so
+    # the read above never races its own overwrite (unlike the plain-
+    # parquet variant, no cache barrier needed).
+    table.commit(merged)
+    with open(hw_path + ".tmp", "w") as f:
+        f.write(str(batch_id))
+    os.replace(hw_path + ".tmp", hw_path)
+    return True

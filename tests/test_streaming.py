@@ -317,3 +317,57 @@ def test_view_click_join_stream_matches_batch(spark, sf_dir, events_dir):
         assert got == want and len(got) > 0
     finally:
         q.stop()
+
+
+def test_snapshot_table_stream_merge_exactly_once(
+    spark, sf_dir, events_dir, tmp_path_factory
+):
+    """Streaming merge into the transactional SnapshotTable: result
+    equals the batch aggregate, commits are snapshot-isolated, and a
+    RETRIED micro-batch (same batch_id) is an exactly-once no-op."""
+    from mvp_mini_etl_pipeline_1762840347_spark.operators.table_format import (
+        SnapshotTable,
+    )
+
+    root = str(tmp_path_factory.mktemp("snap_tbl") / "t")
+    ev = jobs.stream_events(spark, events_dir)
+    q = jobs.merge_stream_into_snapshot_table(spark, ev, root)
+    q.awaitTermination(120)
+
+    table = SnapshotTable(spark, root)
+    got = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 2))
+        for r in table.read().collect()
+    }
+    want = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 2))
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .collect()
+    }
+    assert got == want
+
+    # Retry semantics: re-applying the last committed batch_id must be
+    # a no-op (no new snapshot, table content unchanged) -- the
+    # foreachBatch crash-replay scenario.
+    import os
+
+    last = int(open(os.path.join(root, "_LAST_BATCH")).read())
+    n_before = len(table.snapshots())
+    replay = spark.read.parquet(f"{sf_dir}/events.parquet")
+    applied = jobs.snapshot_merge_step(table, replay, last)
+    assert applied is False
+    assert len(table.snapshots()) == n_before
+
+    # A NEW batch id (simulating the next micro-batch) must apply and
+    # double every count via the additive merge.
+    applied = jobs.snapshot_merge_step(table, replay, last + 1)
+    assert applied is True
+    doubled = {
+        r["user_id"]: r["n_events"] for r in table.read().collect()
+    }
+    assert doubled == {u: 2 * n for u, (n, _) in want.items()}
+    # time travel still sees the single-pass state
+    v0 = {r["user_id"]: r["n_events"] for r in table.read_version(0).collect()}
+    assert v0 == {u: n for u, (n, _) in want.items()}
