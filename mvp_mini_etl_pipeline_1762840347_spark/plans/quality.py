@@ -400,3 +400,120 @@ def corpus_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_unique_kept"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis-Spirakis keys)
+# ---------------------------------------------------------------------------
+_WS_K = 25
+
+
+@query(
+    "sample_weighted",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             ln(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                     AS DOUBLE) / {float(1 << 60)!r}) / n_chars AS lnkey
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, lang, n_chars, round(lnkey * 1e6, 4) AS lnkey_ppm
+    FROM keyed
+    ORDER BY lnkey DESC, doc_id LIMIT {_WS_K}
+    """,
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis):
+    each row draws key = ln(u)/w with u a deterministic hash-uniform
+    in (0,1) and w its weight (n_chars); the top-k keys are a true
+    weighted sample.  The log form keeps keys well-conditioned (the
+    naive u^(1/w) collapses toward 1.0 for large weights and drowns
+    in float round-off).  Hash-derived u makes the draw reproducible
+    on any engine/partitioning -- same discipline as the hash split.
+    Plan: narrow map + TakeOrdered top-k (per-partition heads, K rows
+    to one merge) -- no global sort, any corpus size."""
+    d = read_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .cast("double")
+        / float(1 << 60)
+    )
+    lnkey = F.log(u) / F.col("n_chars")
+    return (
+        d.select("doc_id", "lang", "n_chars", lnkey.alias("lnkey"))
+        .orderBy(F.col("lnkey").desc(), "doc_id")
+        .limit(_WS_K)
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.round(F.col("lnkey") * 1e6, 4).alias("lnkey_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Optimizer statistics collection (ANALYZE TABLE equivalent)
+# ---------------------------------------------------------------------------
+@query(
+    "table_stats_orders",
+    oracle="""
+    SELECT 'o_custkey'   AS col,
+           count(*)                     AS n_rows,
+           count(o_custkey)             AS n_nonnull,
+           count(DISTINCT o_custkey)    AS ndv,
+           CAST(min(o_custkey) AS VARCHAR) AS min_val,
+           CAST(max(o_custkey) AS VARCHAR) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*), count(o_orderstatus),
+           count(DISTINCT o_orderstatus),
+           min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*), count(o_totalprice),
+           count(DISTINCT o_totalprice),
+           CAST(round(min(o_totalprice), 2) AS VARCHAR),
+           CAST(round(max(o_totalprice), 2) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', count(*), count(o_orderdate),
+           count(DISTINCT o_orderdate),
+           strftime(min(o_orderdate), '%Y-%m-%d'),
+           strftime(max(o_orderdate), '%Y-%m-%d')
+    FROM orders
+    """,
+)
+def table_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimizer statistics collection (the ANALYZE TABLE ... COMPUTE
+    STATISTICS FOR COLUMNS shape): per column, row/non-null counts,
+    exact NDV and min/max rendered to a common type.  These are the
+    numbers a cost-based optimizer needs for join ordering and
+    broadcast decisions, and the engine's own monitoring needs for
+    drift alarms.  Each column's stats partial-aggregate in one pass;
+    at 100 TB swap exact NDV for the HLL sketch
+    (sketch_hll_distinct) column by column."""
+    o = read_table(spark, sf_dir, "orders")
+
+    def _stats(col: str, render) -> DataFrame:
+        return o.agg(
+            F.lit(col).alias("col"),
+            F.count("*").alias("n_rows"),
+            F.count(col).alias("n_nonnull"),
+            F.countDistinct(col).alias("ndv"),
+            render(F.min(col)).alias("min_val"),
+            render(F.max(col)).alias("max_val"),
+        )
+
+    as_str = lambda c: c.cast("string")  # noqa: E731
+    return (
+        _stats("o_custkey", as_str)
+        .unionByName(_stats("o_orderstatus", as_str))
+        .unionByName(
+            _stats("o_totalprice", lambda c: F.round(c, 2).cast("string"))
+        )
+        .unionByName(
+            _stats("o_orderdate", lambda c: F.date_format(c, "yyyy-MM-dd"))
+        )
+    )
