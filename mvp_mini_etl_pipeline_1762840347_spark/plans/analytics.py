@@ -964,3 +964,63 @@ def zone_map_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("l_extendedprice"), 2).alias("max_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized statistics (percentile-clipped robust mean)
+# ---------------------------------------------------------------------------
+@query(
+    "winsorized_pricing",
+    oracle="""
+    WITH q AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.05) AS p05,
+             quantile_cont(l_extendedprice, 0.95) AS p95
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           count(*)                                   AS n_rows,
+           round(avg(l.l_extendedprice), 4)           AS raw_mean,
+           round(avg(least(greatest(l.l_extendedprice, q.p05), q.p95)), 4)
+             AS winsorized_mean,
+           round(q.p05, 4)                            AS p05,
+           round(q.p95, 4)                            AS p95
+    FROM lineitem l JOIN q ON l.l_returnflag = q.l_returnflag
+    GROUP BY l.l_returnflag, q.p05, q.p95
+    """,
+)
+def winsorized_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (percentile-clipped) mean price per return flag --
+    the robust-statistics cleaning step that tames heavy tails before
+    training on a numeric feature.  Two passes: exact per-group p05/
+    p95 (both engines interpolate linearly on the sorted column),
+    then the handful of group bounds BROADCAST back onto the fact
+    scan for clip-and-average -- the fact table shuffles once for the
+    percentile aggregation and streams through the second pass
+    map-side.  At 100 TB swap the exact percentiles for
+    sketch_quantile_hist's histogram estimates, same join shape."""
+    li = read_table(spark, sf_dir, "lineitem")
+    q = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.05)).alias("p05"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("p95"),
+    )
+    clipped = F.least(
+        F.greatest(F.col("l_extendedprice"), F.col("p05")), F.col("p95")
+    )
+    return (
+        li.join(F.broadcast(q), "l_returnflag")
+        .groupBy("l_returnflag", "p05", "p95")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.avg("l_extendedprice"), 4).alias("raw_mean"),
+            F.round(F.avg(clipped), 4).alias("winsorized_mean"),
+        )
+        .select(
+            "l_returnflag",
+            "n_rows",
+            "raw_mean",
+            "winsorized_mean",
+            F.round("p05", 4).alias("p05"),
+            F.round("p95", 4).alias("p95"),
+        )
+    )

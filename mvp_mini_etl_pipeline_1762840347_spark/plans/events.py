@@ -808,3 +808,49 @@ def events_view_click_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# JSON round-trip + nested flatten (semi-structured plumbing)
+# ---------------------------------------------------------------------------
+@query(
+    "events_json_flatten",
+    oracle="""
+    SELECT event_type,
+           2 * count(*)                                        AS n_flat_rows,
+           round(sum(3 * value), 2)                            AS sum_vals,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def events_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured round trip: serialize each event to a nested
+    JSON document (struct + array + sub-struct via to_json), parse it
+    back with an explicit schema (from_json -- never schema inference
+    in the engine), explode the nested array, and aggregate the
+    flattened rows.  This is the landing-zone pattern for JSON topics
+    at scale: schema-on-read with a declared schema keeps the parse
+    inside codegen and lets pruning drop unused branches; the oracle
+    states the same result straight from the source columns, so any
+    mangling in serialize/parse/flatten would hash-mismatch."""
+    e = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    doc = F.to_json(
+        F.struct(
+            F.col("event_type"),
+            F.array(F.col("value"), F.col("value") * 2).alias("vals"),
+            F.struct(k.alias("k")).alias("meta"),
+        )
+    )
+    schema = "event_type string, vals array<double>, meta struct<k: bigint>"
+    parsed = e.select(F.from_json(doc, schema).alias("d"))
+    flat = parsed.select(
+        F.col("d.event_type").alias("event_type"),
+        F.col("d.meta.k").alias("k"),
+        F.explode("d.vals").alias("val"),
+    )
+    return flat.groupBy("event_type").agg(
+        F.count("*").alias("n_flat_rows"),
+        F.round(F.sum("val"), 2).alias("sum_vals"),
+        F.max("k").alias("max_k"),
+    )

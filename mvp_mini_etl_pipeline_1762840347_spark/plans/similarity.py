@@ -647,3 +647,89 @@ def embedding_centered_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("rn"), 4).alias("max_residual_norm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (dimensionality reduction)
+# ---------------------------------------------------------------------------
+_JL_OUT = 8  # target dims
+_JL_IN = 64  # source dims
+_JL_HEX = "0123456789abcdef"
+
+
+@query(
+    "embedding_jl_projection",
+    oracle=rf"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    p AS (
+      SELECT v.vec_id, v.e, j.j,
+             list_sum(list_transform(range(1, {_JL_IN + 1}),
+               i -> v.e[i] * (CASE WHEN (instr('{_JL_HEX}',
+                      substring(md5(CAST(i AS VARCHAR) || '_'
+                                    || CAST(j.j AS VARCHAR)), 1, 1)) - 1)
+                      % 2 = 1 THEN 1.0 ELSE -1.0 END)))
+               / sqrt({_JL_OUT}.0) AS pj
+      FROM v CROSS JOIN (SELECT unnest(range({_JL_OUT})) AS j) j
+    )
+    SELECT vec_id,
+           round(sqrt(list_dot_product(e, e)), 4)  AS norm_in,
+           round(sqrt(sum(pj * pj)), 4)            AS norm_out,
+           round(sqrt(sum(pj * pj))
+                 / sqrt(list_dot_product(e, e)), 4) AS distortion
+    FROM p GROUP BY vec_id, e
+    """,
+)
+def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection {din} -> {dout} dims
+    with a deterministic +/-1 sign matrix derived from md5(i_j) --
+    the embedding-pipeline compression step (cheap ANN pre-filter,
+    sketch transport) whose norm-preservation guarantee the output
+    exposes per vector (distortion = ||Px|| / ||x||, concentrated
+    around 1).  The sign matrix never materializes: each output
+    component folds over the input array with the sign recomputed
+    from the hash, so the whole projection is a NARROW map -- no
+    shuffle, no broadcast state, embarrassingly parallel at any
+    corpus size.  The oracle recomputes the identical fold in
+    DuckDB's list algebra."""
+    v = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("e")
+    )
+
+    def _sign(i: Column, j: Column) -> Column:
+        nib = F.instr(
+            F.lit(_JL_HEX),
+            F.substring(
+                F.md5(F.concat_ws("_", i.cast("string"), j.cast("string"))),
+                1,
+                1,
+            ),
+        ) - 1
+        return F.when(nib % 2 == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+    def _proj(j: Column) -> Column:
+        e = F.col("e")
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(_JL_IN)),
+            F.lit(0.0),
+            lambda acc, i: acc + F.element_at(e, i.cast("int")) * _sign(i, j),
+        ) / F.sqrt(F.lit(float(_JL_OUT)))
+
+    proj = F.transform(
+        F.sequence(F.lit(0), F.lit(_JL_OUT - 1)), lambda j: _proj(j)
+    )
+    norm_in = F.sqrt(_dot(F.col("e"), F.col("e")))
+    norm_out = F.sqrt(_dot(F.col("p"), F.col("p")))
+    return (
+        v.select("vec_id", "e", proj.alias("p"))
+        .select(
+            "vec_id",
+            F.round(norm_in, 4).alias("norm_in"),
+            F.round(norm_out, 4).alias("norm_out"),
+            F.round(norm_out / norm_in, 4).alias("distortion"),
+        )
+    )
+
+
+embedding_jl_projection.__doc__ = embedding_jl_projection.__doc__.format(
+    din=_JL_IN, dout=_JL_OUT
+)
