@@ -733,3 +733,128 @@ def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 embedding_jl_projection.__doc__ = embedding_jl_projection.__doc__.format(
     din=_JL_IN, dout=_JL_OUT
 )
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization codebooks (one training iteration per subspace)
+# ---------------------------------------------------------------------------
+_PQ_SUBS = 4  # subspaces
+_PQ_SUBDIM = _JL_IN // _PQ_SUBS  # 16 dims each
+_PQ_CODES = 4  # codes per subspace
+
+
+@query(
+    "pq_codebooks",
+    oracle=rf"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    sub AS (
+      SELECT v.vec_id, s.s,
+             v.e[s.s * {_PQ_SUBDIM} + 1 : (s.s + 1) * {_PQ_SUBDIM}] AS x
+      FROM v CROSS JOIN (SELECT unnest(range({_PQ_SUBS})) AS s) s
+    ),
+    seeds AS (
+      SELECT s, vec_id AS code, x AS c FROM sub WHERE vec_id < {_PQ_CODES}
+    ),
+    assigned AS (
+      SELECT sub.vec_id, sub.s, sub.x,
+             min_by(seeds.code,
+                    CAST(round(list_sum(list_transform(range(1, {_PQ_SUBDIM + 1}),
+                       i -> (sub.x[i] - seeds.c[i]) * (sub.x[i] - seeds.c[i])))
+                       * 10000, 0) AS BIGINT) * 1000 + seeds.code) AS code
+      FROM sub JOIN seeds ON sub.s = seeds.s
+      GROUP BY sub.vec_id, sub.s, sub.x
+    ),
+    recomputed AS (
+      SELECT s, code, p.pos, round(avg(x[p.pos]), 6) AS cv
+      FROM assigned
+      CROSS JOIN (SELECT unnest(range(1, {_PQ_SUBDIM + 1})) AS pos) p
+      GROUP BY s, code, p.pos
+    )
+    SELECT r.s                       AS subspace,
+           r.code,
+           a.n_assigned,
+           round(sqrt(sum(r.cv * r.cv)), 4) AS centroid_norm
+    FROM recomputed r
+    JOIN (SELECT s, code, count(*) AS n_assigned
+          FROM assigned GROUP BY s, code) a
+      ON a.s = r.s AND a.code = r.code
+    GROUP BY r.s, r.code, a.n_assigned
+    """,
+)
+def pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codebook training, one k-means iteration
+    per subspace: split every {din}-dim embedding into {subs} x
+    {subdim}-dim subvectors, assign each subvector to its nearest of
+    {codes} seed centroids by L2 (distance quantized to 1e-4 and
+    packed with the code into one integer key so argmin + tiebreak
+    are engine-independent), recompute the codebooks as per-(subspace,
+    code, dim) means -- the compression step behind IVF-PQ ANN
+    indexes (a vector stores {subs} small codes instead of {din}
+    floats).  The subspace split is a narrow slice fan-out ({subs}
+    rows per vector); assignment is a broadcast of the {subs}x{codes}
+    seed table with the distance folded over the subvector; the
+    recompute shuffles (subspace, code, dim) partial means, never
+    whole vectors -- kmeans_2iter's discipline, applied per subspace
+    in the SAME job."""
+    v = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("e")
+    )
+    sub = v.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_PQ_SUBS - 1))).alias("s"),
+        "e",
+    ).select(
+        "vec_id",
+        "s",
+        F.slice(
+            F.col("e"), F.col("s") * _PQ_SUBDIM + 1, _PQ_SUBDIM
+        ).alias("x"),
+    )
+    seeds = sub.filter(F.col("vec_id") < _PQ_CODES).select(
+        F.col("s").alias("c_s"), F.col("vec_id").alias("code"), F.col("x").alias("c")
+    )
+
+    def _l2(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    assigned = (
+        sub.join(F.broadcast(seeds), sub.s == seeds.c_s)
+        .groupBy("vec_id", "s", "x")
+        .agg(
+            F.min_by(
+                "code",
+                F.round(_l2(F.col("x"), F.col("c")) * 10000, 0).cast("bigint")
+                * 1000
+                + F.col("code"),
+            ).alias("code")
+        )
+    )
+    recomputed = (
+        assigned.select("s", "code", F.posexplode("x").alias("pos", "val"))
+        .withColumn("pos", F.col("pos") + 1)
+        .groupBy("s", "code", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("cv"))
+    )
+    counts = assigned.groupBy("s", "code").agg(
+        F.count("*").alias("n_assigned")
+    )
+    return (
+        recomputed.groupBy(F.col("s").alias("subspace"), "code")
+        .agg(F.round(F.sqrt(F.sum(F.col("cv") * F.col("cv"))), 4).alias("centroid_norm"))
+        .join(
+            counts.select(
+                F.col("s").alias("subspace"), "code", "n_assigned"
+            ),
+            ["subspace", "code"],
+        )
+        .select("subspace", "code", "n_assigned", "centroid_norm")
+    )
+
+
+pq_codebooks.__doc__ = pq_codebooks.__doc__.format(
+    din=_JL_IN, subs=_PQ_SUBS, subdim=_PQ_SUBDIM, codes=_PQ_CODES
+)
