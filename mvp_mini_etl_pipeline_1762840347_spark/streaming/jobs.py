@@ -522,3 +522,52 @@ def snapshot_merge_step(table, batch_df: DataFrame, batch_id: int) -> bool:
         f.write(str(batch_id))
     os.replace(hw_path + ".tmp", hw_path)
     return True
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """The running-totals operator on the transformWithState API
+    (Spark 4's arbitrary-stateful successor to applyInPandasWithState):
+    explicit ValueState per key, Arrow-batched input, the API that
+    also offers timers, TTL and multiple state variables for richer
+    operators.  Kept semantically identical to
+    running_user_totals_stream so the two APIs are directly
+    comparable (and parity-tested against the same batch aggregate).
+
+    Runtime requirement: the transformWithState Python runner speaks
+    protobuf to the JVM, so google.protobuf must be importable in the
+    worker environment; the parity test skips itself where it is not
+    (this container), while applyInPandasWithState twins stay the
+    always-runnable default."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", "n long, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType="user_id long, n_events long, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -117,3 +117,30 @@ def test_kmv_plan_is_take_ordered(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
+
+
+def test_bloom_no_false_negatives_and_probe_split(spark):
+    """Bloom invariant: every actually-present probe MUST be positive
+    (no false negatives, ever); absent probes may only err positive."""
+    rows = psk.sketch_bloom_membership(spark, SF).collect()
+    present = [r for r in rows if r["actually_present"]]
+    absent = [r for r in rows if not r["actually_present"]]
+    assert len(present) == 10 and len(absent) == 10
+    for r in present:
+        assert r["bloom_positive"], f"false negative on {r['probe_key']}"
+    # the sizing (m=64Ki, k=4, n<=15k keys) keeps FP rate well under 1:
+    # not all absent probes may be positive.
+    assert any(not r["bloom_positive"] for r in absent)
+
+
+def test_quantile_hist_within_one_bin(spark):
+    """Histogram-quantile error is bounded by construction: the
+    interpolated estimate lives in the hit cell, so |est - exact|
+    can never exceed one bin width."""
+    rows = psk.sketch_quantile_hist(spark, SF).collect()
+    assert {r["q"] for r in rows} == {0.50, 0.95, 0.99}
+    for r in rows:
+        assert abs(r["est"] - r["exact"]) <= 2_000.0, r
+        # est must be monotone in q
+    by_q = sorted(rows, key=lambda r: r["q"])
+    assert by_q[0]["est"] <= by_q[1]["est"] <= by_q[2]["est"]

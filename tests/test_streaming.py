@@ -371,3 +371,44 @@ def test_snapshot_table_stream_merge_exactly_once(
     # time travel still sees the single-pass state
     v0 = {r["user_id"]: r["n_events"] for r in table.read_version(0).collect()}
     assert v0 == {u: n for u, (n, _) in want.items()}
+
+
+def _tws_runtime_available() -> bool:
+    # transformWithStateInPandas spawns a dedicated streaming Python
+    # runner that talks protobuf to the JVM; without google.protobuf
+    # the runner crashes at init, independent of our operator code.
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _tws_runtime_available(),
+    reason="transformWithState needs google.protobuf in the Python worker",
+)
+def test_transform_with_state_running_totals(spark, sf_dir, events_dir):
+    """transformWithState twin == the same batch aggregate (and thus
+    == the applyInPandasWithState form tested above)."""
+    ev = jobs.stream_events(spark, events_dir)
+    q = jobs.run_to_memory(
+        jobs.running_user_totals_tws(ev), "totals_tws_out", output_mode="update"
+    )
+    try:
+        rows = spark.sql(
+            "SELECT user_id, max(n_events) n FROM totals_tws_out GROUP BY user_id"
+        ).collect()
+        assert rows
+        batch_counts = {
+            r["user_id"]: r["n"]
+            for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        got = {r["user_id"]: r["n"] for r in rows}
+        assert got == batch_counts
+    finally:
+        q.stop()
