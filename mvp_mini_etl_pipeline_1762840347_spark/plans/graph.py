@@ -18,7 +18,7 @@ still gets a full value-checked oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from .dedup import _MINHASH_PAIRS_SQL, minhash_pairs
@@ -41,12 +41,13 @@ def connected_components(edges: DataFrame, src: str, dst: str) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    # The convergence probe is FUSED into each round: the node's
-    # previous label rides through the min-aggregation as a second
-    # column (max over exactly-one-non-null), so "did anything
-    # change" is a filter+count over the freshly checkpointed round
-    # output -- no separate join action, and convergence is detected
-    # the round it happens.
+    # The convergence probe is FUSED into each round twice over: the
+    # node's previous label rides through the min-aggregation as a
+    # second column (max over exactly-one-non-null), and the
+    # changed-count is attached to the round's plan as an Observation
+    # metric, so the eager localCheckpoint that materializes the round
+    # ALSO delivers the count -- one job per round, no separate
+    # count action, and convergence is detected the round it happens.
     label_type = dict(labels.dtypes)["label"]
     for _ in range(MAX_ITERS):
         neighbor_labels = both.join(
@@ -56,16 +57,22 @@ def connected_components(edges: DataFrame, src: str, dst: str) -> DataFrame:
             "label",
             F.lit(None).cast(label_type).alias("old"),
         )
+        probe = Observation()
         new_labels = (
             labels.select("node", "label", F.col("label").alias("old"))
             .unionByName(neighbor_labels)
             .groupBy("node")
             .agg(F.min("label").alias("label"), F.max("old").alias("old"))
+            .observe(
+                probe,
+                F.count(
+                    F.when(F.col("label") != F.col("old"), 1)
+                ).alias("changed"),
+            )
             .localCheckpoint()
         )
-        changed = new_labels.filter(F.col("label") != F.col("old")).count()
         labels = new_labels.drop("old")
-        if changed == 0:
+        if probe.get["changed"] == 0:
             break
     return labels.select("node", F.col("label").alias("cluster_id"))
 

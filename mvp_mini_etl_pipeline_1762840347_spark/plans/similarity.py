@@ -21,7 +21,7 @@ Scale notes
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -562,24 +562,32 @@ def kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds), reusing the 2-iter query's assign/recompute plan shapes
     and connected_components' driver-loop pattern (plans/graph.py:49):
     localCheckpoint each round truncates lineage so the plan never
-    grows, and the convergence probe is a keyed join + count -- a
-    bounded action, not a data collect.  At 100 TB the probe joins two
-    (vec_id, cluster) projections: shuffle-light, and worth checking
-    every round here since a k-means round (K x DIMS recompute + full
-    re-assign) costs far more than the probe."""
+    grows, and the convergence probe is an Observation metric attached
+    to the round's plan -- the eager checkpoint that materializes the
+    re-assignment also delivers the changed-count, so each round is
+    exactly ONE job (previously checkpoint + a separate count).  At
+    100 TB the probe is free by construction: it is computed inline
+    while the round's partitions stream through the checkpoint."""
     v = _km_vectors(spark, sf_dir).localCheckpoint()
     assigned = _km_assign(v, _km_seed(v)).localCheckpoint()
     for _ in range(1, _KM_MAX_ITERS):
-        # Re-assign with the previous cluster riding along: the
-        # convergence probe is then a filter+count over the freshly
-        # checkpointed partitions -- no join, no extra shuffle.
+        # Re-assign with the previous cluster riding along so the
+        # probe is a row-local comparison -- no join, no extra
+        # shuffle, and (via observe) no extra action.
         prev = assigned.withColumnRenamed("cluster", "prev")
-        nxt = _km_assign(
-            prev, _km_recompute(assigned), extra=("prev",)
-        ).localCheckpoint()
-        changed = nxt.filter(F.col("cluster") != F.col("prev")).count()
+        probe = Observation()
+        nxt = (
+            _km_assign(prev, _km_recompute(assigned), extra=("prev",))
+            .observe(
+                probe,
+                F.count(
+                    F.when(F.col("cluster") != F.col("prev"), 1)
+                ).alias("changed"),
+            )
+            .localCheckpoint()
+        )
         assigned = nxt.drop("prev")
-        if changed == 0:
+        if probe.get["changed"] == 0:
             break
     return assigned.groupBy(F.col("cluster").alias("cluster_id")).agg(
         F.count("*").alias("n_vectors")
