@@ -26,7 +26,7 @@ from .registry import query
     SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
            ELSE 'video' END              AS kind,
            count(*)                       AS n_media,
-           sum(octet_length(encode(text))) AS total_bytes,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
            round(avg(n_chars % 100), 2)   AS avg_frames
     FROM documents GROUP BY 1
     """,

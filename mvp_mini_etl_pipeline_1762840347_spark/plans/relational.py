@@ -415,7 +415,7 @@ def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sqrt(l_extendedprice), 4)        AS price_sqrt,
            round(ln(l_extendedprice + 1), 6)      AS price_ln,
            CAST(l_quantity AS BIGINT) % 7         AS qty_mod,
-           sign(l_discount - 0.05)                AS disc_sign
+           CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign
     FROM lineitem
     """,
 )
@@ -516,7 +516,7 @@ def grouping_sets_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
            qtys[-1]                          AS qty_max,
            array_to_string(qtys, ',')        AS qty_csv,
            list_contains(qtys, 40)           AS has_qty_40,
-           list_sum(qtys)                    AS qty_sum
+           CAST(list_sum(qtys) AS BIGINT)    AS qty_sum
     FROM a
     """,
 )

@@ -560,7 +560,7 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t GROUP BY 1, 2, 3
     )
     SELECT lang, source,
-           sum(c)                                            AS total_tokens,
+           CAST(sum(c) AS BIGINT)                            AS total_tokens,
            count(*)                                          AS vocab,
            round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6)    AS entropy_nats
     FROM c GROUP BY lang, source
@@ -606,7 +606,7 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     g AS (SELECT tok, sum(cs) AS cg FROM s GROUP BY 1),
     gt AS (SELECT sum(cg) AS tg FROM g)
     SELECT s.source,
-           st.ts                                     AS total_tokens,
+           CAST(st.ts AS BIGINT)                     AS total_tokens,
            round(sum((CAST(s.cs AS DOUBLE) / st.ts)
                      * ln((CAST(s.cs AS DOUBLE) / st.ts)
                           / (CAST(g.cg AS DOUBLE) / gt.tg))), 6)
