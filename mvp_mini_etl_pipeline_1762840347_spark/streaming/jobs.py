@@ -21,10 +21,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
+# Fallback stream schema for TIMESTAMP(NANOS) landing files, which
+# Spark's vectorized reader only surfaces as raw longs (see
+# plans/events.py / io.read_events for the batch-side twin).
 EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos-as-long (see plans/events.py)
+        T.StructField("ts", T.LongType()),  # nanos-as-long
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -37,15 +40,21 @@ def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
     """File-source stream over a directory of events parquet files --
     the landing-zone shape (stand-in for a Kafka topic; swap
     `.format("kafka")` + from_json at deploy).  New files appearing in
-    the directory become new micro-batches.  Nanos epoch ->
-    TimestampType for event-time semantics."""
+    the directory become new micro-batches.
+
+    The landing files may store `ts` either as parquet TIMESTAMP
+    (micros) or as INT64 TIMESTAMP(NANOS) (which Spark reads as raw
+    longs under nanosAsLong); a file stream needs a declared schema,
+    so probe the directory's current footer with a batch read and
+    declare whichever physical type is really there -- identical
+    normalization to io.read_events, so batch backfill and the stream
+    agree on event time."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .format("parquet")
-        .load(events_dir)
-    )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    probe = spark.read.parquet(events_dir).schema
+    raw = spark.readStream.schema(probe).format("parquet").load(events_dir)
+    if isinstance(probe["ts"].dataType, T.LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
