@@ -36,11 +36,17 @@ EVENTS_RAW_SCHEMA = T.StructType(
 )
 
 
-def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
+def stream_events(
+    spark: SparkSession,
+    events_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """File-source stream over a directory of events parquet files --
     the landing-zone shape (stand-in for a Kafka topic; swap
     `.format("kafka")` + from_json at deploy).  New files appearing in
-    the directory become new micro-batches.
+    the directory become new micro-batches;
+    ``max_files_per_trigger`` caps files per micro-batch (rate limit;
+    also how tests force a genuinely multi-batch replay).
 
     The landing files may store `ts` either as parquet TIMESTAMP
     (micros) or as INT64 TIMESTAMP(NANOS) (which Spark reads as raw
@@ -51,7 +57,10 @@ def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
     agree on event time."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     probe = spark.read.parquet(events_dir).schema
-    raw = spark.readStream.schema(probe).format("parquet").load(events_dir)
+    reader = spark.readStream.schema(probe).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.load(events_dir)
     if isinstance(probe["ts"].dataType, T.LongType):
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))

@@ -57,6 +57,32 @@ def test_session_stream_runs(spark, sf_dir, events_dir):
         q.stop()
 
 
+def test_session_stream_matches_batch(spark, sf_dir, events_dir):
+    """Every watermark-closed session the stream emits must equal the
+    batch session_window aggregate for the same (user, start) key --
+    the backfill-agrees-with-live property for sessionization."""
+    ev = jobs.stream_events(spark, events_dir)
+    q = jobs.run_to_memory(
+        jobs.session_counts_stream(ev), "session_parity_out"
+    )
+    try:
+        got = {
+            (r["user_id"], r["session_start"]): (r["n_events"], r["total_value"])
+            for r in spark.sql("SELECT * FROM session_parity_out").collect()
+        }
+        batch = {
+            (r["user_id"], r["session_start"]): (r["n_events"], r["total_value"])
+            for r in plans.QUERIES["events_session"](spark, sf_dir).collect()
+        }
+        assert got, "stream emitted no closed sessions"
+        for k, v in got.items():
+            assert batch[k] == v, k
+        # only sessions still open at the final watermark may be missing
+        assert len(got) >= len(batch) * 0.8
+    finally:
+        q.stop()
+
+
 def test_dedup_stream_bounded(spark, sf_dir, events_dir):
     ev = jobs.stream_events(spark, events_dir)
     q = jobs.run_to_memory(jobs.dedup_stream(ev), "dedup_out")
@@ -118,6 +144,52 @@ def test_foreachbatch_merge_matches_batch(spark, sf_dir, events_dir, tmp_path_fa
         .collect()
     }
     assert got == batch
+
+
+def test_foreachbatch_merge_multibatch_matches_batch(
+    spark, sf_dir, tmp_path_factory
+):
+    """The additive merge must accumulate correctly across SEVERAL
+    micro-batches, not just a single replay: land the events as two
+    files, cap the source at one file per trigger, and require the
+    final target to equal the one-shot batch aggregate."""
+    import os
+
+    from mvp_mini_etl_pipeline_1762840347_spark.io import read_events
+
+    base = tmp_path_factory.mktemp("multibatch")
+    landing = str(base / "landing")
+    e = read_events(spark, sf_dir)
+    e.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        landing, mode="overwrite"
+    )
+    e.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        landing, mode="append"
+    )
+    target = str(base / "per_user")
+
+    ev = jobs.stream_events(spark, landing, max_files_per_trigger=1)
+    q = jobs.merge_stream_into_parquet(spark, ev, target)
+    q.awaitTermination(120)
+
+    # the rate limit forced a genuinely multi-batch replay
+    n_batches = len(
+        [f for f in os.listdir(target + "_chk/offsets") if not f.startswith(".")]
+    )
+    assert n_batches >= 2, f"expected >=2 micro-batches, got {n_batches}"
+
+    got = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 2))
+        for r in spark.read.parquet(target).collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], round(r["v"], 2))
+        for r in read_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+        .collect()
+    }
+    assert got == want
 
 
 def test_funnel_stream_matches_batch(spark, sf_dir, events_dir):
