@@ -1024,3 +1024,147 @@ def winsorized_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("p95", 4).alias("p95"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized statistics, sketch form (ONE fact pass via histogram cells)
+# ---------------------------------------------------------------------------
+_WA_LO = 0.0  # l_extendedprice domain lower bound
+_WA_W = 1_000  # bin width
+_WA_BINS = 128  # covers [900, 105k] with headroom
+
+_WA_CELL = (
+    f"CAST(least(floor((l_extendedprice - {_WA_LO}) / {_WA_W}), "
+    f"{_WA_BINS - 1}) AS BIGINT)"
+)
+
+_WA_SQL = f"""
+    WITH cells AS (
+      SELECT l_returnflag,
+             {_WA_CELL} AS cell,
+             count(*) AS c,
+             sum(l_extendedprice) AS s
+      FROM lineitem GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT l_returnflag, cell, c, s,
+             coalesce(sum(c) OVER (PARTITION BY l_returnflag ORDER BY cell
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS cum_before,
+             sum(c) OVER (PARTITION BY l_returnflag) AS n,
+             sum(s) OVER (PARTITION BY l_returnflag) AS total_s
+      FROM cells
+    ),
+    b05 AS (
+      SELECT cum.l_returnflag,
+             {_WA_LO} + cum.cell * {_WA_W}
+               + {_WA_W} * (CAST(0.05 AS DOUBLE) * cum.n - cum.cum_before) / cum.c AS p05
+      FROM (SELECT l_returnflag, min(cell) AS cell FROM cum
+            WHERE cum_before + c >= CAST(0.05 AS DOUBLE) * n GROUP BY 1) h
+      JOIN cum ON cum.l_returnflag = h.l_returnflag AND cum.cell = h.cell
+    ),
+    b95 AS (
+      SELECT cum.l_returnflag,
+             {_WA_LO} + cum.cell * {_WA_W}
+               + {_WA_W} * (CAST(0.95 AS DOUBLE) * cum.n - cum.cum_before) / cum.c AS p95
+      FROM (SELECT l_returnflag, min(cell) AS cell FROM cum
+            WHERE cum_before + c >= CAST(0.95 AS DOUBLE) * n GROUP BY 1) h
+      JOIN cum ON cum.l_returnflag = h.l_returnflag AND cum.cell = h.cell
+    )
+    SELECT cum.l_returnflag,
+           CAST(max(cum.n) AS BIGINT) AS n_rows,
+           round(max(cum.total_s / cum.n), 4) AS raw_mean,
+           round(sum(cum.c * least(greatest(cum.s / cum.c, b05.p05), b95.p95))
+                 / max(cum.n), 4) AS winsorized_mean_approx,
+           round(max(b05.p05), 4) AS approx_p05,
+           round(max(b95.p95), 4) AS approx_p95
+    FROM cum
+    JOIN b05 ON cum.l_returnflag = b05.l_returnflag
+    JOIN b95 ON cum.l_returnflag = b95.l_returnflag
+    GROUP BY cum.l_returnflag
+"""
+
+
+@query("winsorized_pricing_approx", oracle=_WA_SQL)
+def winsorized_pricing_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean price per return flag in ONE fact pass -- the
+    100-TB form winsorized_pricing's docstring promises.  The only
+    scan partial-aggregates (count, sum) into <= {bins} equi-width
+    price cells per group (sketch_quantile_hist's fixed-bin
+    discipline); p05/p95 are then interpolated from the cell table
+    and the winsorized mean estimated by clamping each cell's MEAN to
+    the bounds -- every post-scan step (cumulative walk, bound probe,
+    clip) runs over <= #groups x {bins} rows, so the fact table is
+    read exactly once however large it gets.  Deterministic given the
+    fixed bins, so the DuckDB oracle states the identical
+    computation.  Exact-form twin: winsorized_pricing (two passes);
+    the rel-err at sf0.1 is ~0.1% of the exact winsorized mean."""
+    from pyspark.sql.window import Window
+
+    li = read_table(spark, sf_dir, "lineitem")
+    cell = F.least(
+        F.floor((F.col("l_extendedprice") - _WA_LO) / _WA_W),
+        F.lit(_WA_BINS - 1),
+    ).cast("bigint")
+    cells = (
+        li.select("l_returnflag", cell.alias("cell"), "l_extendedprice")
+        .groupBy("l_returnflag", "cell")
+        .agg(F.count("*").alias("c"), F.sum("l_extendedprice").alias("s"))
+    )
+    # Bounds via window functions over the one cell table -- NO self-
+    # joins: every re-reference of a DataFrame branch would re-derive
+    # the fact scan in the physical plan (Spark reuses nothing across
+    # logical branches without an explicit materialization), turning
+    # "one pass" into five.  Windows keep it literally one scan; the
+    # single-scan property is pinned by tests/test_scale.py.
+    wg = Window.partitionBy("l_returnflag")
+    wc = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("cell")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+
+    def est(q: float) -> F.Column:
+        return (
+            F.lit(_WA_LO)
+            + F.col("cell") * _WA_W
+            + _WA_W * (F.lit(q) * F.col("n") - F.col("cum_before"))
+            / F.col("c")
+        )
+
+    def hit_cell(q: float) -> F.Column:
+        reaches = F.col("cum_before") + F.col("c") >= F.lit(q) * F.col("n")
+        return F.min(F.when(reaches, F.col("cell"))).over(wg)
+
+    def bound_at(q: float, hit_col: str) -> F.Column:
+        return F.max(
+            F.when(F.col("cell") == F.col(hit_col), est(q))
+        ).over(wg)
+
+    cum = (
+        cells.withColumn("cum_before", F.coalesce(F.sum("c").over(wc), F.lit(0)))
+        .withColumn("n", F.sum("c").over(wg))
+        .withColumn("total_s", F.sum("s").over(wg))
+        .withColumn("hit05", hit_cell(0.05))
+        .withColumn("hit95", hit_cell(0.95))
+    )
+    bounded = cum.withColumn("p05", bound_at(0.05, "hit05")).withColumn(
+        "p95", bound_at(0.95, "hit95")
+    )
+    clipped_bin_mean = F.least(
+        F.greatest(F.col("s") / F.col("c"), F.col("p05")), F.col("p95")
+    )
+    return bounded.groupBy("l_returnflag").agg(
+        F.max("n").alias("n_rows"),
+        F.round(F.max(F.col("total_s") / F.col("n")), 4).alias("raw_mean"),
+        F.round(
+            F.sum(F.col("c") * clipped_bin_mean) / F.max("n"), 4
+        ).alias("winsorized_mean_approx"),
+        F.round(F.max("p05"), 4).alias("approx_p05"),
+        F.round(F.max("p95"), 4).alias("approx_p95"),
+    )
+
+
+winsorized_pricing_approx.__doc__ = winsorized_pricing_approx.__doc__.format(
+    bins=_WA_BINS
+)

@@ -319,3 +319,26 @@ def test_snapshot_table_crash_leaves_previous_live(spark, tmp_path):
     os.makedirs(str(tmp_path / "tbl" / "snapshot-1"))
     assert t.current_snapshot() == "snapshot-0"
     assert [r.k for r in t.read().collect()] == [1]
+
+
+# ---------------------------------------------------------------------------
+# winsorized_pricing_approx: one fact scan (vs two in the exact form),
+# and the histogram estimate stays close to the exact winsorized mean
+# ---------------------------------------------------------------------------
+def test_winsorized_approx_single_fact_scan(spark):
+    from mvp_mini_etl_pipeline_1762840347_spark import plans
+
+    def n_scans(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("lineitem.parquet")
+
+    approx = plans.QUERIES["winsorized_pricing_approx"](spark, SF)
+    exact = plans.QUERIES["winsorized_pricing"](spark, SF)
+    assert n_scans(approx) == 1, "approx form must read the fact table once"
+    assert n_scans(exact) == 2  # the two-pass shape it replaces
+
+    got = {r.l_returnflag: r.winsorized_mean_approx for r in approx.collect()}
+    want = {r.l_returnflag: r.winsorized_mean for r in exact.collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) / want[k] < 0.01, (k, got[k], want[k])
