@@ -53,19 +53,30 @@ def main() -> None:
             timings[name] = min(timings.get(name, wall), wall)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_wall_sec_all_queries",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-                "n_queries": len(timings),
-                "reps": max(1, reps),
-            }
-        )
+    payload = {
+        "metric": "total_wall_sec_all_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "n_queries": len(timings),
+        "reps": max(1, reps),
+    }
+    # The driver's log keeps only the tail of long stdout lines, which
+    # truncates the per-query map to the alphabetical tail; persist the
+    # full result next to this script so every round's complete
+    # per-query history is diffable (BENCH_LOCAL_latest.json is
+    # committed per round).
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL_latest.json"
     )
+    try:
+        with open(out_path, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError:
+        pass  # read-only checkout: stdout line is still the contract
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -639,3 +639,94 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= HAMMING_RADIUS)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: train docs sharing shingles with an eval set
+# ---------------------------------------------------------------------------
+_EVAL_SOURCE = "src19"  # stands in for the held-out benchmark corpus
+_DECON_THRESHOLD = 0.5  # overlap ratio at/above which a doc is dropped
+
+
+@query(
+    "decontaminate_eval_overlap",
+    oracle=rf"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    srcs AS (SELECT doc_id, source FROM documents),
+    eval_sh AS (
+      SELECT DISTINCT shingle
+      FROM shingles JOIN srcs USING (doc_id)
+      WHERE source = '{_EVAL_SOURCE}'
+    ),
+    train AS (
+      SELECT s.doc_id, s.shingle
+      FROM shingles s JOIN srcs d USING (doc_id)
+      WHERE d.source <> '{_EVAL_SOURCE}'
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM train GROUP BY doc_id),
+    ov AS (
+      SELECT t.doc_id, count(*) AS n_overlap
+      FROM train t JOIN eval_sh e ON t.shingle = e.shingle
+      GROUP BY t.doc_id
+    )
+    SELECT o.doc_id,
+           z.n AS n_shingles,
+           o.n_overlap,
+           round(CAST(o.n_overlap AS DOUBLE) / z.n, 4) AS overlap_ratio,
+           CAST(o.n_overlap AS DOUBLE) / z.n >= {_DECON_THRESHOLD}
+             AS is_contaminated
+    FROM ov o JOIN sizes z ON z.doc_id = o.doc_id
+    """,
+)
+def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination -- the training-data hygiene pass that
+    flags corpus documents sharing word-3-gram shingles with a held-out
+    evaluation set (here: ``source = 'src19'`` stands in for the
+    benchmark corpus).  Per surviving train doc: its distinct shingle
+    count, how many of those shingles appear anywhere in the eval set,
+    the overlap ratio, and the drop flag at the {thr} threshold --
+    the n-gram-collision decontamination recipe used by public LLM
+    corpus pipelines (GPT-3 appendix C / The Pile / Dolma all describe
+    this shape).
+
+    Scale shape: the eval side is tiny by nature (benchmarks, not the
+    corpus), so its distinct-shingle set BROADCASTS and the 100-TB
+    train side streams through one hash-semi-join + one per-doc
+    aggregate -- no shuffle of the corpus beyond the per-doc groupBy,
+    no pairwise stage anywhere.  At extreme eval sizes swap the
+    broadcast for sketch_bloom_membership's bit-set (same join key,
+    probabilistic prefilter + exact residual check)."""
+    # Source filters run BEFORE shingling (pushed into the scan), and
+    # size + overlap fuse into ONE aggregate over a left join -- each
+    # side's shingle computation runs exactly once; a separate
+    # sizes/overlap join would re-derive the train shingles per branch.
+    docs = _docs(spark, sf_dir)
+    eval_sh = (
+        _shingles(docs.filter(F.col("source") == _EVAL_SOURCE))
+        .select("shingle")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train = _shingles(docs.filter(F.col("source") != _EVAL_SOURCE))
+    ratio = F.col("n_overlap").cast("double") / F.col("n_shingles")
+    return (
+        train.join(F.broadcast(eval_sh), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("hit").alias("n_overlap"),
+        )
+        .filter(F.col("n_overlap") > 0)
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_overlap",
+            F.round(ratio, 4).alias("overlap_ratio"),
+            (ratio >= _DECON_THRESHOLD).alias("is_contaminated"),
+        )
+    )
+
+
+decontaminate_eval_overlap.__doc__ = decontaminate_eval_overlap.__doc__.format(
+    thr=_DECON_THRESHOLD
+)
