@@ -700,6 +700,9 @@ def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # size + overlap fuse into ONE aggregate over a left join -- each
     # side's shingle computation runs exactly once; a separate
     # sizes/overlap join would re-derive the train shingles per branch.
+    # Per-doc dedup is NARROW (array_distinct on the per-row shingle
+    # array, not a global distinct), so the corpus side shuffles
+    # exactly once: the per-doc count aggregate.
     docs = _docs(spark, sf_dir)
     eval_sh = (
         _shingles(docs.filter(F.col("source") == _EVAL_SOURCE))
@@ -707,7 +710,9 @@ def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("hit", F.lit(1))
     )
-    train = _shingles(docs.filter(F.col("source") != _EVAL_SOURCE))
+    train = _shingle_array(docs.filter(F.col("source") != _EVAL_SOURCE)).select(
+        "doc_id", F.explode(F.array_distinct("sh")).alias("shingle")
+    )
     ratio = F.col("n_overlap").cast("double") / F.col("n_shingles")
     return (
         train.join(F.broadcast(eval_sh), "shingle", "left")
