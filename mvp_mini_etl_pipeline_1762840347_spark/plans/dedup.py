@@ -696,21 +696,36 @@ def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     no pairwise stage anywhere.  At extreme eval sizes swap the
     broadcast for sketch_bloom_membership's bit-set (same join key,
     probabilistic prefilter + exact residual check)."""
-    # Source filters run BEFORE shingling (pushed into the scan), and
-    # size + overlap fuse into ONE aggregate over a left join -- each
-    # side's shingle computation runs exactly once; a separate
-    # sizes/overlap join would re-derive the train shingles per branch.
-    # Per-doc dedup is NARROW (array_distinct on the per-row shingle
-    # array, not a global distinct), so the corpus side shuffles
-    # exactly once: the per-doc count aggregate.
     docs = _docs(spark, sf_dir)
+    return decontaminate_frame(
+        docs.filter(F.col("source") != _EVAL_SOURCE),
+        docs.filter(F.col("source") == _EVAL_SOURCE),
+    )
+
+
+decontaminate_eval_overlap.__doc__ = decontaminate_eval_overlap.__doc__.format(
+    thr=_DECON_THRESHOLD
+)
+
+
+def decontaminate_frame(train_docs: DataFrame, eval_docs: DataFrame) -> DataFrame:
+    """Frame-level decontamination core shared by the batch query above
+    and the streaming foreachBatch twin (streaming/jobs.py::
+    decontaminate_stream) -- ONE code path for backfill and live.
+
+    Size + overlap fuse into ONE aggregate over a left join -- each
+    side's shingle computation runs exactly once; a separate sizes/
+    overlap join would re-derive the train shingles per branch.
+    Per-doc dedup is NARROW (array_distinct on the per-row shingle
+    array, not a global distinct), so the corpus side shuffles
+    exactly once: the per-doc count aggregate."""
     eval_sh = (
-        _shingles(docs.filter(F.col("source") == _EVAL_SOURCE))
+        _shingles(eval_docs)
         .select("shingle")
         .distinct()
         .withColumn("hit", F.lit(1))
     )
-    train = _shingle_array(docs.filter(F.col("source") != _EVAL_SOURCE)).select(
+    train = _shingle_array(train_docs).select(
         "doc_id", F.explode(F.array_distinct("sh")).alias("shingle")
     )
     ratio = F.col("n_overlap").cast("double") / F.col("n_shingles")
@@ -730,8 +745,3 @@ def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             (ratio >= _DECON_THRESHOLD).alias("is_contaminated"),
         )
     )
-
-
-decontaminate_eval_overlap.__doc__ = decontaminate_eval_overlap.__doc__.format(
-    thr=_DECON_THRESHOLD
-)

@@ -422,6 +422,37 @@ def incremental_dedup_stream(
     )
 
 
+def decontaminate_stream(
+    docs_stream: DataFrame,
+    eval_docs: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Streaming benchmark decontamination via foreachBatch: each
+    micro-batch of newly landed documents runs the BATCH
+    decontamination core (plans/dedup.py::decontaminate_frame)
+    against the static eval corpus and appends its flagged docs to a
+    parquet sink.  Per-doc overlap stats are independent across docs,
+    so any batching of the input yields byte-identical rows to the
+    one-shot batch run -- the backfill-agrees-with-live property, by
+    construction, because it IS the batch code.  The eval side stays
+    a broadcast inside each batch; at deploy the eval shingle set is
+    precomputed once to a table instead of re-derived per batch."""
+    from ..plans.dedup import decontaminate_frame
+
+    def _step(batch_df: DataFrame, batch_id: int) -> None:
+        decontaminate_frame(batch_df, eval_docs).write.mode("append").parquet(
+            out_path
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(_step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def view_click_join_stream(
     events: DataFrame, watermark: str = "1 hour", horizon: str = "30 minutes"
 ) -> DataFrame:

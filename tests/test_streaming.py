@@ -368,6 +368,47 @@ def test_incremental_dedup_stream_full_parity(spark, sf_dir, tmp_path_factory):
     assert n_store == band_signatures(old).count() + new_sigs.count()
 
 
+def test_decontaminate_stream_matches_batch(spark, sf_dir, tmp_path_factory):
+    """Streaming decontamination == the batch query over the same
+    corpus, even when the corpus arrives across several micro-batches
+    (per-doc stats are batching-independent)."""
+    from mvp_mini_etl_pipeline_1762840347_spark.io import read_table
+    from mvp_mini_etl_pipeline_1762840347_spark.plans.dedup import _EVAL_SOURCE
+
+    docs = read_table(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("source") == _EVAL_SOURCE)
+    train = docs.filter(F.col("source") != _EVAL_SOURCE)
+
+    base = tmp_path_factory.mktemp("decon_stream")
+    landing = str(base / "landing")
+    train.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        landing, mode="overwrite"
+    )
+    train.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        landing, mode="append"
+    )
+
+    stream = (
+        spark.readStream.schema(train.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(landing)
+    )
+    out = str(base / "flagged")
+    q = jobs.decontaminate_stream(stream, eval_docs, out, str(base / "ckpt"))
+    q.awaitTermination(120)
+
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    want = {
+        tuple(r)
+        for r in plans.QUERIES["decontaminate_eval_overlap"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == want
+    assert got, "no contaminated docs flagged (degenerate fixture)"
+
+
 def test_view_click_join_stream_matches_batch(spark, sf_dir, events_dir):
     """Stream-stream interval join == the batch interval self-join
     (inner joins emit on match, so the full-input replay is exact)."""
