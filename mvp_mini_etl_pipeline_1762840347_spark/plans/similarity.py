@@ -693,38 +693,46 @@ def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     the embedding-pipeline compression step (cheap ANN pre-filter,
     sketch transport) whose norm-preservation guarantee the output
     exposes per vector (distortion = ||Px|| / ||x||, concentrated
-    around 1).  The sign matrix never materializes: each output
-    component folds over the input array with the sign recomputed
-    from the hash, so the whole projection is a NARROW map -- no
-    shuffle, no broadcast state, embarrassingly parallel at any
-    corpus size.  The oracle recomputes the identical fold in
-    DuckDB's list algebra."""
+    around 1).  The md5-derived sign matrix is a CONSTANT {din}x{dout}
+    table, so it is computed ONCE driver-side (hashlib, identical
+    recipe to the oracle's in-SQL md5) and shipped as a nested array
+    literal; each output component is then a pure zip_with-multiply
+    fold -- recomputing the hashes per row, as a first cut did, costs
+    din*dout md5 calls per vector (~2.5M at sf0.1) for values that
+    never change.  The projection stays a NARROW map: no shuffle, no
+    broadcast state, embarrassingly parallel at any corpus size.  The
+    oracle recomputes the identical fold in DuckDB's list algebra."""
     v = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double(F.col("embedding")).alias("e")
     )
 
-    def _sign(i: Column, j: Column) -> Column:
-        nib = F.instr(
-            F.lit(_JL_HEX),
-            F.substring(
-                F.md5(F.concat_ws("_", i.cast("string"), j.cast("string"))),
-                1,
-                1,
-            ),
-        ) - 1
-        return F.when(nib % 2 == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
+    import hashlib
+
+    signs = [
+        [
+            1.0
+            if int(hashlib.md5(f"{i}_{j}".encode()).hexdigest()[0], 16) % 2 == 1
+            else -1.0
+            for i in range(1, _JL_IN + 1)
+        ]
+        for j in range(_JL_OUT)
+    ]
+    signs_col = F.array(
+        *[F.array(*[F.lit(x) for x in row]) for row in signs]
+    )
 
     def _proj(j: Column) -> Column:
-        e = F.col("e")
+        srow = F.element_at(F.col("signs"), (j + 1).cast("int"))
         return F.aggregate(
-            F.sequence(F.lit(1), F.lit(_JL_IN)),
+            F.zip_with(F.col("e"), srow, lambda x, s: x * s),
             F.lit(0.0),
-            lambda acc, i: acc + F.element_at(e, i.cast("int")) * _sign(i, j),
+            lambda acc, x: acc + x,
         ) / F.sqrt(F.lit(float(_JL_OUT)))
 
     proj = F.transform(
         F.sequence(F.lit(0), F.lit(_JL_OUT - 1)), lambda j: _proj(j)
     )
+    v = v.withColumn("signs", signs_col)
     norm_in = F.sqrt(_dot(F.col("e"), F.col("e")))
     norm_out = F.sqrt(_dot(F.col("p"), F.col("p")))
     return (
