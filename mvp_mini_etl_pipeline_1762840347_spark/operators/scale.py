@@ -207,3 +207,57 @@ def scd2_merge(
         F.lit(True).alias(current_col),
     )
     return untouched.unionByName(closed).unionByName(fresh).unionByName(hist)
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction (table maintenance)
+# ---------------------------------------------------------------------------
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Rewrite a parquet directory into ~target_bytes files -- the
+    OPTIMIZE/bin-pack maintenance pass every streaming or incremental
+    sink eventually needs: availableNow micro-batches and per-batch
+    appends leave thousands of KB-sized files whose open/footer
+    overhead comes to dominate scans long before data volume does.
+
+    Sizing comes from the actual on-disk bytes (file listing), not row
+    counts, so skewed row widths still land near the target.  The
+    rewrite is one `repartition(n)` pass -- a round-robin shuffle that
+    also heals skewed file sizes -- staged into a sibling directory
+    and atomically swapped in (os.replace of the directory name), so
+    concurrent readers of the pre-compaction listing never see a
+    half-written mix.  Returns {"files_before", "files_after",
+    "bytes"}.  At deploy scale this is the job you schedule off-peak
+    per partition of a hive layout; transactional formats run the
+    same rewrite under their snapshot protocol (SnapshotTable.commit
+    gives that here if atomicity beyond one directory is needed)."""
+    import math
+    import os
+    import shutil
+
+    def _parts(p: str) -> list[str]:
+        return [
+            os.path.join(p, f)
+            for f in os.listdir(p)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        ]
+
+    before = _parts(path)
+    total = sum(os.path.getsize(f) for f in before)
+    n = max(1, math.ceil(total / target_bytes))
+    staged = path.rstrip("/") + "_compacting"
+    spark.read.parquet(path).repartition(n).write.mode("overwrite").parquet(
+        staged
+    )
+    old = path.rstrip("/") + "_precompact"
+    os.rename(path, old)
+    os.rename(staged, path)
+    shutil.rmtree(old)
+    return {
+        "files_before": len(before),
+        "files_after": len(_parts(path)),
+        "bytes": total,
+    }

@@ -342,3 +342,41 @@ def test_winsorized_approx_single_fact_scan(spark):
     assert set(got) == set(want)
     for k in want:
         assert abs(got[k] - want[k]) / want[k] < 0.01, (k, got[k], want[k])
+
+
+# ---------------------------------------------------------------------------
+# compact_small_files: fewer files, identical content, atomic swap
+# ---------------------------------------------------------------------------
+def test_compact_small_files(spark, tmp_path):
+    from mvp_mini_etl_pipeline_1762840347_spark.operators.scale import (
+        compact_small_files,
+    )
+
+    path = str(tmp_path / "frag")
+    li = read_table(spark, SF, "lineitem")
+    # fragment: many tiny appends, the streaming-sink pathology
+    for i in range(6):
+        li.filter(F.col("l_linenumber") == i + 1).coalesce(2).write.mode(
+            "append"
+        ).parquet(path)
+    pre = spark.read.parquet(path)
+    want = pre.count()
+    want_sum = pre.agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("s")
+    ).collect()[0]["s"]
+    files_before = len(
+        [f for f in os.listdir(path) if f.endswith(".parquet")]
+    )
+
+    stats = compact_small_files(spark, path, target_bytes=64 * 1024 * 1024)
+
+    assert stats["files_before"] == files_before > 2
+    assert stats["files_after"] < files_before
+    assert spark.read.parquet(path).count() == want
+    got_sum = spark.read.parquet(path).agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("s")
+    ).collect()[0]["s"]
+    assert got_sum == want_sum
+    # no staging residue
+    assert not os.path.exists(path + "_compacting")
+    assert not os.path.exists(path + "_precompact")
