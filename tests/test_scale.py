@@ -380,3 +380,62 @@ def test_compact_small_files(spark, tmp_path):
     # no staging residue
     assert not os.path.exists(path + "_compacting")
     assert not os.path.exists(path + "_precompact")
+
+
+# ---------------------------------------------------------------------------
+# write_zordered: second-key zone maps actually prune vs a linear sort
+# ---------------------------------------------------------------------------
+def test_zorder_write_improves_second_key_skipping(spark, tmp_path):
+    from mvp_mini_etl_pipeline_1762840347_spark.operators.scale import (
+        write_zordered,
+    )
+
+    li = read_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    linear, zord = str(tmp_path / "linear"), str(tmp_path / "zord")
+    n = 8
+    (
+        li.repartitionByRange(n, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.parquet(linear)
+    )
+    write_zordered(li, zord, "l_orderkey", "l_partkey", n)
+
+    def partkey_file_ranges(path):
+        df = spark.read.parquet(path).withColumn("f", F.input_file_name())
+        rows = df.groupBy("f").agg(
+            F.min("l_partkey").alias("mn"), F.max("l_partkey").alias("mx")
+        ).collect()
+        return [(r["mn"], r["mx"]) for r in rows]
+
+    def hit_fraction(path):
+        """Fraction of (file, probe-range) pairs a zone map cannot
+        skip, over a grid of l_partkey range predicates."""
+        ranges = partkey_file_ranges(path)
+        pk_max = max(mx for _, mx in ranges)
+        w = max(1, pk_max // 10)
+        probes = [(lo, lo + w) for lo in range(0, pk_max, max(1, pk_max // 5))]
+        hits = sum(
+            1
+            for lo, hi in probes
+            for mn, mx in ranges
+            if not (mx < lo or mn > hi)
+        )
+        return hits / (len(probes) * len(ranges))
+
+    lin_frac, z_frac = hit_fraction(linear), hit_fraction(zord)
+    # linear-on-orderkey leaves partkey unclustered: zone maps are
+    # useless (every file spans ~the whole partkey domain); z-order
+    # must make a real fraction of (file, probe) pairs skippable.
+    assert z_frac < lin_frac, (lin_frac, z_frac)
+    assert z_frac <= 0.75 * lin_frac, (lin_frac, z_frac)
+
+    # identical content
+    got = spark.read.parquet(zord).agg(
+        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("s")
+    ).collect()[0]
+    want = li.agg(
+        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("s")
+    ).collect()[0]
+    assert (got["n"], got["s"]) == (want["n"], want["s"])
