@@ -226,14 +226,17 @@ def compact_small_files(
     Sizing comes from the actual on-disk bytes (file listing), not row
     counts, so skewed row widths still land near the target.  The
     rewrite is one `repartition(n)` pass -- a round-robin shuffle that
-    also heals skewed file sizes -- staged into a sibling directory
-    and atomically swapped in (os.replace of the directory name), so
-    concurrent readers of the pre-compaction listing never see a
-    half-written mix.  Returns {"files_before", "files_after",
-    "bytes"}.  At deploy scale this is the job you schedule off-peak
-    per partition of a hive layout; transactional formats run the
-    same rewrite under their snapshot protocol (SnapshotTable.commit
-    gives that here if atomicity beyond one directory is needed)."""
+    also heals skewed file sizes -- staged fully into a sibling
+    directory first, then swapped in via two directory renames
+    (metadata-only; readers holding the old listing keep a complete
+    snapshot, and a crash leaves either the old or the staged copy
+    intact, never a half-written mix).  The two-rename window is not
+    a transaction against CONCURRENT WRITERS -- an append landing
+    mid-compaction is lost; where that matters the same rewrite runs
+    under SnapshotTable.commit's pointer swap.  Returns
+    {"files_before", "files_after", "bytes"}.  At deploy scale this
+    is the job you schedule off-peak per partition of a hive
+    layout."""
     import math
     import os
     import shutil

@@ -56,7 +56,13 @@ def stream_events(
     normalization to io.read_events, so batch backfill and the stream
     agree on event time."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    probe = spark.read.parquet(events_dir).schema
+    try:
+        probe = spark.read.parquet(events_dir).schema
+    except Exception:
+        # empty landing dir at stream start: no footer to probe yet --
+        # fall back to the nanos layout, the one a declared-schema
+        # stream could never self-correct on
+        probe = EVENTS_RAW_SCHEMA
     reader = spark.readStream.schema(probe).format("parquet")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
