@@ -227,16 +227,20 @@ def compact_small_files(
     counts, so skewed row widths still land near the target.  The
     rewrite is one `repartition(n)` pass -- a round-robin shuffle that
     also heals skewed file sizes -- staged fully into a sibling
-    directory first, then swapped in via two directory renames
-    (metadata-only; readers holding the old listing keep a complete
-    snapshot, and a crash leaves either the old or the staged copy
-    intact, never a half-written mix).  The two-rename window is not
-    a transaction against CONCURRENT WRITERS -- an append landing
-    mid-compaction is lost; where that matters the same rewrite runs
-    under SnapshotTable.commit's pointer swap.  Returns
-    {"files_before", "files_after", "bytes"}.  At deploy scale this
-    is the job you schedule off-peak per partition of a hive
-    layout."""
+    directory first, then swapped in via two directory renames.  The
+    swap is crash-RECOVERABLE, not atomic: stale staging/backup dirs
+    from a previous crashed run are cleaned up on entry (so a retry
+    always succeeds), a crash mid-swap leaves the data intact in
+    either `path` or `path_precompact` (nothing is deleted until the
+    new copy is live), and a crash between the renames leaves `path`
+    briefly absent -- re-running this function completes the swap.
+    It is NOT a transaction against concurrent access: a reader
+    racing the swap can hit vanished files, and a writer appending
+    mid-compaction loses its file.  Where those matter, the same
+    rewrite runs under SnapshotTable.commit's pointer swap, which
+    readers never race.  Returns {"files_before", "files_after",
+    "bytes"}.  At deploy scale this is the job you schedule off-peak
+    per partition of a hive layout."""
     import math
     import os
     import shutil
@@ -248,14 +252,21 @@ def compact_small_files(
             if f.endswith(".parquet") and not f.startswith((".", "_"))
         ]
 
+    staged = path.rstrip("/") + "_compacting"
+    old = path.rstrip("/") + "_precompact"
+    # recover from a previous crashed run
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)  # died between the two renames: roll back
+    for stale in (staged, old):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
+
     before = _parts(path)
     total = sum(os.path.getsize(f) for f in before)
     n = max(1, math.ceil(total / target_bytes))
-    staged = path.rstrip("/") + "_compacting"
     spark.read.parquet(path).repartition(n).write.mode("overwrite").parquet(
         staged
     )
-    old = path.rstrip("/") + "_precompact"
     os.rename(path, old)
     os.rename(staged, path)
     shutil.rmtree(old)

@@ -719,8 +719,10 @@ def decontaminate_frame(train_docs: DataFrame, eval_docs: DataFrame) -> DataFram
     Per-doc dedup is NARROW (array_distinct on the per-row shingle
     array, not a global distinct), so the corpus side shuffles
     exactly once: the per-doc count aggregate."""
+    # distinct=False: the per-doc dedup the default does is subsumed
+    # by the shingle-level distinct right after (one shuffle, not two)
     eval_sh = (
-        _shingles(eval_docs)
+        _shingles(eval_docs, distinct=False)
         .select("shingle")
         .distinct()
         .withColumn("hit", F.lit(1))

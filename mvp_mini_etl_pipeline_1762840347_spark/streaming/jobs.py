@@ -40,6 +40,7 @@ def stream_events(
     spark: SparkSession,
     events_dir: str,
     max_files_per_trigger: int | None = None,
+    schema: T.StructType | None = None,
 ) -> DataFrame:
     """File-source stream over a directory of events parquet files --
     the landing-zone shape (stand-in for a Kafka topic; swap
@@ -54,15 +55,24 @@ def stream_events(
     so probe the directory's current footer with a batch read and
     declare whichever physical type is really there -- identical
     normalization to io.read_events, so batch backfill and the stream
-    agree on event time."""
+    agree on event time.  A declared-schema stream can never
+    self-correct, so when the directory has nothing to probe yet
+    (empty landing dir at deploy start) the caller MUST state the
+    producer's layout via ``schema`` (EVENTS_RAW_SCHEMA for nanos
+    landing files) -- guessing here would silently reintroduce the
+    1970-timestamps bug the probe exists to prevent."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    try:
-        probe = spark.read.parquet(events_dir).schema
-    except Exception:
-        # empty landing dir at stream start: no footer to probe yet --
-        # fall back to the nanos layout, the one a declared-schema
-        # stream could never self-correct on
-        probe = EVENTS_RAW_SCHEMA
+    if schema is not None:
+        probe = schema
+    else:
+        try:
+            probe = spark.read.parquet(events_dir).schema
+        except Exception as exc:
+            raise ValueError(
+                f"cannot probe the ts layout of {events_dir!r} (no parquet"
+                " footer yet?): pass schema= explicitly, e.g."
+                " EVENTS_RAW_SCHEMA for nanos-as-long landing files"
+            ) from exc
     reader = spark.readStream.schema(probe).format("parquet")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -437,19 +447,26 @@ def decontaminate_stream(
     """Streaming benchmark decontamination via foreachBatch: each
     micro-batch of newly landed documents runs the BATCH
     decontamination core (plans/dedup.py::decontaminate_frame)
-    against the static eval corpus and appends its flagged docs to a
+    against the static eval corpus and writes its flagged docs to a
     parquet sink.  Per-doc overlap stats are independent across docs,
     so any batching of the input yields byte-identical rows to the
     one-shot batch run -- the backfill-agrees-with-live property, by
-    construction, because it IS the batch code.  The eval side stays
-    a broadcast inside each batch; at deploy the eval shingle set is
-    precomputed once to a table instead of re-derived per batch."""
+    construction, because it IS the batch code.
+
+    foreachBatch is at-least-once across failures, so each batch
+    OVERWRITES its own `batch=<id>` subdirectory instead of appending
+    to a shared one: a crash-replayed batch rewrites the same
+    partition and the sink stays exactly-once effective (same
+    batch-id idempotence contract as snapshot_merge_step below, in
+    layout form).  The eval side stays a broadcast inside each batch;
+    at deploy the eval shingle set is precomputed once to a table
+    instead of re-derived per batch."""
     from ..plans.dedup import decontaminate_frame
 
     def _step(batch_df: DataFrame, batch_id: int) -> None:
-        decontaminate_frame(batch_df, eval_docs).write.mode("append").parquet(
-            out_path
-        )
+        decontaminate_frame(batch_df, eval_docs).write.mode(
+            "overwrite"
+        ).parquet(f"{out_path}/batch={batch_id}")
 
     return (
         docs_stream.writeStream.foreachBatch(_step)

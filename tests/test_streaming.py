@@ -398,7 +398,11 @@ def test_decontaminate_stream_matches_batch(spark, sf_dir, tmp_path_factory):
     q = jobs.decontaminate_stream(stream, eval_docs, out, str(base / "ckpt"))
     q.awaitTermination(120)
 
-    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    cols = [
+        "doc_id", "n_shingles", "n_overlap", "overlap_ratio", "is_contaminated"
+    ]
+    sink = spark.read.parquet(out)
+    got = {tuple(r) for r in sink.select(*cols).collect()}
     want = {
         tuple(r)
         for r in plans.QUERIES["decontaminate_eval_overlap"](
@@ -407,6 +411,28 @@ def test_decontaminate_stream_matches_batch(spark, sf_dir, tmp_path_factory):
     }
     assert got == want
     assert got, "no contaminated docs flagged (degenerate fixture)"
+    # the rate limit really produced several batch partitions, and a
+    # crash-replay of a batch id overwrites rather than duplicates
+    n_batches = sink.select("batch").distinct().count()
+    assert n_batches >= 2, n_batches
+    replay_id = sink.agg(F.max("batch")).collect()[0][0]
+    some_doc = (
+        sink.filter(F.col("batch") == replay_id).select("doc_id").first()[0]
+    )
+    replay_half = train.filter(
+        F.col("doc_id") % 2 == some_doc % 2
+    )  # the landing file that batch actually processed
+    from mvp_mini_etl_pipeline_1762840347_spark.plans.dedup import (
+        decontaminate_frame,
+    )
+
+    decontaminate_frame(replay_half, eval_docs).write.mode(
+        "overwrite"
+    ).parquet(f"{out}/batch={replay_id}")
+    again = {
+        tuple(r) for r in spark.read.parquet(out).select(*cols).collect()
+    }
+    assert again == want  # replayed batch overwrote, nothing duplicated
 
 
 def test_view_click_join_stream_matches_batch(spark, sf_dir, events_dir):
