@@ -517,3 +517,96 @@ def table_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             _stats("o_orderdate", lambda c: F.date_format(c, "yyyy-MM-dd"))
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Contamination-aware train/val/test split (decontaminate -> hash split)
+# ---------------------------------------------------------------------------
+def _clean_split_oracle() -> str:
+    from .dedup import _DECON_THRESHOLD, _EVAL_SOURCE, _SHINGLES_SQL
+
+    return f"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    srcs AS (SELECT doc_id, source FROM documents),
+    eval_sh AS (
+      SELECT DISTINCT shingle
+      FROM shingles JOIN srcs USING (doc_id)
+      WHERE source = '{_EVAL_SOURCE}'
+    ),
+    train_sh AS (
+      SELECT s.doc_id, s.shingle
+      FROM shingles s JOIN srcs d USING (doc_id)
+      WHERE d.source <> '{_EVAL_SOURCE}'
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM train_sh GROUP BY doc_id),
+    ov AS (
+      SELECT t.doc_id, count(*) AS n_overlap
+      FROM train_sh t JOIN eval_sh e ON t.shingle = e.shingle
+      GROUP BY t.doc_id
+    ),
+    dropset AS (
+      SELECT o.doc_id AS ddoc
+      FROM ov o JOIN sizes z ON z.doc_id = o.doc_id
+      WHERE CAST(o.n_overlap AS DOUBLE) / z.n >= {_DECON_THRESHOLD}
+    ),
+    t AS (
+      SELECT doc_id, n_chars, {_bucket_sql("doc_id")} AS bucket
+      FROM documents WHERE source <> '{_EVAL_SOURCE}'
+    )
+    SELECT CASE WHEN bucket < 2 THEN 'test'
+                WHEN bucket < 4 THEN 'val'
+                ELSE 'train' END AS split,
+           count(*) FILTER (WHERE ds.ddoc IS NULL)     AS n_docs_kept,
+           count(ds.ddoc)                              AS n_docs_dropped,
+           round(avg(n_chars) FILTER (WHERE ds.ddoc IS NULL), 2)
+             AS avg_chars_kept
+    FROM t LEFT JOIN dropset ds ON t.doc_id = ds.ddoc
+    GROUP BY 1
+    """
+
+
+@query("corpus_clean_split", oracle=_clean_split_oracle())
+def corpus_clean_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus hygiene step real training pipelines run
+    before a single token is consumed: decontaminate against the
+    held-out eval source (plans/dedup.py::decontaminate_frame), then
+    hash-split the survivors train/val/test -- with per-split
+    accounting of what contamination removed, so a benchmark leak
+    concentrated in one split is visible immediately.
+
+    Composition keeps each piece's scale shape: the drop-set is the
+    contaminated-doc ids only (tiny by construction -- it BROADCASTS
+    back onto the corpus exactly like dedup_apply's canonical-keeper
+    join), split membership stays the pure md5 function of the key
+    (sample_hash_split), and the final aggregate is one narrow pass
+    over (split, n_chars, dropped?).  The corpus is scanned twice
+    (once to shingle, once to split-count) -- at 100 TB the flagged
+    ids land in a table between the passes, which is the checkpoint a
+    multi-day ingest wants anyway."""
+    from .dedup import _EVAL_SOURCE, decontaminate_frame
+
+    d = read_table(spark, sf_dir, "documents")
+    train = d.filter(F.col("source") != _EVAL_SOURCE)
+    dropset = (
+        decontaminate_frame(train, d.filter(F.col("source") == _EVAL_SOURCE))
+        .filter(F.col("is_contaminated"))
+        .select("doc_id")
+        .withColumn("dropped", F.lit(1))
+    )
+    bucket = hash_bucket(F.col("doc_id"))
+    split = (
+        F.when(bucket < 2, "test").when(bucket < 4, "val").otherwise("train")
+    )
+    kept = F.col("dropped").isNull()
+    return (
+        train.join(F.broadcast(dropset), "doc_id", "left")
+        .select(split.alias("split"), "n_chars", "dropped")
+        .groupBy("split")
+        .agg(
+            F.count(F.when(kept, 1)).alias("n_docs_kept"),
+            F.count("dropped").alias("n_docs_dropped"),
+            F.round(F.avg(F.when(kept, F.col("n_chars"))), 2).alias(
+                "avg_chars_kept"
+            ),
+        )
+    )
