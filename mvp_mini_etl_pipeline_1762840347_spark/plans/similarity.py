@@ -874,3 +874,136 @@ def pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
 pq_codebooks.__doc__ = pq_codebooks.__doc__.format(
     din=_JL_IN, subs=_PQ_SUBS, subdim=_PQ_SUBDIM, codes=_PQ_CODES
 )
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization encode (compress the corpus with trained codebooks)
+# ---------------------------------------------------------------------------
+@query(
+    "pq_encode",
+    oracle=rf"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    sub AS (
+      SELECT v.vec_id, s.s,
+             v.e[s.s * {_PQ_SUBDIM} + 1 : (s.s + 1) * {_PQ_SUBDIM}] AS x
+      FROM v CROSS JOIN (SELECT unnest(range({_PQ_SUBS})) AS s) s
+    ),
+    seeds AS (
+      SELECT s, vec_id AS code, x AS c FROM sub WHERE vec_id < {_PQ_CODES}
+    ),
+    assigned AS (
+      SELECT sub.vec_id, sub.s, sub.x,
+             min_by(seeds.code,
+                    CAST(round(list_sum(list_transform(range(1, {_PQ_SUBDIM + 1}),
+                       i -> (sub.x[i] - seeds.c[i]) * (sub.x[i] - seeds.c[i])))
+                       * 10000, 0) AS BIGINT) * 1000 + seeds.code) AS code
+      FROM sub JOIN seeds ON sub.s = seeds.s
+      GROUP BY sub.vec_id, sub.s, sub.x
+    ),
+    cb AS (
+      SELECT s, code, list(cv ORDER BY pos) AS c FROM (
+        SELECT s, code, p.pos, round(avg(x[p.pos]), 6) AS cv
+        FROM assigned
+        CROSS JOIN (SELECT unnest(range(1, {_PQ_SUBDIM + 1})) AS pos) p
+        GROUP BY s, code, p.pos
+      ) GROUP BY s, code
+    ),
+    enc AS (
+      SELECT sub.vec_id, sub.s,
+             min_by(cb.code,
+                    CAST(round(list_sum(list_transform(range(1, {_PQ_SUBDIM + 1}),
+                       i -> (sub.x[i] - cb.c[i]) * (sub.x[i] - cb.c[i])))
+                       * 10000, 0) AS BIGINT) * 1000 + cb.code) AS code,
+             min_by(list_sum(list_transform(range(1, {_PQ_SUBDIM + 1}),
+                       i -> (sub.x[i] - cb.c[i]) * (sub.x[i] - cb.c[i]))),
+                    CAST(round(list_sum(list_transform(range(1, {_PQ_SUBDIM + 1}),
+                       i -> (sub.x[i] - cb.c[i]) * (sub.x[i] - cb.c[i])))
+                       * 10000, 0) AS BIGINT) * 1000 + cb.code) AS sq_err
+      FROM sub JOIN cb ON sub.s = cb.s
+      GROUP BY sub.vec_id, sub.s
+    )
+    SELECT s AS subspace, code,
+           count(*)                   AS n_encoded,
+           round(avg(sq_err), 6)      AS avg_sq_err
+    FROM enc GROUP BY s, code
+    """,
+)
+def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ENCODE -- the compression pass that follows pq_codebooks'
+    training: every vector's {subs} subvectors are assigned to their
+    nearest TRAINED centroid (same quantized-distance + code tiebreak
+    as training, so the argmin is engine-independent), yielding the
+    {subs}-byte code a PQ index stores per vector, plus the
+    reconstruction error the compression costs.  Output: per
+    (subspace, code) cell population and mean squared quantization
+    error -- the table one watches to size {codes} at deploy.
+
+    Plan shape: the trained codebook is {subs} x {codes} tiny rows
+    (broadcast); encoding is one fan-out join + per-(vec, subspace)
+    argmin aggregate; the corpus never shuffles whole vectors --
+    exactly how a 100 TB corpus gets compressed before ANN serving
+    (the oracle re-derives the training chain + encode in DuckDB's
+    list algebra)."""
+    v = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("e")
+    )
+    sub = v.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_PQ_SUBS - 1))).alias("s"),
+        "e",
+    ).select(
+        "vec_id",
+        "s",
+        F.slice(F.col("e"), F.col("s") * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("x"),
+    )
+    seeds = sub.filter(F.col("vec_id") < _PQ_CODES).select(
+        F.col("s").alias("c_s"),
+        F.col("vec_id").alias("code"),
+        F.col("x").alias("c"),
+    )
+
+    def _l2(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    def _key(dist: Column, code: Column) -> Column:
+        return F.round(dist * 10000, 0).cast("bigint") * 1000 + code
+
+    assigned = (
+        sub.join(F.broadcast(seeds), sub.s == seeds.c_s)
+        .groupBy("vec_id", "s", "x")
+        .agg(
+            F.min_by("code", _key(_l2(F.col("x"), F.col("c")), F.col("code"))).alias(
+                "code"
+            )
+        )
+    )
+    cb = (
+        assigned.select("s", "code", F.posexplode("x").alias("pos", "val"))
+        .withColumn("pos", F.col("pos") + 1)
+        .groupBy("s", "code", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("cv"))
+        .groupBy(F.col("s").alias("c_s"), "code")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                lambda t: t.cv,
+            ).alias("c")
+        )
+    )
+    dist = _l2(F.col("x"), F.col("c"))
+    enc = (
+        sub.join(F.broadcast(cb), sub.s == cb.c_s)
+        .groupBy("vec_id", "s")
+        .agg(
+            F.min_by("code", _key(dist, F.col("code"))).alias("code"),
+            F.min_by(dist, _key(dist, F.col("code"))).alias("sq_err"),
+        )
+    )
+    return enc.groupBy(F.col("s").alias("subspace"), "code").agg(
+        F.count("*").alias("n_encoded"),
+        F.round(F.avg("sq_err"), 6).alias("avg_sq_err"),
+    )

@@ -438,6 +438,92 @@ def incremental_dedup_stream(
     )
 
 
+def hourly_rollup_stream(
+    spark: SparkSession, events: DataFrame, hourly_path: str
+) -> StreamingQuery:
+    """Continuous-aggregate maintenance, streaming side: every
+    micro-batch's (hour, event_type) partials are additively MERGED
+    into the materialized hourly table -- the incremental build of
+    the partial table events_rollup_2level's daily grain re-aggregates
+    (the hypertable pattern: raw events are read once, ever; every
+    coarser grain derives from the partials).  Only algebraic state
+    is kept (count + sum; avg derives at read), so merge order never
+    matters and backfill equals live.  Same additive full-outer merge
+    + cache barrier as merge_stream_into_parquet, keyed on the window
+    instead of the user; the exactly-once upgrade is the
+    SnapshotTable + batch-id high-water-mark pattern below."""
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        delta = batch_df.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        ).agg(F.count("*").alias("pc"), F.sum("value").alias("pv"))
+        try:
+            target = spark.read.parquet(hourly_path)
+        except Exception:
+            target = None
+        if target is None:
+            merged = delta
+        else:
+            t = target.select(
+                F.col("hour").alias("t_hour"),
+                F.col("event_type").alias("t_type"),
+                F.col("pc").alias("t_pc"),
+                F.col("pv").alias("t_pv"),
+            )
+            merged = (
+                delta.join(
+                    t,
+                    (delta.hour == t.t_hour)
+                    & (delta.event_type == t.t_type),
+                    "full_outer",
+                )
+                .select(
+                    F.coalesce(delta.hour, t.t_hour).alias("hour"),
+                    F.coalesce(delta.event_type, t.t_type).alias("event_type"),
+                    (
+                        F.coalesce(delta.pc, F.lit(0))
+                        + F.coalesce(t.t_pc, F.lit(0))
+                    ).alias("pc"),
+                    (
+                        F.coalesce(delta.pv, F.lit(0.0))
+                        + F.coalesce(t.t_pv, F.lit(0.0))
+                    ).alias("pv"),
+                )
+            )
+        merged = merged.cache()
+        merged.count()  # materialize before overwriting its own source
+        merged.write.mode("overwrite").parquet(hourly_path)
+        merged.unpersist()
+
+    return (
+        events.writeStream.foreachBatch(_merge)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", hourly_path + "_chk")
+        .start()
+    )
+
+
+def daily_from_hourly(hourly: DataFrame) -> DataFrame:
+    """The coarser grain of the continuous aggregate: daily stats
+    re-aggregated from the materialized hourly partials -- identical
+    expressions to the batch events_rollup_2level's second level, so
+    the streamed hourly table composes to the same daily answer the
+    one-shot batch query gives (parity-tested)."""
+    return (
+        hourly.groupBy(F.date_trunc("day", "hour").alias("day"), "event_type")
+        .agg(
+            F.sum("pc").alias("n_events"),
+            F.round(F.sum("pv"), 2).alias("total_value"),
+            (
+                F.floor(
+                    F.round(F.sum("pv"), 2) / F.sum("pc") * 10000 + F.lit(0.5)
+                )
+                / 10000
+            ).alias("avg_value"),
+        )
+    )
+
+
 def decontaminate_stream(
     docs_stream: DataFrame,
     eval_docs: DataFrame,

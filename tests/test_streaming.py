@@ -368,6 +368,61 @@ def test_incremental_dedup_stream_full_parity(spark, sf_dir, tmp_path_factory):
     assert n_store == band_signatures(old).count() + new_sigs.count()
 
 
+def test_hourly_rollup_stream_composes_to_batch_daily(
+    spark, sf_dir, tmp_path_factory
+):
+    """Continuous aggregate: the hourly table maintained incrementally
+    across several micro-batches must re-aggregate to EXACTLY the
+    batch two-level rollup's daily rows (algebraic partials compose
+    regardless of batching)."""
+    import os
+
+    from mvp_mini_etl_pipeline_1762840347_spark.io import read_events
+
+    base = tmp_path_factory.mktemp("rollup_stream")
+    landing = str(base / "landing")
+    e = read_events(spark, sf_dir)
+    e.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        landing, mode="overwrite"
+    )
+    e.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        landing, mode="append"
+    )
+    hourly_path = str(base / "hourly")
+
+    ev = jobs.stream_events(spark, landing, max_files_per_trigger=1)
+    q = jobs.hourly_rollup_stream(spark, ev, hourly_path)
+    q.awaitTermination(120)
+    n_batches = len(
+        [
+            f
+            for f in os.listdir(hourly_path + "_chk/offsets")
+            if not f.startswith(".")
+        ]
+    )
+    assert n_batches >= 2, n_batches
+
+    got = {
+        (r["day"], r["event_type"]): (
+            r["n_events"],
+            r["total_value"],
+            r["avg_value"],
+        )
+        for r in jobs.daily_from_hourly(
+            spark.read.parquet(hourly_path)
+        ).collect()
+    }
+    want = {
+        (r["day"], r["event_type"]): (
+            r["n_events"],
+            r["total_value"],
+            r["avg_value"],
+        )
+        for r in plans.QUERIES["events_rollup_2level"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
 def test_decontaminate_stream_matches_batch(spark, sf_dir, tmp_path_factory):
     """Streaming decontamination == the batch query over the same
     corpus, even when the corpus arrives across several micro-batches
