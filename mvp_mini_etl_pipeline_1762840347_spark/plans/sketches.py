@@ -591,3 +591,89 @@ def sketch_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 sketch_quantile_hist.__doc__ = sketch_quantile_hist.__doc__.format(bins=_QH_BINS)
+
+
+# ---------------------------------------------------------------------------
+# Per-group KMV: distinct customers per order priority from one sketch pass
+# ---------------------------------------------------------------------------
+_KMV_G_SQL = rf"""
+    WITH hashes AS (
+      SELECT DISTINCT o_orderpriority,
+             {_h60_sql("CAST(o_custkey AS VARCHAR)")} AS h
+      FROM orders
+    ),
+    ranked AS (
+      SELECT o_orderpriority, h,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY h) AS rn
+      FROM hashes
+    ),
+    kmin AS (
+      SELECT o_orderpriority, max(h) AS kth_hash, count(*) AS k
+      FROM ranked WHERE rn <= {_KMV_K} GROUP BY o_orderpriority
+    ),
+    exact AS (
+      SELECT o_orderpriority, count(DISTINCT o_custkey) AS exact_distinct
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT k.o_orderpriority AS grp, k.k, k.kth_hash, e.exact_distinct,
+           round(({_KMV_K} - 1)
+                 / (CAST(k.kth_hash AS DOUBLE) / {_HASH_SPACE!r}), 2)
+               AS est_distinct,
+           round(100.0 * (({_KMV_K} - 1)
+                 / (CAST(k.kth_hash AS DOUBLE) / {_HASH_SPACE!r})
+                 / e.exact_distinct - 1.0), 2) AS rel_err_pct
+    FROM kmin k JOIN exact e ON k.o_orderpriority = e.o_orderpriority
+"""
+
+
+@query("sketch_kmv_by_group", oracle=_KMV_G_SQL)
+def sketch_kmv_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KMV sketch PARTITIONED: distinct customers per order
+    priority, every group's bottom-{k} hash set maintained in one
+    pass -- the per-slice NDV profile (cardinality per day / source /
+    tenant) that column-statistics and mixture-weighting jobs run at
+    100 TB, where one global number is useless.
+
+    Plan shape: hash projection -> (group, hash) distinct ->
+    per-group bottom-K via a rank window WITH the rn <= {k} filter
+    adjacent, which Spark executes as WindowGroupLimit: each map task
+    keeps only its own K smallest per group BEFORE the shuffle, so
+    the exchange carries <= K rows per (group, partition), never the
+    distinct sets.  State per group is exactly the mergeable bottom-K
+    set (union = merge, keep K smallest).  The exact count rides
+    along for the error column; a deployment drops it."""
+    from pyspark.sql.window import Window
+
+    o = read_table(spark, sf_dir, "orders")
+    hashes = o.select(
+        "o_orderpriority", _h60(F.col("o_custkey").cast("string")).alias("h")
+    ).distinct()
+    w = Window.partitionBy("o_orderpriority").orderBy("h")
+    kmin = (
+        hashes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+        .groupBy("o_orderpriority")
+        .agg(F.max("h").alias("kth_hash"), F.count("*").alias("k"))
+    )
+    exact = o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact_distinct")
+    )
+    est = F.lit(float(_KMV_K - 1)) / (
+        F.col("kth_hash").cast("double") / F.lit(_HASH_SPACE)
+    )
+    return (
+        kmin.join(exact, "o_orderpriority")
+        .select(
+            F.col("o_orderpriority").alias("grp"),
+            "k",
+            "kth_hash",
+            "exact_distinct",
+            F.round(est, 2).alias("est_distinct"),
+            F.round(100.0 * (est / F.col("exact_distinct") - 1.0), 2).alias(
+                "rel_err_pct"
+            ),
+        )
+    )
+
+
+sketch_kmv_by_group.__doc__ = sketch_kmv_by_group.__doc__.format(k=_KMV_K)
