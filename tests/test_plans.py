@@ -165,3 +165,11 @@ def test_plan_features_match_committed_audit(spark):
         elif got != want:
             mismatches.append((name, want, got))
     assert not mismatches, mismatches
+
+
+def test_kmv_by_group_keeps_bottom_k_map_side(spark):
+    """sketch_kmv_by_group's rank filter must plan as WindowGroupLimit
+    (per-task bottom-K before the shuffle) -- the property that keeps
+    the exchange at <= K rows per (group, partition) however large
+    the corpus."""
+    assert "WindowGroupLimit" in _plan(spark, "sketch_kmv_by_group")
