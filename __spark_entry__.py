@@ -27,10 +27,10 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # The driver oracle-checks queries in dict order and caps the per-round
 # count, so names never yet green are emitted FIRST; already-green ones
 # re-verify in later rounds once everything has had a green row.
-# `dedup_simhash` / `events_json_extract` are deliberately absent: their
-# r1 rows were hash-fails (DuckDB HUGEINT artifact, CAST fix in tree),
-# so they re-verify in the first block until a green row exists.
-# Source of truth: CORRECTNESS_r{1,2,3}.json green rows.
+# `pack_sequences` / `running_corpus_tokens` are deliberately absent:
+# their r4 rows were hash-fails (DuckDB HUGEINT artifact, CAST fix in
+# tree), so they re-verify in the first block until a green row exists.
+# Source of truth: CORRECTNESS_r{1,2,3,4}.json green rows.
 _DRIVER_CHECKED: tuple[str, ...] = (
     "metrics_customer", "projection_enrich", "filter_valid",
     "point_lookup", "case_status", "join_lookup_default",
@@ -65,6 +65,22 @@ _DRIVER_CHECKED: tuple[str, ...] = (
     "top_return_customers", "order_fulfillment", "groupby_salted",
     "stats_pricing", "promo_revenue_share", "top_supplier",
     "disjunctive_filter_revenue",
+    # round-4 greens (CORRECTNESS_r04.json)
+    "events_json_extract", "dedup_simhash", "decontaminate_eval_overlap",
+    "pq_encode", "orders_growth", "nation_trade_flow", "customer_rfm",
+    "customer_order_distribution", "regression_price_qty",
+    "nation_revenue_share", "forecast_revenue_change",
+    "priority_shipping_dist", "weighted_price_stats", "market_share",
+    "histogram_totalprice", "zone_map_lineitem", "winsorized_pricing",
+    "winsorized_pricing_approx", "dedup_clusters", "dedup_apply",
+    "pagerank_candidates", "small_qty_revenue", "late_ship_priority",
+    "big_volume_customers", "dormant_rich_customers", "sole_late_supplier",
+    "sample_hash_split", "sample_mixture", "dq_checks",
+    "sample_systematic", "sample_stratified", "sample_temperature",
+    "corpus_quality_funnel", "sample_weighted", "table_stats_orders",
+    "corpus_clean_split", "sketch_kmv_distinct", "sketch_hll_distinct",
+    "sketch_countmin_freq", "sketch_bloom_membership",
+    "sketch_quantile_hist", "sketch_kmv_by_group",
 )
 
 

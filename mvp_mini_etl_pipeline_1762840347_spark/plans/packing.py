@@ -46,7 +46,7 @@ _BUCKET_W, _SUPER_W = 64, 16
     )
     SELECT CAST(floor(tokens_before / {_PACK_BUDGET}) AS BIGINT) AS seq_id,
            count(*)        AS n_docs,
-           sum(n_tokens)   AS seq_tokens,
+           CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
            min(doc_id)     AS first_doc,
            max(doc_id)     AS last_doc
     FROM c GROUP BY 1
@@ -104,9 +104,9 @@ pack_sequences.__doc__ = pack_sequences.__doc__.format(budget=_PACK_BUDGET)
       FROM documents
     )
     SELECT doc_id, source, n_tokens,
-           coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+           CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                    0) + n_tokens AS running_total
+                    0) + n_tokens AS BIGINT) AS running_total
     FROM t
     """,
 )
