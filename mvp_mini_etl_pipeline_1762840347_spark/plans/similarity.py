@@ -1007,3 +1007,6 @@ def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_encoded"),
         F.round(F.avg("sq_err"), 6).alias("avg_sq_err"),
     )
+
+
+pq_encode.__doc__ = pq_encode.__doc__.format(subs=_PQ_SUBS, codes=_PQ_CODES)

@@ -615,14 +615,17 @@ _KMV_G_SQL = rf"""
       SELECT o_orderpriority, count(DISTINCT o_custkey) AS exact_distinct
       FROM orders GROUP BY o_orderpriority
     )
-    SELECT k.o_orderpriority AS grp, k.k, k.kth_hash, e.exact_distinct,
-           round(({_KMV_K} - 1)
-                 / (CAST(k.kth_hash AS DOUBLE) / {_HASH_SPACE!r}), 2)
-               AS est_distinct,
-           round(100.0 * (({_KMV_K} - 1)
-                 / (CAST(k.kth_hash AS DOUBLE) / {_HASH_SPACE!r})
-                 / e.exact_distinct - 1.0), 2) AS rel_err_pct
-    FROM kmin k JOIN exact e ON k.o_orderpriority = e.o_orderpriority
+    SELECT grp, k, kth_hash, exact_distinct,
+           round(est, 2) AS est_distinct,
+           round(100.0 * (est / exact_distinct - 1.0), 2) AS rel_err_pct
+    FROM (
+      SELECT k.o_orderpriority AS grp, k.k, k.kth_hash, e.exact_distinct,
+             CASE WHEN k.k < {_KMV_K} THEN CAST(k.k AS DOUBLE)
+                  ELSE ({_KMV_K} - 1)
+                       / (CAST(k.kth_hash AS DOUBLE) / {_HASH_SPACE!r})
+             END AS est
+      FROM kmin k JOIN exact e ON k.o_orderpriority = e.o_orderpriority
+    )
 """
 
 
@@ -640,7 +643,10 @@ def sketch_kmv_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps only its own K smallest per group BEFORE the shuffle, so
     the exchange carries <= K rows per (group, partition), never the
     distinct sets.  State per group is exactly the mergeable bottom-K
-    set (union = merge, keep K smallest).  The exact count rides
+    set (union = merge, keep K smallest).  A group with fewer than K
+    distinct keys has the complete hash set, so the estimator returns
+    the EXACT count k there (the standard KMV small-cardinality case)
+    instead of the biased (K-1)/ratio formula.  The exact count rides
     along for the error column; a deployment drops it."""
     from pyspark.sql.window import Window
 
@@ -658,8 +664,11 @@ def sketch_kmv_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = o.groupBy("o_orderpriority").agg(
         F.countDistinct("o_custkey").alias("exact_distinct")
     )
-    est = F.lit(float(_KMV_K - 1)) / (
-        F.col("kth_hash").cast("double") / F.lit(_HASH_SPACE)
+    est = F.when(
+        F.col("k") < _KMV_K, F.col("k").cast("double")
+    ).otherwise(
+        F.lit(float(_KMV_K - 1))
+        / (F.col("kth_hash").cast("double") / F.lit(_HASH_SPACE))
     )
     return (
         kmin.join(exact, "o_orderpriority")

@@ -449,51 +449,24 @@ def hourly_rollup_stream(
     coarser grain derives from the partials).  Only algebraic state
     is kept (count + sum; avg derives at read), so merge order never
     matters and backfill equals live.  Same additive full-outer merge
-    + cache barrier as merge_stream_into_parquet, keyed on the window
-    instead of the user; the exactly-once upgrade is the
-    SnapshotTable + batch-id high-water-mark pattern below."""
+    as merge_stream_into_parquet, keyed on the window instead of the
+    user, hardened three ways: (1) only an explicitly MISSING table
+    reads as "first batch" -- any other read failure (corrupt footer,
+    transient IO) re-raises and aborts the batch, because treating it
+    as absence would silently reset the accumulated table to one
+    delta; (2) a batch-id high-water mark file makes replayed batches
+    (foreachBatch is at-least-once across restarts) no-ops instead of
+    double-counts; (3) the merged table is staged into a sibling
+    directory and swapped in via recoverable renames, so the merge
+    plan never overwrites its own parquet source mid-read (no cache
+    barrier to evict).  One residual window remains -- a crash after
+    the swap but before the mark write re-applies that one delta on
+    replay; closing it needs the data+mark atomic commit of
+    snapshot_merge_step / SnapshotTable below, which is the deploy
+    path."""
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        delta = batch_df.groupBy(
-            F.date_trunc("hour", "ts").alias("hour"), "event_type"
-        ).agg(F.count("*").alias("pc"), F.sum("value").alias("pv"))
-        try:
-            target = spark.read.parquet(hourly_path)
-        except Exception:
-            target = None
-        if target is None:
-            merged = delta
-        else:
-            t = target.select(
-                F.col("hour").alias("t_hour"),
-                F.col("event_type").alias("t_type"),
-                F.col("pc").alias("t_pc"),
-                F.col("pv").alias("t_pv"),
-            )
-            merged = (
-                delta.join(
-                    t,
-                    (delta.hour == t.t_hour)
-                    & (delta.event_type == t.t_type),
-                    "full_outer",
-                )
-                .select(
-                    F.coalesce(delta.hour, t.t_hour).alias("hour"),
-                    F.coalesce(delta.event_type, t.t_type).alias("event_type"),
-                    (
-                        F.coalesce(delta.pc, F.lit(0))
-                        + F.coalesce(t.t_pc, F.lit(0))
-                    ).alias("pc"),
-                    (
-                        F.coalesce(delta.pv, F.lit(0.0))
-                        + F.coalesce(t.t_pv, F.lit(0.0))
-                    ).alias("pv"),
-                )
-            )
-        merged = merged.cache()
-        merged.count()  # materialize before overwriting its own source
-        merged.write.mode("overwrite").parquet(hourly_path)
-        merged.unpersist()
+        hourly_rollup_merge_step(spark, batch_df, batch_id, hourly_path)
 
     return (
         events.writeStream.foreachBatch(_merge)
@@ -501,6 +474,87 @@ def hourly_rollup_stream(
         .option("checkpointLocation", hourly_path + "_chk")
         .start()
     )
+
+
+def hourly_rollup_merge_step(
+    spark: SparkSession, batch_df: DataFrame, batch_id: int, hourly_path: str
+) -> bool:
+    """One hardened hourly-rollup merge (the foreachBatch body of
+    hourly_rollup_stream, exposed for direct replay/crash testing).
+    Returns True if the batch was merged, False if it was a replayed
+    no-op."""
+    import os
+    import shutil
+
+    hw_path = hourly_path.rstrip("/") + "_LAST_BATCH"
+    try:
+        with open(hw_path) as f:
+            applied = int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        applied = -1
+    if batch_id <= applied:
+        return False  # replayed batch: already merged, exactly-once no-op
+
+    staged = hourly_path.rstrip("/") + "_staging"
+    old = hourly_path.rstrip("/") + "_premerge"
+    # recover a crash between the two swap renames, then clear
+    # stale dirs from any earlier crashed attempt
+    if not os.path.exists(hourly_path) and os.path.exists(old):
+        os.rename(old, hourly_path)
+    for stale in (staged, old):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
+
+    delta = batch_df.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count("*").alias("pc"), F.sum("value").alias("pv"))
+    # only explicit absence means "first batch"; a corrupt/unreadable
+    # table must abort the batch, not silently reset the rollup
+    if os.path.exists(hourly_path):
+        target = spark.read.parquet(hourly_path)  # IO errors re-raise
+    else:
+        target = None
+    if target is None:
+        merged = delta
+    else:
+        t = target.select(
+            F.col("hour").alias("t_hour"),
+            F.col("event_type").alias("t_type"),
+            F.col("pc").alias("t_pc"),
+            F.col("pv").alias("t_pv"),
+        )
+        merged = (
+            delta.join(
+                t,
+                (delta.hour == t.t_hour)
+                & (delta.event_type == t.t_type),
+                "full_outer",
+            )
+            .select(
+                F.coalesce(delta.hour, t.t_hour).alias("hour"),
+                F.coalesce(delta.event_type, t.t_type).alias("event_type"),
+                (
+                    F.coalesce(delta.pc, F.lit(0))
+                    + F.coalesce(t.t_pc, F.lit(0))
+                ).alias("pc"),
+                (
+                    F.coalesce(delta.pv, F.lit(0.0))
+                    + F.coalesce(t.t_pv, F.lit(0.0))
+                ).alias("pv"),
+            )
+        )
+    # stage fully, then swap -- the plan reads hourly_path, so an
+    # in-place overwrite could recompute from a half-deleted source
+    merged.write.mode("overwrite").parquet(staged)
+    if os.path.exists(hourly_path):
+        os.rename(hourly_path, old)
+    os.rename(staged, hourly_path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    with open(hw_path + ".tmp", "w") as f:
+        f.write(str(batch_id))
+    os.replace(hw_path + ".tmp", hw_path)
+    return True
 
 
 def daily_from_hourly(hourly: DataFrame) -> DataFrame:

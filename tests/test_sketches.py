@@ -144,3 +144,24 @@ def test_quantile_hist_within_one_bin(spark):
         # est must be monotone in q
     by_q = sorted(rows, key=lambda r: r["q"])
     assert by_q[0]["est"] <= by_q[1]["est"] <= by_q[2]["est"]
+
+
+def test_kmv_by_group_small_group_is_exact(spark, tmp_path):
+    """A group with fewer than K distinct keys holds its COMPLETE
+    hash set, so the estimator must return the exact count k there
+    (standard KMV small-cardinality case), not the biased
+    (K-1)/ratio formula."""
+    big = [("BIG", i) for i in range(psk._KMV_K * 4)]
+    small = [("SMALL", i) for i in range(7)]
+    spark.createDataFrame(
+        big + small, "o_orderpriority string, o_custkey long"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    rows = {
+        r["grp"]: r for r in psk.sketch_kmv_by_group(spark, str(tmp_path)).collect()
+    }
+    assert rows["SMALL"]["k"] == 7
+    assert rows["SMALL"]["est_distinct"] == 7.0
+    assert rows["SMALL"]["rel_err_pct"] == 0.0
+    # the big group uses the estimator and stays within KMV bounds
+    assert rows["BIG"]["k"] == psk._KMV_K
+    assert abs(rows["BIG"]["est_distinct"] / rows["BIG"]["exact_distinct"] - 1) < 0.5

@@ -423,6 +423,66 @@ def test_hourly_rollup_stream_composes_to_batch_daily(
     assert got == want
 
 
+def test_hourly_rollup_merge_step_replay_and_io_guards(
+    spark, sf_dir, tmp_path_factory
+):
+    """The three hardening properties of the rollup merge, driven via
+    the exposed step function: (1) a replayed batch_id is a no-op
+    (foreachBatch is at-least-once; without the guard every replay
+    double-counts), (2) a NEW batch_id still merges additively,
+    (3) an unreadable-but-present hourly table ABORTS the batch
+    instead of being treated as 'first batch' and resetting the
+    accumulated rollup to one delta."""
+    import os
+
+    from mvp_mini_etl_pipeline_1762840347_spark.io import read_events
+
+    base = tmp_path_factory.mktemp("rollup_replay")
+    hourly_path = str(base / "hourly")
+    e = read_events(spark, sf_dir).limit(200).cache()
+
+    assert jobs.hourly_rollup_merge_step(spark, e, 0, hourly_path) is True
+    first = {
+        (r["hour"], r["event_type"]): (r["pc"], r["pv"])
+        for r in spark.read.parquet(hourly_path).collect()
+    }
+    assert first
+
+    # (1) replayed batch 0: exactly-once no-op, table unchanged
+    assert jobs.hourly_rollup_merge_step(spark, e, 0, hourly_path) is False
+    after = {
+        (r["hour"], r["event_type"]): (r["pc"], r["pv"])
+        for r in spark.read.parquet(hourly_path).collect()
+    }
+    assert after == first
+
+    # (2) new batch id merges additively: counts double
+    assert jobs.hourly_rollup_merge_step(spark, e, 1, hourly_path) is True
+    doubled = {
+        k: r for k, r in (
+            ((row["hour"], row["event_type"]), (row["pc"], row["pv"]))
+            for row in spark.read.parquet(hourly_path).collect()
+        )
+    }
+    assert {k: v[0] for k, v in doubled.items()} == {
+        k: 2 * v[0] for k, v in first.items()
+    }
+
+    # (3) a PRESENT but unreadable table must raise, not reset
+    import pytest as _pytest
+
+    corrupt = str(base / "corrupt")
+    os.makedirs(corrupt)
+    with open(os.path.join(corrupt, "part-00000.parquet"), "w") as f:
+        f.write("not parquet")
+    with _pytest.raises(Exception):
+        jobs.hourly_rollup_merge_step(spark, e, 0, corrupt)
+    # the garbage table was not overwritten by a one-delta reset
+    with open(os.path.join(corrupt, "part-00000.parquet")) as f:
+        assert f.read() == "not parquet"
+    e.unpersist()
+
+
 def test_decontaminate_stream_matches_batch(spark, sf_dir, tmp_path_factory):
     """Streaming decontamination == the batch query over the same
     corpus, even when the corpus arrives across several micro-batches
