@@ -223,11 +223,17 @@ def sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-supplier order (Q21's nested EXISTS + NOT EXISTS on the
     same fact table), counted per supplier.
 
-    Decorrelation collapses both correlated subqueries into ONE
-    per-order aggregate over the joined facts -- distinct supplier
-    count and distinct LATE supplier count -- computed in the same
-    shuffle that the blame join reuses: lineitem moves on orderkey
-    exactly once, versus the nested form's three correlated rescans."""
+    Decorrelation collapses both correlated subqueries into per-order
+    DISTINCT-SUPPLIER counts computed as WINDOW aggregates over the
+    joined facts (size(collect_set(..)) over the l_orderkey window --
+    set sizes are bounded by suppliers-per-order, single digits), so
+    the blame filter applies in the SAME shuffle that produced the
+    counts: lineitem is scanned once and moves on orderkey exactly
+    once, versus the nested form's three correlated rescans and the
+    aggregate-then-join-back form's two scans (the plan property
+    tests/test_scale.py pins)."""
+    from pyspark.sql.window import Window
+
     o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
@@ -240,19 +246,21 @@ def sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
         ).alias("is_late"),
     )
-    per_order = lo.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
-            "n_late_supp"
-        ),
-    )
+    w = Window.partitionBy("l_orderkey")
     blamed = (
-        lo.filter(F.col("is_late"))
-        .join(
-            per_order.filter(
-                (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
-            ).select("l_orderkey"),
-            "l_orderkey",
+        lo.withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "n_late_supp",
+            F.size(
+                F.collect_set(
+                    F.when(F.col("is_late"), F.col("l_suppkey"))
+                ).over(w)
+            ),
+        )
+        .filter(
+            F.col("is_late")
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late_supp") == 1)
         )
     )
     return (

@@ -439,3 +439,17 @@ def test_zorder_write_improves_second_key_skipping(spark, tmp_path):
         F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("s")
     ).collect()[0]
     assert (got["n"], got["s"]) == (want["n"], want["s"])
+
+
+# ---------------------------------------------------------------------------
+# sole_late_supplier: the window rewrite reads lineitem ONCE (the
+# aggregate-then-join-back form re-derived the orders join per branch
+# and scanned the fact table twice)
+# ---------------------------------------------------------------------------
+def test_sole_late_supplier_single_fact_scan(spark):
+    from mvp_mini_etl_pipeline_1762840347_spark import plans
+
+    df = plans.QUERIES["sole_late_supplier"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("lineitem.parquet") == 1, "fact table must be read once"
+    assert plan.count("orders.parquet") == 1
