@@ -139,6 +139,49 @@ _HLL_WBITS = _HASH_BITS - 8  # 52 bits of rank material
 # use the same double literal instead of re-deriving it at runtime.
 _HLL_ALPHA = 0.7182725932495458
 
+def _hll_estimate(buckets: DataFrame) -> tuple[DataFrame, Column]:
+    """The integer-exact HLL estimator over a (bucket, m_j) register
+    table: returns the 1-row (n_buckets, m_max, sum_scaled) frame and
+    the estimate Column (with small-range linear counting) to select
+    from it.  Shared by the single-pass build and the register-merge
+    path so the two provably run the identical arithmetic."""
+    mm = buckets.agg(
+        F.max("m_j").alias("m_max"), F.count("*").alias("n_buckets")
+    )
+    folded = (
+        buckets.crossJoin(F.broadcast(mm))
+        .groupBy("n_buckets", "m_max")
+        .agg(
+            F.sum(F.expr("shiftleft(cast(1 as bigint), m_max - m_j)"))
+            .cast("bigint")
+            .alias("sum_occupied")
+        )
+    )
+    denom = folded.select(
+        "n_buckets",
+        "m_max",
+        (
+            F.col("sum_occupied")
+            + (F.lit(_HLL_M) - F.col("n_buckets"))
+            * F.expr("shiftleft(cast(1 as bigint), m_max)")
+        ).cast("bigint").alias("sum_scaled"),
+    )
+    raw_est = (
+        F.lit(_HLL_ALPHA)
+        * F.lit(float(_HLL_M * _HLL_M))
+        * F.pow(F.lit(2.0), F.col("m_max"))
+        / F.col("sum_scaled")
+    )
+    est = F.when(
+        (raw_est <= F.lit(2.5 * _HLL_M)) & (F.col("n_buckets") < _HLL_M),
+        F.lit(float(_HLL_M))
+        * F.log(
+            F.lit(float(_HLL_M)) / (F.lit(_HLL_M) - F.col("n_buckets"))
+        ),
+    ).otherwise(raw_est)
+    return denom, est
+
+
 _HLL_SQL = rf"""
     WITH h AS (
       SELECT {_h60_sql("CAST(o_custkey AS VARCHAR)")} AS h FROM orders
@@ -226,41 +269,8 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.max("rho").alias("m_j"))
     )
-    mm = buckets.agg(
-        F.max("m_j").alias("m_max"), F.count("*").alias("n_buckets")
-    )
-    folded = (
-        buckets.crossJoin(F.broadcast(mm))
-        .groupBy("n_buckets", "m_max")
-        .agg(
-            F.sum(F.expr("shiftleft(cast(1 as bigint), m_max - m_j)"))
-            .cast("bigint")
-            .alias("sum_occupied")
-        )
-    )
-    denom = folded.select(
-        "n_buckets",
-        "m_max",
-        (
-            F.col("sum_occupied")
-            + (F.lit(_HLL_M) - F.col("n_buckets"))
-            * F.expr("shiftleft(cast(1 as bigint), m_max)")
-        ).cast("bigint").alias("sum_scaled"),
-    )
+    denom, est = _hll_estimate(buckets)
     exact = o.agg(F.countDistinct("o_custkey").alias("exact_distinct"))
-    raw_est = (
-        F.lit(_HLL_ALPHA)
-        * F.lit(float(_HLL_M * _HLL_M))
-        * F.pow(F.lit(2.0), F.col("m_max"))
-        / F.col("sum_scaled")
-    )
-    est = F.when(
-        (raw_est <= F.lit(2.5 * _HLL_M)) & (F.col("n_buckets") < _HLL_M),
-        F.lit(float(_HLL_M))
-        * F.log(
-            F.lit(float(_HLL_M)) / (F.lit(_HLL_M) - F.col("n_buckets"))
-        ),
-    ).otherwise(raw_est)
     return denom.crossJoin(F.broadcast(exact)).select(
         "n_buckets",
         "m_max",
@@ -686,3 +696,126 @@ def sketch_kmv_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 sketch_kmv_by_group.__doc__ = sketch_kmv_by_group.__doc__.format(k=_KMV_K)
+
+
+# ---------------------------------------------------------------------------
+# HLL register MERGE: union two independently-built sketches
+# ---------------------------------------------------------------------------
+_HLL_MERGE_SQL = rf"""
+    WITH h AS (
+      SELECT o_orderkey % 2 AS slice,
+             {_h60_sql("CAST(o_custkey AS VARCHAR)")} AS h
+      FROM orders
+    ),
+    slice_regs AS (
+      SELECT slice, h % {_HLL_M} AS bucket,
+             max(CASE WHEN h // {_HLL_M} = 0 THEN {_HLL_WBITS + 1}
+                      ELSE {_HLL_WBITS + 1} - length(bin(h // {_HLL_M}))
+                 END) AS m_j
+      FROM h GROUP BY 1, 2
+    ),
+    sstats AS (
+      SELECT count(DISTINCT slice) AS n_slices,
+             count(*) AS slice_registers_total
+      FROM slice_regs
+    ),
+    merged AS (SELECT bucket, max(m_j) AS m_j FROM slice_regs GROUP BY 1),
+    mm AS (SELECT max(m_j) AS m_max, count(*) AS n_buckets FROM merged),
+    folded AS (
+      SELECT mm.n_buckets, mm.m_max,
+             sum(1::BIGINT << (mm.m_max - b.m_j))::BIGINT AS sum_occupied
+      FROM merged b CROSS JOIN mm
+      GROUP BY mm.n_buckets, mm.m_max
+    ),
+    denom AS (
+      SELECT n_buckets, m_max,
+             (sum_occupied
+              + ({_HLL_M} - n_buckets) * (1::BIGINT << m_max))::BIGINT
+                 AS sum_scaled
+      FROM folded
+    ),
+    exact AS (SELECT count(DISTINCT o_custkey) AS exact_distinct FROM orders),
+    est AS (
+      SELECT n_buckets, m_max, sum_scaled,
+             CAST({_HLL_ALPHA!r} AS DOUBLE) * {_HLL_M * _HLL_M}.0
+               * power(2.0, m_max) / sum_scaled AS raw_est
+      FROM denom
+    ),
+    corrected AS (
+      SELECT n_buckets, m_max, sum_scaled,
+             CASE WHEN raw_est <= 2.5 * {_HLL_M} AND n_buckets < {_HLL_M}
+                  THEN {_HLL_M}.0
+                       * ln({_HLL_M}.0 / ({_HLL_M} - n_buckets))
+                  ELSE raw_est
+             END AS est
+      FROM est
+    )
+    SELECT s.n_slices, s.slice_registers_total,
+           c.n_buckets, c.m_max, c.sum_scaled, exact.exact_distinct,
+           round(c.est, 2) AS est_distinct,
+           round(100.0 * (c.est / exact.exact_distinct - 1.0), 2)
+               AS rel_err_pct
+    FROM corrected c CROSS JOIN sstats s CROSS JOIN exact
+"""
+
+
+@query("sketch_hll_merge", oracle=_HLL_MERGE_SQL)
+def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch UNION -- the cross-partition/cross-day rollup a 100 TB
+    continuous aggregate actually performs: two HLL register states
+    are built INDEPENDENTLY (here per orderkey-parity slice, standing
+    in for per-day/per-partition sketches) and merged by elementwise
+    register max, then the merged state runs the exact same estimator
+    as the single-pass build (shared _hll_estimate helper).
+
+    Because max is associative and commutative, the merged registers
+    are BIT-IDENTICAL to the registers a direct build over the union
+    would produce -- the property that lets a deployment keep one
+    256-row register table per day and answer "distinct over any date
+    range" by merging states, never rescanning raw data
+    (tests/test_sketches.py pins merged == direct exactly).
+
+    Plan shape: one orders scan -> map-side partial max per (slice,
+    bucket) -> shuffle of <= 2*{m} rows per partition -> merge max per
+    bucket -> 1-row estimate.  slice_registers_total rides along to
+    show the merge did real work (> n_buckets when slices overlap
+    buckets)."""
+    o = read_table(spark, sf_dir, "orders")
+    h = _h60(F.col("o_custkey").cast("string"))
+    rho = F.when(F.expr(f"h div {_HLL_M}") == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+        F.lit(_HLL_WBITS + 1) - F.length(F.bin(F.expr(f"h div {_HLL_M}")))
+    )
+    slice_regs = (
+        o.select((F.col("o_orderkey") % 2).alias("slice"), h.alias("h"))
+        .select(
+            "slice", (F.col("h") % _HLL_M).alias("bucket"), rho.alias("rho")
+        )
+        .groupBy("slice", "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    sstats = slice_regs.agg(
+        F.countDistinct("slice").alias("n_slices"),
+        F.count("*").alias("slice_registers_total"),
+    )
+    merged = slice_regs.groupBy("bucket").agg(F.max("m_j").alias("m_j"))
+    denom, est = _hll_estimate(merged)
+    exact = o.agg(F.countDistinct("o_custkey").alias("exact_distinct"))
+    return (
+        denom.crossJoin(F.broadcast(sstats))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "n_slices",
+            "slice_registers_total",
+            "n_buckets",
+            "m_max",
+            "sum_scaled",
+            "exact_distinct",
+            F.round(est, 2).alias("est_distinct"),
+            F.round(100.0 * (est / F.col("exact_distinct") - 1.0), 2).alias(
+                "rel_err_pct"
+            ),
+        )
+    )
+
+
+sketch_hll_merge.__doc__ = sketch_hll_merge.__doc__.format(m=_HLL_M)

@@ -165,3 +165,32 @@ def test_kmv_by_group_small_group_is_exact(spark, tmp_path):
     # the big group uses the estimator and stays within KMV bounds
     assert rows["BIG"]["k"] == psk._KMV_K
     assert abs(rows["BIG"]["est_distinct"] / rows["BIG"]["exact_distinct"] - 1) < 0.5
+
+
+def test_hll_merge_equals_direct_build(spark):
+    """Register merge is lossless: merging per-slice HLL states by
+    elementwise max yields the same (n_buckets, m_max, sum_scaled,
+    est_distinct) as the single-pass build over the union -- max is
+    associative, so the merged registers are bit-identical.  This is
+    the property that lets per-day states answer any date range."""
+    direct = psk.sketch_hll_distinct(spark, SF).first()
+    merged = psk.sketch_hll_merge(spark, SF).first()
+    assert merged["n_slices"] == 2
+    for col in ("n_buckets", "m_max", "sum_scaled", "exact_distinct",
+                "est_distinct", "rel_err_pct"):
+        assert merged[col] == direct[col], col
+    # the merge did real work: slices overlapped buckets
+    assert merged["slice_registers_total"] > merged["n_buckets"]
+
+
+def test_hll_merge_partial_aggregate_plan(spark):
+    """The register build must partial-aggregate map-side: the
+    shuffle carries <= slices*256 register rows per partition, never
+    raw order rows."""
+    plan = (
+        psk.sketch_hll_merge(spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "partial_max" in plan or plan.index("HashAggregate") < plan.index(
+        "Exchange"
+    )
