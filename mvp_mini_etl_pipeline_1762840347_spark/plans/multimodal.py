@@ -10,9 +10,11 @@ from pyspark.sql import functions as F
 
 from ..io import read_table
 from ..operators.multimodal import (
+    decode_media_headers,
     extract_features,
     fake_media_from_documents,
     frame_sample,
+    real_media_from_documents,
 )
 from .registry import query
 
@@ -132,3 +134,49 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content_sha",
         F.round(F.element_at("features", 1).cast("double"), 4).alias("f0"),
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL container decode (BMP/WAV headers, stdlib struct) -- VALUE-checked
+# ---------------------------------------------------------------------------
+@query(
+    "multimodal_decode",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           CAST(CASE doc_id % 3
+                WHEN 0 THEN 54 + ((3 * (8 + doc_id % 24) + 3) // 4) * 4
+                            * (8 + doc_id % 16)
+                WHEN 1 THEN 44 + 2 * (64 + n_chars % 128)
+                ELSE octet_length(encode(text)) END AS BIGINT) AS n_bytes,
+           CASE doc_id % 3 WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'audio/wav'
+                ELSE NULL END AS mime,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 8 + doc_id % 24 END
+                AS INTEGER) AS width,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 8 + doc_id % 16 END
+                AS INTEGER) AS height,
+           CAST(CASE WHEN doc_id % 3 = 1 THEN 8000 + 1000 * (doc_id % 5) END
+                AS INTEGER) AS sample_rate,
+           CAST(CASE WHEN doc_id % 3 = 1 THEN 64 + n_chars % 128 END
+                AS INTEGER) AS n_frames
+    FROM documents
+    """,
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode, end to end: image/audio payloads are genuine
+    BMP / RIFF-WAVE files built with stdlib struct (real container
+    bytes in the binary column), and the decode step sniffs magic
+    bytes and struct.unpacks the actual headers -- no fake metadata
+    anywhere in the path.  The oracle independently computes what the
+    headers MUST contain from the deterministic generation parameters,
+    so a parser that misreads any offset fails the value hash.  Video
+    payloads are raw bytes (no stdlib container writer exists) and
+    must decode to all-null fields -- the honest unknown-format
+    branch.  Both steps run Arrow-batched in mapInPandas: per-row
+    binary construction/parsing is exactly the work DataFrame builtins
+    cannot express (SURVEY §2.10 multimodal plumbing, now with the
+    codec stub replaced by a real header decoder for the formats
+    stdlib can carry)."""
+    media = real_media_from_documents(read_table(spark, sf_dir, "documents"))
+    return decode_media_headers(media)

@@ -68,9 +68,61 @@ def test_multimodal_feature_extraction(spark, sf_dir):
     }
 
 
-def test_multimodal_decode_is_stubbed():
+def test_multimodal_pixel_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         mm.decode_image(b"\x89PNG")
+
+
+def test_bmp_wav_roundtrip_pure_python():
+    """The stdlib writers produce files the stdlib parser reads back
+    exactly -- and the WAV one is additionally cross-checked against
+    Python's own wave module (an independent reference decoder)."""
+    bmp = mm.build_bmp(13, 7, b"pixels!")
+    got = mm.parse_media_header(bmp)
+    assert (got["mime"], got["width"], got["height"]) == ("image/bmp", 13, 7)
+    # BMP size arithmetic: 54-byte headers + 4-aligned rows
+    assert len(bmp) == 54 + ((3 * 13 + 3) // 4) * 4 * 7
+
+    wav = mm.build_wav(11000, 321, b"audio-bytes")
+    got = mm.parse_media_header(wav)
+    assert (got["mime"], got["sample_rate"], got["n_frames"]) == (
+        "audio/wav", 11000, 321,
+    )
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(wav)) as w:
+        assert w.getframerate() == 11000
+        assert w.getnframes() == 321
+        assert w.getnchannels() == 1
+        assert w.getsampwidth() == 2
+
+    # unknown container: all-null fields, never fabricated metadata
+    got = mm.parse_media_header(b"\x89PNG not parseable here")
+    assert all(v is None for v in got.values())
+    assert all(v is None for v in mm.parse_media_header(None).values())
+
+
+def test_real_media_decode_roundtrip(spark, sf_dir):
+    """Generation -> binary column -> header decode, distributed:
+    every image/audio row decodes to the parameters it was built
+    with; video rows (raw bytes) decode to nulls."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+    media = mm.real_media_from_documents(docs)
+    rows = mm.decode_media_headers(media).collect()
+    assert len(rows) == 30
+    for r in rows:
+        if r["kind"] == "image":
+            assert r["mime"] == "image/bmp"
+            assert r["width"] == 8 + r["media_id"] % 24
+            assert r["height"] == 8 + r["media_id"] % 16
+            assert r["sample_rate"] is None
+        elif r["kind"] == "audio":
+            assert r["mime"] == "audio/wav"
+            assert r["sample_rate"] == 8000 + 1000 * (r["media_id"] % 5)
+            assert r["width"] is None
+        else:
+            assert r["mime"] is None and r["width"] is None
 
 
 def test_frame_sample(spark, sf_dir):
