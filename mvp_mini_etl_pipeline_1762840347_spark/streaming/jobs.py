@@ -616,6 +616,83 @@ def decontaminate_stream(
     )
 
 
+def running_tokens_stream(
+    spark: SparkSession, docs_stream: DataFrame, out_path: str
+) -> StreamingQuery:
+    """Streaming twin of the prefix-sum family: per-document global
+    running token totals (plans/packing.py::running_corpus_tokens)
+    maintained incrementally as the corpus lands.  Each micro-batch
+    runs the SAME three-level exclusive_cumsum the batch query uses,
+    shifted by a carried offset (total tokens of all prior batches),
+    so live ingest and a one-shot backfill produce identical rows --
+    provided batches arrive in corpus-append order (nondecreasing
+    doc_id ranges), which is what a landing-directory ingest gives.
+
+    Exactly-once hardening mirrors hourly_rollup_merge_step: the
+    carried (batch_id, offset) state is a JSON file advanced
+    atomically AFTER the batch's output partition is written, each
+    batch overwrites its own ``batch=<id>`` directory, and a replayed
+    batch_id is a no-op (a crash between output and state write
+    replays with the same offset, rewriting identical rows)."""
+
+    def _step(batch_df: DataFrame, batch_id: int) -> None:
+        running_tokens_step(spark, batch_df, batch_id, out_path)
+
+    return (
+        docs_stream.writeStream.foreachBatch(_step)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", out_path + "_chk")
+        .start()
+    )
+
+
+def running_tokens_step(
+    spark: SparkSession, batch_df: DataFrame, batch_id: int, out_path: str
+) -> bool:
+    """One running-total micro-batch (the foreachBatch body of
+    running_tokens_stream, exposed for direct replay testing).
+    Returns True if applied, False for a replayed no-op."""
+    import json
+    import os
+
+    from ..operators.prefix import exclusive_cumsum
+
+    state_path = out_path.rstrip("/") + "_STATE"
+    try:
+        with open(state_path) as f:
+            state = json.load(f)
+    except (FileNotFoundError, ValueError):
+        state = {"batch_id": -1, "offset": 0}
+    if batch_id <= state["batch_id"]:
+        return False  # replayed batch: already emitted, exactly-once no-op
+
+    t = batch_df.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.lower(F.col("text")), r"\s+")).alias("n_tokens"),
+    )
+    c = exclusive_cumsum(
+        t, "doc_id", "n_tokens", out="tokens_before",
+        bucket_width=64, super_width=16,
+    )
+    out_dir = f"{out_path}/batch={batch_id}"
+    c.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        (
+            F.col("tokens_before") + F.col("n_tokens") + F.lit(state["offset"])
+        ).alias("running_total"),
+    ).write.mode("overwrite").parquet(out_dir)
+    # the last doc's inclusive total IS offset + batch token sum
+    m = spark.read.parquet(out_dir).agg(F.max("running_total")).first()[0]
+    new_offset = int(m) if m is not None else state["offset"]
+    with open(state_path + ".tmp", "w") as f:
+        json.dump({"batch_id": batch_id, "offset": new_offset}, f)
+    os.replace(state_path + ".tmp", state_path)
+    return True
+
+
 def view_click_join_stream(
     events: DataFrame, watermark: str = "1 hour", horizon: str = "30 minutes"
 ) -> DataFrame:

@@ -666,3 +666,65 @@ def test_transform_with_state_running_totals(spark, sf_dir, events_dir):
         assert got == batch_counts
     finally:
         q.stop()
+
+
+def test_running_tokens_stream_matches_batch(spark, sf_dir, tmp_path_factory):
+    """The streaming prefix-sum twin: documents landing across
+    several micro-batches in corpus-append order must yield
+    EXACTLY the one-shot batch running_corpus_tokens rows, and a
+    replayed batch_id must be a no-op."""
+    from mvp_mini_etl_pipeline_1762840347_spark import plans
+    from mvp_mini_etl_pipeline_1762840347_spark.io import read_table
+
+    base = tmp_path_factory.mktemp("running_tokens")
+    out_path = str(base / "out")
+    docs = read_table(spark, sf_dir, "documents")
+    cut = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+
+    b0 = docs.filter(F.col("doc_id") <= cut)
+    b1 = docs.filter(F.col("doc_id") > cut)
+    assert jobs.running_tokens_step(spark, b0, 0, out_path) is True
+    assert jobs.running_tokens_step(spark, b1, 1, out_path) is True
+    # replays of both already-applied ids: no-ops
+    assert jobs.running_tokens_step(spark, b0, 0, out_path) is False
+    assert jobs.running_tokens_step(spark, b1, 1, out_path) is False
+
+    got = {
+        (r["doc_id"], r["source"], r["n_tokens"], r["running_total"])
+        for r in spark.read.parquet(out_path + "/batch=*").collect()
+    }
+    want = {
+        (r["doc_id"], r["source"], r["n_tokens"], r["running_total"])
+        for r in plans.QUERIES["running_corpus_tokens"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == want
+
+
+def test_running_tokens_stream_end_to_end(spark, sf_dir, tmp_path_factory):
+    """Same twin driven through an actual file-source stream."""
+    from mvp_mini_etl_pipeline_1762840347_spark import plans
+    from mvp_mini_etl_pipeline_1762840347_spark.io import read_table
+
+    base = tmp_path_factory.mktemp("running_tokens_e2e")
+    landing = str(base / "landing")
+    out_path = str(base / "out")
+    docs = read_table(spark, sf_dir, "documents")
+    docs.coalesce(1).write.parquet(landing, mode="overwrite")
+
+    stream = jobs.stream_documents(spark, landing)
+    q = jobs.running_tokens_stream(spark, stream, out_path)
+    q.awaitTermination(120)
+
+    got = {
+        (r["doc_id"], r["running_total"])
+        for r in spark.read.parquet(out_path + "/batch=*").collect()
+    }
+    want = {
+        (r["doc_id"], r["running_total"])
+        for r in plans.QUERIES["running_corpus_tokens"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == want
