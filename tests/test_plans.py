@@ -15,7 +15,9 @@ SF = "/root/testdata/sf0.001"
 
 # Queries allowed to run Python (the sanctioned Arrow escape hatch
 # for the multimodal decode plumbing).
-ARROW_ALLOWED = {"multimodal_features"}
+# Queries sanctioned to run Arrow-batched Python: per-row binary
+# construction/parsing that DataFrame builtins cannot express.
+ARROW_ALLOWED = {"multimodal_features", "multimodal_decode"}
 
 
 def _plan(spark, name: str) -> str:
