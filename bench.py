@@ -43,7 +43,9 @@ def main() -> None:
     # on a shared machine swing up to 2x with ambient load (measured;
     # BASELINE.md round 2), while the minimum is stable and still a
     # full honest execution of the plan.
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # (3 reps: min-over-reps absorbs the +/-30-40% ambient band this
+    # machine demonstrably swings on identical plans.)
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     for _ in range(max(1, reps)):
         for name, fn in sorted(plans.QUERIES.items()):
