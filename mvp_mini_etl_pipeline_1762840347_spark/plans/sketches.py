@@ -819,3 +819,215 @@ def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 sketch_hll_merge.__doc__ = sketch_hll_merge.__doc__.format(m=_HLL_M)
+
+
+# ---------------------------------------------------------------------------
+# KMV MERGE: union two independently-built bottom-K states
+# ---------------------------------------------------------------------------
+_KMV_MERGE_SQL = rf"""
+    WITH hashes AS (
+      SELECT DISTINCT o_orderkey % 2 AS slice,
+             {_h60_sql("CAST(o_custkey AS VARCHAR)")} AS h
+      FROM orders
+    ),
+    ranked AS (
+      SELECT slice, h,
+             ROW_NUMBER() OVER (PARTITION BY slice ORDER BY h) AS rn
+      FROM hashes
+    ),
+    slice_k AS (SELECT slice, h FROM ranked WHERE rn <= {_KMV_K}),
+    sstats AS (
+      SELECT count(DISTINCT slice) AS n_slices,
+             count(*) AS candidate_hashes
+      FROM slice_k
+    ),
+    cand AS (SELECT DISTINCT h FROM slice_k),
+    kmin AS (
+      SELECT max(h) AS kth_hash, count(*) AS k
+      FROM (SELECT h FROM cand ORDER BY h LIMIT {_KMV_K})
+    ),
+    exact AS (SELECT count(DISTINCT o_custkey) AS exact_distinct FROM orders),
+    est AS (
+      SELECT k, kth_hash,
+             CASE WHEN k < {_KMV_K} THEN CAST(k AS DOUBLE)
+                  ELSE ({_KMV_K} - 1)
+                       / (CAST(kth_hash AS DOUBLE) / {_HASH_SPACE!r})
+             END AS e
+      FROM kmin
+    )
+    SELECT s.n_slices, s.candidate_hashes, est.k, est.kth_hash,
+           exact.exact_distinct,
+           round(est.e, 2) AS est_distinct,
+           round(100.0 * (est.e / exact.exact_distinct - 1.0), 2)
+               AS rel_err_pct
+    FROM est CROSS JOIN sstats s CROSS JOIN exact
+"""
+
+
+@query("sketch_kmv_merge", oracle=_KMV_MERGE_SQL)
+def sketch_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch UNION: two bottom-{k} hash states are built
+    independently per orderkey-parity slice, then merged by pooling
+    the (<= 2K, deduplicated) candidate hashes and keeping the K
+    smallest -- the standard theta-sketch union.  Because the K
+    smallest of a union are always contained in the union of each
+    side's K smallest, the merged state is IDENTICAL to a direct
+    build over all data (pinned by test), so per-day bottom-K states
+    answer distinct counts over any date range.
+
+    Plan shape: per-slice bottom-K via the WindowGroupLimit rank
+    filter (each map task keeps K per slice pre-shuffle), then the
+    merge operates on <= 2K int64s -- TakeOrderedAndProject, no wide
+    shuffle.  Small-cardinality case (k < K) returns the exact k.
+    candidate_hashes rides along to show the merge input size."""
+    from pyspark.sql.window import Window
+
+    o = read_table(spark, sf_dir, "orders")
+    hashes = o.select(
+        (F.col("o_orderkey") % 2).alias("slice"),
+        _h60(F.col("o_custkey").cast("string")).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("slice").orderBy("h")
+    slice_k = (
+        hashes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("slice", "h")
+    )
+    sstats = slice_k.agg(
+        F.countDistinct("slice").alias("n_slices"),
+        F.count("*").alias("candidate_hashes"),
+    )
+    kmin = (
+        slice_k.select("h")
+        .distinct()
+        .orderBy("h")
+        .limit(_KMV_K)
+        .agg(F.max("h").alias("kth_hash"), F.count("*").alias("k"))
+    )
+    exact = o.agg(F.countDistinct("o_custkey").alias("exact_distinct"))
+    est = F.when(
+        F.col("k") < _KMV_K, F.col("k").cast("double")
+    ).otherwise(
+        F.lit(float(_KMV_K - 1))
+        / (F.col("kth_hash").cast("double") / F.lit(_HASH_SPACE))
+    )
+    return (
+        kmin.crossJoin(F.broadcast(sstats))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "n_slices",
+            "candidate_hashes",
+            "k",
+            "kth_hash",
+            "exact_distinct",
+            F.round(est, 2).alias("est_distinct"),
+            F.round(100.0 * (est / F.col("exact_distinct") - 1.0), 2).alias(
+                "rel_err_pct"
+            ),
+        )
+    )
+
+
+sketch_kmv_merge.__doc__ = sketch_kmv_merge.__doc__.format(k=_KMV_K)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min MERGE: cell-wise sum of two independently-built sketches
+# ---------------------------------------------------------------------------
+_CMS_MERGE_SQL = rf"""
+    WITH counts AS (
+      SELECT event_id % 2 AS slice, user_id, count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    slice_cells AS (
+      SELECT c.slice, d.j,
+             {_cms_cell_sql("d.j", "c.user_id")} AS cell,
+             sum(c.cnt)::BIGINT AS cell_total
+      FROM counts c CROSS JOIN (SELECT unnest(range({_CMS_D})) AS j) d
+      GROUP BY 1, 2, 3
+    ),
+    merged AS (
+      SELECT j, cell, sum(cell_total)::BIGINT AS cell_total
+      FROM slice_cells GROUP BY 1, 2
+    ),
+    totals AS (
+      SELECT user_id, count(*) AS exact_cnt FROM events GROUP BY 1
+    ),
+    top AS (
+      SELECT user_id, exact_cnt FROM totals
+      ORDER BY exact_cnt DESC, user_id LIMIT 10
+    )
+    SELECT t.user_id, t.exact_cnt,
+           min(m.cell_total) AS cm_est,
+           (min(m.cell_total) - t.exact_cnt)::BIGINT AS overestimate
+    FROM top t
+    CROSS JOIN (SELECT unnest(range({_CMS_D})) AS j) d
+    JOIN merged m
+      ON m.j = d.j
+     AND m.cell = {_cms_cell_sql("d.j", "t.user_id")}
+    GROUP BY 1, 2
+"""
+
+
+@query("sketch_countmin_merge", oracle=_CMS_MERGE_SQL)
+def sketch_countmin_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch UNION: two d x w cell tables built
+    independently per event-id-parity slice are merged by CELL-WISE
+    SUM -- Count-Min is linear, so the merged sketch is exactly the
+    sketch of the concatenated stream (pinned by test against
+    sketch_countmin_freq's direct build).  This is the per-shard /
+    per-day frequency rollup: keep one 2048-row cell table per
+    partition, answer heavy-hitter queries over any set of partitions
+    by summing cells.
+
+    Plan shape: per-slice keyed count -> explode d rows/key ->
+    (slice, j, cell) partial sums -> merge groupBy (j, cell) over
+    <= 2*d*w rows -> broadcast to the top-k probe join.  Integer
+    arithmetic throughout."""
+    e = read_events(spark, sf_dir)
+    counts = e.groupBy(
+        (F.col("event_id") % 2).alias("slice"), "user_id"
+    ).agg(F.count("*").alias("cnt"))
+
+    def _cell(j: Column, key: Column) -> Column:
+        return (
+            _h60(F.concat_ws("_", j.cast("string"), key.cast("string")))
+            % _CMS_W
+        )
+
+    jcol = F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)])).alias("j")
+    slice_cells = (
+        counts.select("slice", "cnt", "user_id", jcol)
+        .select(
+            "slice",
+            "cnt",
+            "j",
+            _cell(F.col("j"), F.col("user_id")).alias("cell"),
+        )
+        .groupBy("slice", "j", "cell")
+        .agg(F.sum("cnt").cast("bigint").alias("cell_total"))
+    )
+    merged = slice_cells.groupBy("j", "cell").agg(
+        F.sum("cell_total").cast("bigint").alias("cell_total")
+    )
+    totals = e.groupBy("user_id").agg(F.count("*").alias("exact_cnt"))
+    top = totals.orderBy(F.desc("exact_cnt"), "user_id").limit(10)
+    probes = top.select("user_id", "exact_cnt", jcol).select(
+        "user_id",
+        "exact_cnt",
+        "j",
+        _cell(F.col("j"), F.col("user_id")).alias("cell"),
+    )
+    return (
+        probes.join(F.broadcast(merged), ["j", "cell"])
+        .groupBy("user_id", "exact_cnt")
+        .agg(F.min("cell_total").alias("cm_est"))
+        .select(
+            "user_id",
+            "exact_cnt",
+            "cm_est",
+            (F.col("cm_est") - F.col("exact_cnt"))
+            .cast("bigint")
+            .alias("overestimate"),
+        )
+    )

@@ -194,3 +194,33 @@ def test_hll_merge_partial_aggregate_plan(spark):
     assert "partial_max" in plan or plan.index("HashAggregate") < plan.index(
         "Exchange"
     )
+
+
+def test_kmv_merge_equals_direct_build(spark):
+    """Theta-sketch union is lossless: the K smallest of a union are
+    contained in the union of per-slice bottom-K sets, so the merged
+    state must equal the direct single-pass build exactly."""
+    direct = psk.sketch_kmv_distinct(spark, SF).first()
+    merged = psk.sketch_kmv_merge(spark, SF).first()
+    assert merged["n_slices"] == 2
+    assert merged["candidate_hashes"] <= 2 * psk._KMV_K
+    for col in ("k", "kth_hash", "exact_distinct", "est_distinct",
+                "rel_err_pct"):
+        assert merged[col] == direct[col], col
+
+
+def test_countmin_merge_equals_direct_build(spark):
+    """Count-Min is linear: cell-wise summing per-slice sketches
+    yields exactly the direct sketch, so every probe estimate must
+    match the direct build (and never underestimate)."""
+    direct = {
+        r["user_id"]: (r["exact_cnt"], r["cm_est"], r["overestimate"])
+        for r in psk.sketch_countmin_freq(spark, SF).collect()
+    }
+    merged = {
+        r["user_id"]: (r["exact_cnt"], r["cm_est"], r["overestimate"])
+        for r in psk.sketch_countmin_merge(spark, SF).collect()
+    }
+    assert merged == direct
+    for exact_cnt, cm_est, _ in merged.values():
+        assert cm_est >= exact_cnt
