@@ -136,3 +136,93 @@ def running_corpus_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         (F.col("tokens_before") + F.col("n_tokens")).alias("running_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Shuffled packing: deterministic pseudo-random corpus order
+# ---------------------------------------------------------------------------
+# shuffle_key = (h60(doc_id) % 2^20) << 40 | doc_id: unique (doc_id
+# < 2^40), uniformly distributed at bucket granularity, fits BIGINT.
+_SHUF_MOD = 1 << 20
+_SHUF_SHIFT = 1 << 40
+# keys spread over [0, 2^60): value-range buckets of width 2^52 give
+# ~256 balanced buckets regardless of N (hash uniformity), 16 supers.
+_SHUF_BUCKET_W = 1 << 52
+_SHUF_SUPER_W = 16
+
+
+@query(
+    "pack_sequences_shuffled",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split_regex(lower(text), '\s+')) AS n_tokens,
+             (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              % {_SHUF_MOD}) * {_SHUF_SHIFT} + doc_id AS shuffle_key
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (ORDER BY shuffle_key
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS tokens_before
+      FROM t
+    )
+    SELECT CAST(floor(tokens_before / {_PACK_BUDGET}) AS BIGINT) AS seq_id,
+           count(*)        AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+           min(doc_id)     AS first_doc,
+           max(doc_id)     AS last_doc
+    FROM c GROUP BY 1
+    """,
+)
+def pack_sequences_shuffled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing after a GLOBAL PSEUDO-RANDOM SHUFFLE of the corpus --
+    the step real training pipelines run so a sequence never carries
+    long runs of one source/crawl segment.  The shuffle is a
+    deterministic key remap, not a sort of random(): shuffle_key =
+    (md5-hash(doc_id) mod 2^20) << 40 | doc_id is unique, reproducible
+    across engines and runs, and uniformly distributed -- so the
+    SAME three-level exclusive_cumsum packs in shuffled order with
+    value-range buckets that stay balanced by hash uniformity (the
+    key space is fixed at [0, 2^60), so bucket width 2^52 yields ~256
+    even buckets at ANY corpus size; no rank/global-sort step exists
+    anywhere).  Epoch reshuffles are a salt on the hash input.
+    Output is the same per-sequence accounting as pack_sequences;
+    first_doc/last_doc ranges now interleave across sequences
+    (asserted in tests) instead of being contiguous."""
+    d = read_table(spark, sf_dir, "documents")
+    h60 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    t = d.select(
+        "doc_id",
+        F.size(F.split(F.lower(F.col("text")), r"\s+")).alias("n_tokens"),
+        ((h60 % _SHUF_MOD) * _SHUF_SHIFT + F.col("doc_id")).alias(
+            "shuffle_key"
+        ),
+    )
+    c = exclusive_cumsum(
+        t,
+        "shuffle_key",
+        "n_tokens",
+        out="tokens_before",
+        bucket_width=_SHUF_BUCKET_W,
+        super_width=_SHUF_SUPER_W,
+    )
+    return (
+        c.select(
+            F.floor(F.col("tokens_before") / _PACK_BUDGET)
+            .cast("bigint")
+            .alias("seq_id"),
+            "n_tokens",
+            "doc_id",
+        )
+        .groupBy("seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("seq_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )

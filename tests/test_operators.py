@@ -211,3 +211,32 @@ def test_exclusive_cumsum_single_bucket_edge(spark):
         "cumsum_before", F.coalesce(F.sum("v").over(w), F.lit(0))
     )
     assert sorted(got.collect()) == sorted(want.collect())
+
+
+def test_shuffled_packing_interleaves_and_conserves(spark, sf_dir):
+    """pack_sequences_shuffled must (a) conserve the corpus (same
+    total docs/tokens as the ordered pack), (b) actually interleave:
+    most sequences' doc-id ranges overlap other sequences' ranges,
+    unlike the ordered pack where ranges are disjoint and contiguous."""
+    from mvp_mini_etl_pipeline_1762840347_spark import plans
+
+    ordered = plans.QUERIES["pack_sequences"](spark, sf_dir).collect()
+    shuffled = plans.QUERIES["pack_sequences_shuffled"](spark, sf_dir).collect()
+
+    assert sum(r["n_docs"] for r in ordered) == sum(
+        r["n_docs"] for r in shuffled
+    )
+    assert sum(r["seq_tokens"] for r in ordered) == sum(
+        r["seq_tokens"] for r in shuffled
+    )
+
+    def overlaps(rows):
+        spans = sorted((r["first_doc"], r["last_doc"]) for r in rows)
+        return sum(
+            1 for (_, e1), (s2, _) in zip(spans, spans[1:]) if s2 <= e1
+        )
+
+    # ordered packing: doc-id spans are disjoint by construction
+    assert overlaps(ordered) == 0
+    # shuffled packing: nearly every adjacent span pair overlaps
+    assert overlaps(shuffled) >= 0.8 * (len(shuffled) - 1)
