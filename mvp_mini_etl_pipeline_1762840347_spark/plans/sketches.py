@@ -1031,3 +1031,123 @@ def sketch_countmin_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("overestimate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile MERGE: cell-wise sum of per-slice histograms
+# ---------------------------------------------------------------------------
+_QH_MERGE_SQL = rf"""
+    WITH slice_cells AS (
+      SELECT o_orderkey % 2 AS slice,
+             CAST(least(floor((o_totalprice - {_QH_LO}) / {_QH_W}),
+                        {_QH_BINS - 1}) AS BIGINT) AS cell,
+             count(*) AS c
+      FROM orders GROUP BY 1, 2
+    ),
+    cells AS (
+      SELECT cell, CAST(sum(c) AS BIGINT) AS c FROM slice_cells GROUP BY 1
+    ),
+    cum AS (
+      SELECT cell, c,
+             coalesce(sum(c) OVER (ORDER BY cell
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS cum_before
+      FROM cells
+    ),
+    n AS (SELECT count(*) AS n, quantile_cont(o_totalprice, 0.50) AS ex50,
+                 quantile_cont(o_totalprice, 0.95) AS ex95,
+                 quantile_cont(o_totalprice, 0.99) AS ex99
+          FROM orders),
+    qs AS (SELECT unnest([0.50, 0.95, 0.99]) AS q),
+    hit AS (
+      SELECT qs.q, min(cum.cell) AS cell
+      FROM qs CROSS JOIN n JOIN cum ON cum.cum_before + cum.c >= qs.q * n.n
+      GROUP BY qs.q
+    )
+    SELECT h.q,
+           round({_QH_LO} + h.cell * {_QH_W}
+                 + {_QH_W} * (h.q * n.n - cum.cum_before) / cum.c, 2) AS est,
+           round(CASE h.q WHEN 0.50 THEN n.ex50
+                          WHEN 0.95 THEN n.ex95 ELSE n.ex99 END, 2)  AS exact,
+           round(100.0 * (({_QH_LO} + h.cell * {_QH_W}
+                 + {_QH_W} * (h.q * n.n - cum.cum_before) / cum.c)
+                 / CASE h.q WHEN 0.50 THEN n.ex50
+                            WHEN 0.95 THEN n.ex95 ELSE n.ex99 END - 1.0),
+                 2) AS rel_err_pct
+    FROM hit h JOIN cum ON cum.cell = h.cell CROSS JOIN n
+"""
+
+
+@query("sketch_quantile_merge", oracle=_QH_MERGE_SQL)
+def sketch_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-quantile sketch UNION: per-slice {bins}-cell
+    equi-width histograms merged by CELL-WISE SUM (histograms are
+    linear, like Count-Min), then the identical cumulative-walk +
+    interpolation estimator as the direct build -- pinned equal by
+    test.  Completes the mergeable-state story for all four sketch
+    families (KMV keep-K-smallest, HLL register max, CM cell sum,
+    histogram cell sum): every approximate statistic the engine
+    publishes can be maintained per day/partition and rolled up over
+    any range without rescanning raw data.
+
+    Plan shape: one scan -> (slice, cell) partial counts -> merge
+    groupBy over <= 2*{bins} rows -> estimator on the tiny table."""
+    o = read_table(spark, sf_dir, "orders")
+    cell = F.least(
+        F.floor((F.col("o_totalprice") - _QH_LO) / _QH_W),
+        F.lit(_QH_BINS - 1),
+    ).cast("bigint")
+    slice_cells = (
+        o.select((F.col("o_orderkey") % 2).alias("slice"), cell.alias("cell"))
+        .groupBy("slice", "cell")
+        .agg(F.count("*").alias("c"))
+    )
+    cells = slice_cells.groupBy("cell").agg(
+        F.sum("c").cast("bigint").alias("c")
+    )
+    from pyspark.sql.window import Window
+
+    wc = Window.orderBy("cell").rowsBetween(Window.unboundedPreceding, -1)
+    cum = cells.withColumn(
+        "cum_before", F.coalesce(F.sum("c").over(wc), F.lit(0))
+    )
+    n = o.agg(
+        F.count("*").alias("n"),
+        F.percentile("o_totalprice", F.lit(0.50)).alias("ex50"),
+        F.percentile("o_totalprice", F.lit(0.95)).alias("ex95"),
+        F.percentile("o_totalprice", F.lit(0.99)).alias("ex99"),
+    )
+    qdf = cum.sparkSession.createDataFrame(
+        [(0.50,), (0.95,), (0.99,)], "q double"
+    )
+    hit = (
+        qdf.crossJoin(F.broadcast(n))
+        .join(cum, F.col("cum_before") + F.col("c") >= F.col("q") * F.col("n"))
+        .groupBy("q")
+        .agg(F.min("cell").alias("cell"))
+    )
+    est = (
+        F.lit(_QH_LO)
+        + F.col("cell") * _QH_W
+        + _QH_W * (F.col("q") * F.col("n") - F.col("cum_before")) / F.col("c")
+    )
+    exact = (
+        F.when(F.col("q") == 0.50, F.col("ex50"))
+        .when(F.col("q") == 0.95, F.col("ex95"))
+        .otherwise(F.col("ex99"))
+    )
+    return (
+        hit.join(cum, "cell")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "q",
+            F.round(est, 2).alias("est"),
+            F.round(exact, 2).alias("exact"),
+            F.round(100.0 * (est / exact - 1.0), 2).alias("rel_err_pct"),
+        )
+    )
+
+
+sketch_quantile_merge.__doc__ = sketch_quantile_merge.__doc__.format(
+    bins=_QH_BINS
+)

@@ -224,3 +224,11 @@ def test_countmin_merge_equals_direct_build(spark):
     assert merged == direct
     for exact_cnt, cm_est, _ in merged.values():
         assert cm_est >= exact_cnt
+
+
+def test_quantile_merge_equals_direct_build(spark):
+    """Histogram linearity: cell-wise summed per-slice histograms
+    must estimate every percentile identically to the direct build."""
+    direct = {r["q"]: tuple(r) for r in psk.sketch_quantile_hist(spark, SF).collect()}
+    merged = {r["q"]: tuple(r) for r in psk.sketch_quantile_merge(spark, SF).collect()}
+    assert merged == direct
