@@ -41,18 +41,26 @@ def exclusive_cumsum(
     out: str = "cumsum_before",
     bucket_width: int = 4096,
     super_width: int = 4096,
+    partition_by: str | None = None,
 ) -> DataFrame:
     """Add column ``out`` = sum of ``value`` over all rows with a
-    strictly smaller ``key`` (exclusive global prefix sum).
+    strictly smaller ``key`` (exclusive global prefix sum) -- within
+    each ``partition_by`` group if given (the per-group scan: an
+    independent prefix sum per source/tenant/day in ONE pass).
 
-    ``key`` must be unique per row (it defines the global order).
-    Result is identical to
-    ``coalesce(sum(value) OVER (ORDER BY key ROWS BETWEEN UNBOUNDED
-    PRECEDING AND 1 PRECEDING), 0)`` on any partitioning -- asserted
-    in tests/test_operators.py -- but no stage ever sees more than
-    max(bucket rows, N/bucket_width, N/(bucket_width*super_width))
-    rows in one task.
+    ``key`` must be unique per row (it defines the global order;
+    per-group, unique within the group suffices).  Result is
+    identical to ``coalesce(sum(value) OVER ([PARTITION BY g] ORDER
+    BY key ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)``
+    on any partitioning -- asserted in tests/test_operators.py -- but
+    no stage ever sees more than max(bucket rows, N/bucket_width,
+    N/(bucket_width*super_width)) rows in one task.  With
+    ``partition_by``, even the level-2 window is partitioned by the
+    group, so low-cardinality groups never serialize the full table
+    through one reducer the way ``Window.partitionBy(g)`` over raw
+    rows would.
     """
+    parts = [partition_by] if partition_by else []
     v = F.col(value) if isinstance(value, str) else value
     b0 = F.floor(F.col(key) / bucket_width).alias("__b0")
     staged = df.withColumn("__v", v).withColumn("__b0", b0).withColumn(
@@ -60,16 +68,19 @@ def exclusive_cumsum(
     )
 
     w0 = (
-        Window.partitionBy("__b0")
+        Window.partitionBy(*parts, "__b0")
         .orderBy(key)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     within = F.coalesce(F.sum("__v").over(w0), F.lit(0).cast("bigint"))
 
-    # Level 1: per-bucket totals, cumulated within each super-bucket.
-    b0_sums = staged.groupBy("__b0", "__b1").agg(F.sum("__v").alias("__s0"))
+    # Level 1: per-(group, bucket) totals, cumulated within each
+    # (group, super-bucket).
+    b0_sums = staged.groupBy(*parts, "__b0", "__b1").agg(
+        F.sum("__v").alias("__s0")
+    )
     w1 = (
-        Window.partitionBy("__b1")
+        Window.partitionBy(*parts, "__b1")
         .orderBy("__b0")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -77,21 +88,30 @@ def exclusive_cumsum(
         "__off0", F.coalesce(F.sum("__s0").over(w1), F.lit(0).cast("bigint"))
     )
 
-    # Level 2: per-super totals, cumulated globally.  The window is
-    # unpartitioned BUT its input is the super-bucket aggregate --
-    # N/(bucket_width*super_width) rows by construction.
-    b1_sums = b0_sums.groupBy("__b1").agg(F.sum("__s0").alias("__s1"))
-    w2 = Window.orderBy("__b1").rowsBetween(Window.unboundedPreceding, -1)
+    # Level 2: per-(group, super) totals, cumulated across supers.
+    # Unpartitioned only in the global case, and even then its input
+    # is the super-bucket aggregate -- N/(bucket_width*super_width)
+    # rows by construction.
+    b1_sums = b0_sums.groupBy(*parts, "__b1").agg(F.sum("__s0").alias("__s1"))
+    w2 = (
+        Window.partitionBy(*parts)
+        .orderBy("__b1")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     b1_off = b1_sums.withColumn(
         "__off1", F.coalesce(F.sum("__s1").over(w2), F.lit(0).cast("bigint"))
-    ).select("__b1", "__off1")
+    ).select(*parts, "__b1", "__off1")
 
     offsets = (
-        b0_local.join(F.broadcast(b1_off), "__b1")
-        .select("__b0", (F.col("__off0") + F.col("__off1")).alias("__bucket_off"))
+        b0_local.join(F.broadcast(b1_off), [*parts, "__b1"])
+        .select(
+            *parts,
+            "__b0",
+            (F.col("__off0") + F.col("__off1")).alias("__bucket_off"),
+        )
     )
     return (
-        staged.join(offsets, "__b0")
+        staged.join(offsets, [*parts, "__b0"])
         .withColumn(out, (within + F.col("__bucket_off")).cast("bigint"))
         .drop("__v", "__b0", "__b1", "__bucket_off")
     )

@@ -610,3 +610,86 @@ def corpus_clean_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget mixture sampling (per-source caps in shuffled order)
+# ---------------------------------------------------------------------------
+_TB_BUDGET = 600  # tokens kept per source
+# same deterministic shuffle-key remap as pack_sequences_shuffled
+_TB_MOD = 1 << 20
+_TB_SHIFT = 1 << 40
+_TB_BUCKET_W = 1 << 52
+_TB_SUPER_W = 16
+
+
+@query(
+    "sample_token_budget",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(string_split_regex(lower(text), '\s+')) AS n_tokens,
+             (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              % {_TB_MOD}) * {_TB_SHIFT} + doc_id AS shuffle_key
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+                        ORDER BY shuffle_key
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) + n_tokens AS BIGINT) AS src_running
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens, src_running
+    FROM c WHERE src_running <= {_TB_BUDGET}
+    """,
+)
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture sampling by TOKEN budget, not document count: keep the
+    first {budget} tokens per source in deterministic shuffled order
+    -- how a training mix is actually specified ("20 B tokens of web,
+    5 B of code"), where doc-count sampling misreads sources with
+    different document lengths.
+
+    The within-source running total runs through the per-group
+    three-level scan (operators/prefix.py::exclusive_cumsum with
+    partition_by) -- at 100 TB a plain ``Window.partitionBy(source)``
+    would serialize each source (there are only dozens) through one
+    reducer; the per-group scan buckets every level by hash-key
+    range, so no task ever holds more than a bucket of one source.
+    The shuffle order is the same reproducible md5 key remap as
+    pack_sequences_shuffled: re-runs and engines agree on exactly
+    which documents made the cut (oracle value-checks every row)."""
+    from ..operators.prefix import exclusive_cumsum
+
+    d = read_table(spark, sf_dir, "documents")
+    h60 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    t = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.lower(F.col("text")), r"\s+")).alias("n_tokens"),
+        ((h60 % _TB_MOD) * _TB_SHIFT + F.col("doc_id")).alias("shuffle_key"),
+    )
+    c = exclusive_cumsum(
+        t,
+        "shuffle_key",
+        "n_tokens",
+        out="tokens_before",
+        bucket_width=_TB_BUCKET_W,
+        super_width=_TB_SUPER_W,
+        partition_by="source",
+    )
+    return c.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        (F.col("tokens_before") + F.col("n_tokens")).alias("src_running"),
+    ).filter(F.col("src_running") <= _TB_BUDGET)
+
+
+sample_token_budget.__doc__ = sample_token_budget.__doc__.format(
+    budget=_TB_BUDGET
+)

@@ -240,3 +240,34 @@ def test_shuffled_packing_interleaves_and_conserves(spark, sf_dir):
     assert overlaps(ordered) == 0
     # shuffled packing: nearly every adjacent span pair overlaps
     assert overlaps(shuffled) >= 0.8 * (len(shuffled) - 1)
+
+
+def test_exclusive_cumsum_per_group_matches_window(spark):
+    """Per-group scan: exclusive_cumsum(partition_by=g) must equal an
+    independent PARTITION BY g window per group, with group sizes
+    spanning one row, one bucket, and several super-buckets."""
+    from pyspark.sql.window import Window
+
+    from mvp_mini_etl_pipeline_1762840347_spark.operators.prefix import (
+        exclusive_cumsum,
+    )
+
+    rows = []
+    for g, n in (("a", 1), ("b", 17), ("c", 200)):
+        rows += [(g, k * 3 + 1, (k * 13) % 7 + 1) for k in range(n)]
+    df = spark.createDataFrame(rows, "g string, key long, v long").repartition(8)
+    got = exclusive_cumsum(
+        df, "key", "v", bucket_width=16, super_width=4, partition_by="g"
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("key")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = df.withColumn(
+        "cumsum_before", F.coalesce(F.sum("v").over(w), F.lit(0))
+    )
+    key = lambda r: (r["g"], r["key"])
+    assert sorted(
+        ((r["g"], r["key"], r["cumsum_before"]) for r in got.collect())
+    ) == sorted(((r["g"], r["key"], r["cumsum_before"]) for r in want.collect()))
