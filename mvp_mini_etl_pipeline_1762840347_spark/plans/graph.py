@@ -253,3 +253,120 @@ def pagerank_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state.select(
         F.col("a").alias("doc_id"), F.round("pr", 8).alias("pagerank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Retention-policy dedup: keep the LONGEST doc per near-dup cluster
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_keep_longest",
+    oracle=rf"""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_a, doc_b FROM ({_MINHASH_PAIRS_SQL})
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(v, u) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.v, e.b FROM reach r JOIN edges e ON r.u = e.a
+    ),
+    clusters AS (
+      SELECT v AS doc_id, least(v, min(u)) AS cluster_id
+      FROM reach GROUP BY v
+    ),
+    tok AS (
+      SELECT doc_id, lang,
+             len(string_split_regex(lower(text), '\s+')) AS n_tokens
+      FROM documents
+    ),
+    member AS (
+      SELECT t.doc_id, t.lang, t.n_tokens, c.cluster_id
+      FROM tok t JOIN clusters c ON t.doc_id = c.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, lang, n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                ORDER BY n_tokens DESC, doc_id) AS rn
+      FROM member
+    ),
+    flags AS (
+      SELECT lang, n_tokens, rn > 1 AS dropped FROM ranked
+      UNION ALL
+      SELECT t.lang, t.n_tokens, FALSE
+      FROM tok t LEFT JOIN clusters c ON t.doc_id = c.doc_id
+      WHERE c.doc_id IS NULL
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped,
+           CAST(sum(CASE WHEN NOT dropped THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(sum(CASE WHEN NOT dropped THEN n_tokens ELSE 0 END) AS BIGINT)
+               AS tokens_kept,
+           CAST(sum(CASE WHEN dropped THEN n_tokens ELSE 0 END) AS BIGINT)
+               AS tokens_dropped
+    FROM flags GROUP BY lang
+    """,
+)
+def dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup removal with a RETENTION POLICY: within each LSH/CC
+    cluster keep the doc with the most tokens (tie -> smallest
+    doc_id) instead of the arbitrary min-id canonical -- the policy
+    real corpus dedup runs, because near-dup clusters usually pair a
+    full document with truncated copies and the training set should
+    keep the complete one.  Per-language accounting adds token
+    volumes so the policy's yield is visible (tests pin
+    tokens_kept >= the min-id policy's).
+
+    Plan shape: the keeper choice is a window over CLUSTERED docs
+    only (candidate-pair nodes -- a tiny fraction of the corpus),
+    partitioned by cluster_id; cluster sizes are diameter-bounded, so
+    the window never sees more than one cluster per group.  The drop
+    set broadcasts; the corpus scans once, as in dedup_apply.
+    Entirely integer arithmetic -- engine-exact."""
+    from ..io import read_table
+
+    comp = connected_components(
+        minhash_pairs(spark, sf_dir).select("doc_a", "doc_b"),
+        "doc_a",
+        "doc_b",
+    ).select(F.col("node").alias("doc_id"), "cluster_id")
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.lower(F.col("text")), r"\s+")).alias("n_tokens"),
+    )
+    member = tok.join(comp, "doc_id")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_tokens"), "doc_id"
+    )
+    drop = (
+        member.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .select("doc_id")
+    )
+    flagged = tok.join(
+        F.broadcast(drop.withColumn("dropped", F.lit(True))), "doc_id", "left"
+    ).withColumn("dropped", F.coalesce(F.col("dropped"), F.lit(False)))
+    return flagged.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("dropped"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dropped"),
+        F.sum(F.when(~F.col("dropped"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.sum(F.when(~F.col("dropped"), F.col("n_tokens")).otherwise(0))
+        .cast("bigint")
+        .alias("tokens_kept"),
+        F.sum(F.when(F.col("dropped"), F.col("n_tokens")).otherwise(0))
+        .cast("bigint")
+        .alias("tokens_dropped"),
+    )

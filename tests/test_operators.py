@@ -271,3 +271,34 @@ def test_exclusive_cumsum_per_group_matches_window(spark):
     assert sorted(
         ((r["g"], r["key"], r["cumsum_before"]) for r in got.collect())
     ) == sorted(((r["g"], r["key"], r["cumsum_before"]) for r in want.collect()))
+
+
+def test_dedup_keep_longest_beats_min_id_policy(spark, sf_dir):
+    """The retention policy must (a) drop exactly as many docs as the
+    min-id policy (same clusters, one keeper each), (b) keep at least
+    as many tokens (it keeps the longest member instead of an
+    arbitrary one)."""
+    from mvp_mini_etl_pipeline_1762840347_spark import plans
+
+    by_len = {r["lang"]: r for r in plans.QUERIES["dedup_keep_longest"](spark, sf_dir).collect()}
+    min_id = {r["lang"]: r for r in plans.QUERIES["dedup_apply"](spark, sf_dir).collect()}
+    assert set(by_len) == set(min_id)
+    total_dropped_len = sum(r["n_dropped"] for r in by_len.values())
+    total_dropped_min = sum(r["n_dropped"] for r in min_id.values())
+    assert total_dropped_len == total_dropped_min
+
+    # token yield: recompute the min-id policy's kept tokens and
+    # compare corpus-wide (per-lang keepers can differ across policies)
+    from pyspark.sql import functions as SF
+    from mvp_mini_etl_pipeline_1762840347_spark.io import read_table
+    from mvp_mini_etl_pipeline_1762840347_spark.plans.graph import dedup_clusters
+
+    comp = dedup_clusters(spark, sf_dir)
+    drop = comp.filter(~SF.col("is_canonical")).select("doc_id")
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", SF.size(SF.split(SF.lower(SF.col("text")), r"\s+")).alias("n_tokens")
+    )
+    min_id_tokens_kept = (
+        d.join(drop, "doc_id", "left_anti").agg(SF.sum("n_tokens")).first()[0]
+    )
+    assert sum(r["tokens_kept"] for r in by_len.values()) >= min_id_tokens_kept
