@@ -693,3 +693,87 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 sample_token_budget.__doc__ = sample_token_budget.__doc__.format(
     budget=_TB_BUDGET
 )
+
+# ---------------------------------------------------------------------------
+# Leakage-free split: whole near-dup clusters assigned to one split
+# ---------------------------------------------------------------------------
+from .dedup import _MINHASH_PAIRS_SQL as _SLF_PAIRS_SQL  # noqa: E402
+
+_SLF_SQL = rf"""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_a, doc_b FROM ({_SLF_PAIRS_SQL})
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(v, u) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.v, e.b FROM reach r JOIN edges e ON r.u = e.a
+    ),
+    clusters AS (
+      SELECT v AS doc_id, least(v, min(u)) AS cluster_id
+      FROM reach GROUP BY v
+    ),
+    keyed AS (
+      SELECT d.doc_id, d.lang,
+             coalesce(c.cluster_id, d.doc_id) AS split_key
+      FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+    ),
+    b AS (
+      SELECT doc_id, lang, split_key,
+             {_bucket_sql("split_key")} AS bucket
+      FROM keyed
+    )
+    SELECT CASE WHEN bucket < 2 THEN 'test'
+                WHEN bucket < 4 THEN 'val'
+                ELSE 'train' END AS split,
+           lang,
+           count(*)                        AS n_docs,
+           count(DISTINCT split_key)       AS n_groups
+    FROM b GROUP BY 1, 2
+"""
+
+
+@query("split_leakage_free", oracle=_SLF_SQL)
+def split_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split WITHOUT near-dup leakage: the split key is
+    the document's dedup CLUSTER id (its own id for singletons), so
+    every near-duplicate family lands entirely in one split -- the
+    group-shuffle-split every honest eval needs, because hashing raw
+    doc_ids puts one copy of a duplicated document in train and
+    another in test, silently inflating eval scores.
+
+    Composition of existing pieces: LSH candidates -> connected
+    components -> left join the (tiny, broadcast) cluster map onto
+    the corpus -> the same portable md5 bucket split as
+    sample_hash_split, keyed on cluster id.  One corpus scan; the
+    cluster map is bounded by candidate-pair nodes.  Tests pin the
+    no-cluster-spans-splits invariant on the per-doc form."""
+    from ..io import read_table
+    from .dedup import minhash_pairs
+    from .graph import connected_components
+
+    comp = connected_components(
+        minhash_pairs(spark, sf_dir).select("doc_a", "doc_b"),
+        "doc_a",
+        "doc_b",
+    ).select(F.col("node").alias("doc_id"), "cluster_id")
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    keyed = d.join(F.broadcast(comp), "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("split_key"),
+    )
+    bucket = hash_bucket(F.col("split_key"))
+    split = (
+        F.when(bucket < 2, "test").when(bucket < 4, "val").otherwise("train")
+    )
+    return keyed.select(split.alias("split"), "lang", "split_key").groupBy(
+        "split", "lang"
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("split_key").alias("n_groups"),
+    )

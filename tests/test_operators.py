@@ -302,3 +302,39 @@ def test_dedup_keep_longest_beats_min_id_policy(spark, sf_dir):
         d.join(drop, "doc_id", "left_anti").agg(SF.sum("n_tokens")).first()[0]
     )
     assert sum(r["tokens_kept"] for r in by_len.values()) >= min_id_tokens_kept
+
+
+def test_split_leakage_free_no_cluster_spans_splits(spark, sf_dir):
+    """The invariant itself, per-doc: no near-dup cluster may have
+    members in more than one split."""
+    from mvp_mini_etl_pipeline_1762840347_spark.io import read_table
+    from mvp_mini_etl_pipeline_1762840347_spark.plans.dedup import minhash_pairs
+    from mvp_mini_etl_pipeline_1762840347_spark.plans.graph import (
+        connected_components,
+    )
+    from mvp_mini_etl_pipeline_1762840347_spark.plans.quality import hash_bucket
+
+    comp = connected_components(
+        minhash_pairs(spark, sf_dir).select("doc_a", "doc_b"),
+        "doc_a", "doc_b",
+    ).select(F.col("node").alias("doc_id"), "cluster_id")
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    keyed = d.join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("split_key"),
+    )
+    b = hash_bucket(F.col("split_key"))
+    per_doc = keyed.select(
+        "split_key",
+        F.when(b < 2, "test").when(b < 4, "val").otherwise("train").alias("split"),
+    )
+    spans = (
+        per_doc.groupBy("split_key")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .count()
+    )
+    assert spans == 0
+    # sanity: multi-doc clusters exist, so the invariant is non-vacuous
+    multi = comp.groupBy("cluster_id").count().filter(F.col("count") > 1).count()
+    assert multi > 0
