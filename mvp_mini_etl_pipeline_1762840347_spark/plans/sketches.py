@@ -1151,3 +1151,27 @@ def sketch_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 sketch_quantile_merge.__doc__ = sketch_quantile_merge.__doc__.format(
     bins=_QH_BINS
 )
+
+
+def hll_registers(df: DataFrame, group_col: str, key: Column) -> DataFrame:
+    """Reusable HLL register builder: (group, bucket, m_j) from raw
+    rows, the mergeable state behind sketch_hll_distinct /
+    sketch_hll_merge and the streaming register rollup
+    (streaming/jobs.py::hll_rollup_stream).  One map-side partial max
+    per (group, bucket); the shuffle carries <= groups x {m} rows per
+    partition."""
+    h = _h60(key.cast("string"))
+    rho = F.when(
+        F.expr(f"h div {_HLL_M}") == 0, F.lit(_HLL_WBITS + 1)
+    ).otherwise(
+        F.lit(_HLL_WBITS + 1) - F.length(F.bin(F.expr(f"h div {_HLL_M}")))
+    )
+    return (
+        df.select(F.col(group_col), h.alias("h"))
+        .select(group_col, (F.col("h") % _HLL_M).alias("bucket"), rho.alias("rho"))
+        .groupBy(group_col, "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+
+
+hll_registers.__doc__ = hll_registers.__doc__.format(m=_HLL_M)

@@ -557,6 +557,79 @@ def hourly_rollup_merge_step(
     return True
 
 
+def hll_rollup_stream(
+    spark: SparkSession, events: DataFrame, regs_path: str
+) -> StreamingQuery:
+    """Streaming DISTINCT-count continuous aggregate: an HLL register
+    table (bucket, m_j) per event_type is maintained across
+    micro-batches by elementwise register MAX -- the streaming side
+    of sketch_hll_merge, answering "distinct users per type so far"
+    at any moment from 256 rows per type, never rescanning history.
+    Register max is idempotent AND commutative, so unlike the
+    additive hourly rollup a replayed batch cannot corrupt state --
+    the high-water mark here only saves work.  Same staged-swap merge
+    discipline as hourly_rollup_merge_step."""
+
+    def _step(batch_df: DataFrame, batch_id: int) -> None:
+        hll_rollup_merge_step(spark, batch_df, batch_id, regs_path)
+
+    return (
+        events.writeStream.foreachBatch(_step)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", regs_path + "_chk")
+        .start()
+    )
+
+
+def hll_rollup_merge_step(
+    spark: SparkSession, batch_df: DataFrame, batch_id: int, regs_path: str
+) -> bool:
+    """One register-merge micro-batch (exposed for replay testing).
+    Returns True if merged, False for a replayed no-op."""
+    import os
+    import shutil
+
+    from ..plans.sketches import hll_registers
+
+    hw_path = regs_path.rstrip("/") + "_LAST_BATCH"
+    try:
+        with open(hw_path) as f:
+            applied = int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        applied = -1
+    if batch_id <= applied:
+        return False
+
+    staged = regs_path.rstrip("/") + "_staging"
+    old = regs_path.rstrip("/") + "_premerge"
+    if not os.path.exists(regs_path) and os.path.exists(old):
+        os.rename(old, regs_path)
+    for stale in (staged, old):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
+
+    delta = hll_registers(batch_df, "event_type", F.col("user_id"))
+    if os.path.exists(regs_path):
+        target = spark.read.parquet(regs_path)  # IO errors re-raise
+        merged = (
+            delta.unionByName(target)
+            .groupBy("event_type", "bucket")
+            .agg(F.max("m_j").alias("m_j"))
+        )
+    else:
+        merged = delta
+    merged.write.mode("overwrite").parquet(staged)
+    if os.path.exists(regs_path):
+        os.rename(regs_path, old)
+    os.rename(staged, regs_path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    with open(hw_path + ".tmp", "w") as f:
+        f.write(str(batch_id))
+    os.replace(hw_path + ".tmp", hw_path)
+    return True
+
+
 def daily_from_hourly(hourly: DataFrame) -> DataFrame:
     """The coarser grain of the continuous aggregate: daily stats
     re-aggregated from the materialized hourly partials -- identical

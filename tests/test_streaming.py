@@ -728,3 +728,75 @@ def test_running_tokens_stream_end_to_end(spark, sf_dir, tmp_path_factory):
         ).collect()
     }
     assert got == want
+
+
+def test_hll_rollup_stream_matches_batch_registers(
+    spark, sf_dir, tmp_path_factory
+):
+    """Streaming register rollup: merging per-micro-batch HLL states
+    by register max must equal the one-shot batch register build
+    (max associativity), with replays proven no-ops."""
+    from mvp_mini_etl_pipeline_1762840347_spark.io import read_events
+    from mvp_mini_etl_pipeline_1762840347_spark.plans.sketches import (
+        hll_registers,
+    )
+
+    base = tmp_path_factory.mktemp("hll_rollup")
+    regs_path = str(base / "regs")
+    e = read_events(spark, sf_dir).cache()
+
+    b0 = e.filter(F.col("event_id") % 2 == 0)
+    b1 = e.filter(F.col("event_id") % 2 == 1)
+    assert jobs.hll_rollup_merge_step(spark, b0, 0, regs_path) is True
+    assert jobs.hll_rollup_merge_step(spark, b0, 0, regs_path) is False  # replay
+    assert jobs.hll_rollup_merge_step(spark, b1, 1, regs_path) is True
+
+    got = {
+        (r["event_type"], r["bucket"]): r["m_j"]
+        for r in spark.read.parquet(regs_path).collect()
+    }
+    want = {
+        (r["event_type"], r["bucket"]): r["m_j"]
+        for r in hll_registers(e, "event_type", F.col("user_id")).collect()
+    }
+    assert got == want
+    e.unpersist()
+
+
+def test_hll_rollup_stream_end_to_end(spark, sf_dir, tmp_path_factory):
+    """Same rollup driven through an actual file-source stream with
+    forced multi-batch input."""
+    import os
+
+    from mvp_mini_etl_pipeline_1762840347_spark.io import read_events
+    from mvp_mini_etl_pipeline_1762840347_spark.plans.sketches import (
+        hll_registers,
+    )
+
+    base = tmp_path_factory.mktemp("hll_rollup_e2e")
+    landing = str(base / "landing")
+    regs_path = str(base / "regs")
+    e = read_events(spark, sf_dir)
+    e.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        landing, mode="overwrite"
+    )
+    e.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        landing, mode="append"
+    )
+    ev = jobs.stream_events(spark, landing, max_files_per_trigger=1)
+    q = jobs.hll_rollup_stream(spark, ev, regs_path)
+    q.awaitTermination(120)
+    n_batches = len(
+        [f for f in os.listdir(regs_path + "_chk/offsets") if not f.startswith(".")]
+    )
+    assert n_batches >= 2
+
+    got = {
+        (r["event_type"], r["bucket"]): r["m_j"]
+        for r in spark.read.parquet(regs_path).collect()
+    }
+    want = {
+        (r["event_type"], r["bucket"]): r["m_j"]
+        for r in hll_registers(e, "event_type", F.col("user_id")).collect()
+    }
+    assert got == want
