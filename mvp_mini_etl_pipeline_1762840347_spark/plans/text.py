@@ -647,3 +647,87 @@ def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kl_vs_corpus_nats",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Document-level token co-occurrence / PMI
+# ---------------------------------------------------------------------------
+_PMI_TOP = 20
+
+
+@query(
+    "token_pmi",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id,
+             unnest(list_distinct(string_split_regex(lower(text), '\s+')))
+               AS w
+      FROM documents
+    ), c AS (
+      SELECT w, count(*) AS cw FROM t GROUP BY 1
+    ), pr AS (
+      SELECT t1.w AS a, t2.w AS b, count(*) AS cab
+      FROM t t1 JOIN t t2 ON t1.doc_id = t2.doc_id AND t1.w < t2.w
+      GROUP BY 1, 2
+    ), n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT a, b, cab,
+           round(ln(cab * n_docs / CAST(ca.cw * cb.cw AS DOUBLE)), 6)
+             AS pmi_nats
+    FROM pr JOIN c ca ON pr.a = ca.w JOIN c cb ON pr.b = cb.w, n
+    ORDER BY cab DESC, a, b LIMIT {_PMI_TOP}
+    """,
+)
+def token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level token co-occurrence with pointwise mutual
+    information -- the statistic word-embedding pipelines (word2vec /
+    GloVe preprocessing) and collocation extraction compute over a
+    corpus: for token pair (a, b), PMI = ln(P(a,b) / (P(a)P(b))) with
+    probabilities as document frequencies.  Top pairs by co-document
+    count, full deterministic tie-break.
+
+    Scale: the pair generation is a SELF-JOIN ON doc_id over each
+    document's DISTINCT token set, so the blow-up is bounded by
+    per-document vocabulary (never all-pairs across the corpus), and
+    it shuffle-partitions on doc_id.  Token document-frequencies are
+    one partial-agg pass; the per-pair stats join broadcasts the
+    (vocabulary-sized) frequency table.  A degree cap on ubiquitous
+    tokens (stopword-class df filter) is the standard guard when the
+    vocabulary has heavy hitters; ln() is evaluated on one exact
+    integer ratio per pair, rounded like every float aggregate here.
+    """
+    d = _docs(spark, sf_dir)
+    t = d.select(
+        "doc_id", F.explode(F.array_distinct(_toks(F.col("text")))).alias("w")
+    )
+    c = t.groupBy("w").agg(F.count("*").alias("cw"))
+    t1 = t.select("doc_id", F.col("w").alias("a"))
+    t2 = t.select("doc_id", F.col("w").alias("b"))
+    pr = (
+        t1.join(t2, ["doc_id"])
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("cab"))
+    )
+    n = d.agg(F.count("*").alias("n_docs"))
+    ca = c.select(F.col("w").alias("a"), F.col("cw").alias("ca"))
+    cb = c.select(F.col("w").alias("b"), F.col("cw").alias("cb"))
+    return (
+        pr.join(F.broadcast(ca), "a")
+        .join(F.broadcast(cb), "b")
+        .join(F.broadcast(n))
+        .select(
+            "a",
+            "b",
+            "cab",
+            F.round(
+                F.log(
+                    F.col("cab")
+                    * F.col("n_docs")
+                    / (F.col("ca") * F.col("cb")).cast("double")
+                ),
+                6,
+            ).alias("pmi_nats"),
+        )
+        .orderBy(F.col("cab").desc(), "a", "b")
+        .limit(_PMI_TOP)
+    )

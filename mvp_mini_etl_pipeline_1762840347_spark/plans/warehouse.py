@@ -1,0 +1,651 @@
+"""Warehouse / ETL maintenance operators: the table-state management
+layer every production deployment runs around the analytics queries.
+
+The reference pipeline rebuilds its whole output from scratch each run
+(reference ``src/app/page.tsx`` re-fetches and re-derives everything);
+at 100 TB a rebuild is impossible, so this module supplies the
+incremental-state operators a real deployment substitutes: SCD Type-2
+history construction, MERGE/upsert of a delta batch, interval
+concurrency (sweep line over the distributed prefix scan), range
+partitioner planning (distributed exact quantiles), join-key skew
+diagnosis, Z-order layout keys, and market-basket pair mining.
+
+Scale notes are per-query; the common theme is that every window is
+either partitioned by a data key (user, bucket) or runs over a frame
+whose size is bounded by a constant (histogram buckets, top-k rows),
+never over data-scale input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io import read_events, read_table
+from ..operators.prefix import exclusive_cumsum
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 history build
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scd2_user_state",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), ch AS (
+      SELECT user_id, ts, event_id, event_type
+      FROM t WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id, event_type AS state, ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           CAST(row_number() OVER w AS BIGINT) AS version
+    FROM ch
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type-2 build: compress each user's
+    event stream into validity intervals of their current state
+    (event_type), keeping only transition rows and closing each with
+    the next transition's timestamp (open interval = current state,
+    valid_to NULL).  This is the standard change-data-capture ->
+    dimension-history materialization.
+
+    Scale: both windows are PARTITION BY user_id -- per-entity, never
+    global -- so the plan is one shuffle on user_id shared by lag,
+    lead and row_number (Catalyst collapses same-spec windows into a
+    single Window node).  A hot entity bounds a task at that entity's
+    row count, the usual CDC skew profile.  The incremental write-path
+    twin (merge a NEW batch of changes into an existing history table)
+    is operators/scale.py::scd2_merge; this query is the from-scratch
+    build and the oracle-checked statement of the semantics.
+    """
+    e = read_events(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ch = e.withColumn("prev_type", F.lag("event_type").over(w)).filter(
+        F.col("prev_type").isNull()
+        | (F.col("event_type") != F.col("prev_type"))
+    )
+    return ch.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.row_number().over(w).cast("bigint").alias("version"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO / upsert of a delta batch
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "merge_upsert_orders",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 3 <> 0
+    ), delta AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice + 10.0 AS new_price
+      FROM orders WHERE o_orderkey % 2 = 0
+    )
+    SELECT coalesce(b.o_orderkey, d.o_orderkey) AS o_orderkey,
+           coalesce(d.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+           coalesce(d.new_price, b.o_totalprice) AS price,
+           CASE WHEN b.o_orderkey IS NULL THEN 'insert'
+                WHEN d.o_orderkey IS NULL THEN 'keep'
+                ELSE 'update' END AS action
+    FROM base b FULL OUTER JOIN delta d ON b.o_orderkey = d.o_orderkey
+    """,
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (SCD Type-1 upsert): apply a delta batch
+    to a standing snapshot -- matched keys take the delta's values
+    (update), unmatched delta keys insert, unmatched snapshot keys
+    pass through (keep).  Base/delta are deterministic modulus slices
+    of orders so the oracle can state the identical merge; the delta
+    price change is a single IEEE add (bit-identical across engines).
+
+    Scale: one shuffle-on-key full-outer join.  In deployment the
+    delta is orders of magnitude smaller than the snapshot, so the
+    physical strategy flips to broadcast (delta side) + partition
+    overwrite of only the touched partitions -- the same logical
+    MERGE; Spark picks broadcast automatically under the AQE size
+    threshold.  The write-path twin (bucketed shuffle-free merge of a
+    real delta into a stored table) is operators/scale.py::merge_upsert;
+    this query is the oracle-checked statement of the MERGE semantics.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        F.col("o_orderkey").alias("b_key"),
+        F.col("o_orderstatus").alias("b_status"),
+        F.col("o_totalprice").alias("b_price"),
+    )
+    delta = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("d_key"),
+        F.col("o_orderstatus").alias("d_status"),
+        (F.col("o_totalprice") + F.lit(10.0)).alias("d_price"),
+    )
+    m = base.join(delta, base.b_key == delta.d_key, "full_outer")
+    return m.select(
+        F.coalesce("b_key", "d_key").alias("o_orderkey"),
+        F.coalesce("d_status", "b_status").alias("o_orderstatus"),
+        F.coalesce("d_price", "b_price").alias("price"),
+        F.when(F.col("b_key").isNull(), F.lit("insert"))
+        .when(F.col("d_key").isNull(), F.lit("keep"))
+        .otherwise(F.lit("update"))
+        .alias("action"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sweep-line interval concurrency over the distributed prefix scan
+# ---------------------------------------------------------------------------
+
+_SESS_GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap / active tail
+# prefix-scan bucket = 6 hours of epoch-micros; ~4 buckets/day of data,
+# super = 64 buckets. Widths scale linearly with the time span covered.
+_SWEEP_BUCKET_W = 6 * 3600 * 1_000_000
+_SWEEP_SUPER_W = 64
+
+
+@query(
+    "max_concurrent_sessions",
+    oracle=f"""
+    WITH t AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                          >= {_SESS_GAP_US}
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM t
+    ), iv AS (
+      SELECT min(ts) AS s_start,
+             max(ts) + INTERVAL 30 MINUTE AS s_end
+      FROM s GROUP BY user_id, sid
+    ), d AS (
+      SELECT s_start AS t, 1 AS delta FROM iv
+      UNION ALL
+      SELECT s_end AS t, -1 AS delta FROM iv
+    ), g AS (
+      SELECT t, CAST(sum(delta) AS BIGINT) AS d,
+             CAST(sum(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS starts
+      FROM d GROUP BY t
+    ), r AS (
+      SELECT t, starts,
+             sum(d) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      FROM g
+    )
+    SELECT CAST(sum(starts) AS BIGINT) AS n_sessions,
+           CAST(max(run) AS BIGINT) AS max_concurrent,
+           min(t) FILTER (WHERE run = (SELECT max(run) FROM r)) AS at_ts
+    FROM r
+    """,
+)
+def max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency of user sessions (sweep line): sessionize
+    events per user (30-min gap), treat each session as active from
+    its first event until 30 min after its last, then find the
+    maximum number of simultaneously-active sessions and the first
+    instant it occurs.  The classic interval-overlap question
+    (capacity planning, peak-load audit).
+
+    Scale: the sweep is a GLOBAL running sum of +1/-1 boundary
+    deltas in time order -- the operation that naively serializes the
+    whole corpus through one reducer.  Deltas are first grouped per
+    distinct timestamp (an ordinary partial-agg shuffle), then the
+    running count goes through operators/prefix.py::exclusive_cumsum
+    (three-level scan, 6-hour buckets), so no stage sees more than a
+    bucket.  Sessionization windows are PARTITION BY user_id.  The
+    oracle states the identical semantics as the single global window
+    DuckDB can afford on one node.
+    """
+    e = read_events(spark, sf_dir).select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run_w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    new_s = (
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros(F.col("ts"))
+                - F.unix_micros(F.lag("ts").over(w))
+                >= F.lit(_SESS_GAP_US)
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session")
+    )
+    s = e.withColumn("new_session", new_s).withColumn(
+        "sid", F.sum("new_session").over(run_w)
+    )
+    iv = s.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("s_start"),
+        (F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias("s_end"),
+    )
+    # One pass over iv: explode each interval into its two boundary
+    # deltas (a union would re-derive the whole sessionization twice).
+    d = iv.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("s_start").alias("t"), F.lit(1).alias("delta")),
+                F.struct(F.col("s_end").alias("t"), F.lit(-1).alias("delta")),
+            )
+        ).alias("e")
+    ).select("e.t", "e.delta")
+    g = d.groupBy("t").agg(
+        F.sum("delta").cast("bigint").alias("d"),
+        F.sum(F.when(F.col("delta") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("starts"),
+    )
+    g = g.withColumn("t_us", F.unix_micros(F.col("t")))
+    # Barrier: the prefix scan branches its input 3 ways internally;
+    # without it each branch re-runs the sessionization upstream.
+    # g is ~2 rows per session boundary instant -- tiny vs events.
+    g = g.localCheckpoint(eager=False)
+    r = exclusive_cumsum(
+        g,
+        "t_us",
+        "d",
+        out="run_before",
+        bucket_width=_SWEEP_BUCKET_W,
+        super_width=_SWEEP_SUPER_W,
+    ).withColumn("run", F.col("run_before") + F.col("d"))
+    # Single final aggregate: session count folds in as sum(starts),
+    # and max_by over (run, -t_us) picks the EARLIEST instant that
+    # attains the peak -- no join-back against an argmax branch.
+    return r.agg(
+        F.sum("starts").alias("n_sessions"),
+        F.max("run").alias("max_concurrent"),
+        F.expr("max_by(t, struct(run, -t_us))").alias("at_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range-partitioner planning: distributed exact quantile split points
+# ---------------------------------------------------------------------------
+
+_RP_K = 8  # number of range partitions (K-1 split points)
+_RP_B = 256  # equi-width histogram buckets for the first pass
+
+
+@query(
+    "range_partition_bounds",
+    oracle=f"""
+    WITH r AS (
+      SELECT o_totalprice,
+             row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+             count(*) OVER () AS n
+      FROM orders
+    )
+    SELECT CAST(i AS BIGINT) AS split_idx, o_totalprice AS split_price
+    FROM range(1, {_RP_K}) t(i) JOIN r ON r.rn = (i * r.n) // {_RP_K}
+    """,
+)
+def range_partition_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth range-partitioner planning: the K-1 exact split
+    values of o_totalprice (the value at global rank floor(i*N/K),
+    ties broken by o_orderkey) that would balance a K-way range
+    partitioning / global sort -- the planner input Spark's
+    RangePartitioner approximates by sampling.
+
+    Scale: computed EXACTLY without a global sort, as the classic
+    two-pass histogram refinement: (1) one scan builds a {_RP_B}-bucket
+    equi-width histogram (partial-agg shuffle); cumulative counts
+    over the {_RP_B}-row histogram locate the bucket containing each
+    target rank; (2) a second scan ranks ONLY the rows inside the
+    <=K-1 boundary buckets with a window PARTITIONED BY bucket, and
+    picks the row whose within-bucket rank equals the target's
+    residual rank.  No window ever sees more than one bucket's rows;
+    the oracle states the same semantics as the one-node global sort.
+    """
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_totalprice", "o_orderkey"
+    )
+    st = o.agg(
+        F.min("o_totalprice").alias("mn"),
+        F.max("o_totalprice").alias("mx"),
+        F.count("*").alias("n"),
+    )
+    b = o.join(F.broadcast(st)).withColumn(
+        "bkt",
+        F.least(
+            F.floor(
+                (F.col("o_totalprice") - F.col("mn"))
+                / ((F.col("mx") - F.col("mn")) / F.lit(float(_RP_B)))
+            ),
+            F.lit(_RP_B - 1),
+        ).cast("bigint"),
+    )
+    hist = b.groupBy("bkt").agg(F.count("*").alias("cnt"))
+    # cumulative counts over <=_RP_B histogram rows: bounded frame.
+    hw = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    hist = hist.withColumn(
+        "cum_before", F.coalesce(F.sum("cnt").over(hw), F.lit(0))
+    )
+    targets = (
+        spark.range(1, _RP_K)
+        .withColumnRenamed("id", "i")
+        .join(F.broadcast(st.select("n")))
+        .withColumn("rank", F.expr(f"(i * n) div {_RP_K}"))
+    )
+    tb = targets.join(
+        F.broadcast(hist),
+        (F.col("cum_before") < F.col("rank"))
+        & (F.col("rank") <= F.col("cum_before") + F.col("cnt")),
+    ).select("i", "rank", "bkt", "cum_before")
+    boundary = b.join(
+        F.broadcast(tb.select("bkt").distinct()), "bkt", "semi"
+    )
+    bw = Window.partitionBy("bkt").orderBy("o_totalprice", "o_orderkey")
+    ranked = boundary.withColumn("rn", F.row_number().over(bw))
+    return (
+        ranked.join(
+            F.broadcast(tb),
+            (ranked.bkt == tb.bkt)
+            & (ranked.rn == tb.rank - tb.cum_before),
+        )
+        .select(
+            F.col("i").cast("bigint").alias("split_idx"),
+            F.col("o_totalprice").alias("split_price"),
+        )
+    )
+
+
+range_partition_bounds.__doc__ = range_partition_bounds.__doc__.format(
+    _RP_B=_RP_B
+)
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew diagnosis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "skew_diagnose",
+    oracle="""
+    WITH c AS (
+      SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1
+    ), s AS (
+      SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows FROM c
+    ), top AS (
+      SELECT o_custkey, cnt,
+             row_number() OVER (ORDER BY cnt DESC, o_custkey) AS rnk
+      FROM c
+    )
+    SELECT CAST(rnk AS BIGINT) AS rnk, o_custkey, cnt,
+           round(cnt * n_keys / CAST(n_rows AS DOUBLE), 4) AS skew_factor
+    FROM top, s WHERE rnk <= 5
+    """,
+)
+def skew_diagnose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew report for orders.o_custkey: the 5 heaviest
+    keys with their row counts and skew factor (key count / mean key
+    count).  This is the diagnostic a planner runs before choosing
+    salting (plans/quality.py::groupby_salted) or an AQE skew-join
+    threshold -- at 100 TB you measure skew, you don't guess it.
+
+    Scale: one partial-agg shuffle on the key, then TakeOrdered
+    top-5 (no global sort materializes) and a row_number over the
+    5 surviving rows -- a constant-bounded window.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    c = o.groupBy("o_custkey").agg(F.count("*").alias("cnt"))
+    s = c.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+    )
+    top5 = c.orderBy(F.col("cnt").desc(), "o_custkey").limit(5)
+    tw = Window.orderBy(F.col("cnt").desc(), "o_custkey")
+    return (
+        top5.withColumn("rnk", F.row_number().over(tw).cast("bigint"))
+        .join(F.broadcast(s))
+        .select(
+            "rnk",
+            "o_custkey",
+            "cnt",
+            F.round(
+                F.col("cnt") * F.col("n_keys") / F.col("n_rows").cast("double"),
+                4,
+            ).alias("skew_factor"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout keys + per-block zone-map stats
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 8  # 8 bits per dimension -> 16-bit Z key, 65536 cells
+_Z_BLOCK_SHIFT = 10  # block = zkey >> 10 -> 64 layout blocks
+
+
+def _interleave(x, y):
+    """Bit-interleave two 8-bit columns into a 16-bit Z-order key.
+
+    The bit positions are disjoint, so summing the shifted bits is
+    the OR -- pure JVM-side integer arithmetic, whole-stage codegen.
+    """
+    z = F.lit(0).cast("bigint")
+    for i in range(_Z_BITS):
+        z = z + F.shiftleft(
+            F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i
+        ) + F.shiftleft(
+            F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+    return z
+
+
+def _z_oracle_terms() -> str:
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"(((x >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((y >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@query(
+    "zorder_layout",
+    oracle=f"""
+    WITH st AS (
+      SELECT min(o_orderdate) AS dmn, max(o_orderdate) AS dmx,
+             min(o_totalprice) AS pmn, max(o_totalprice) AS pmx
+      FROM orders
+    ), q AS (
+      SELECT (date_diff('day', dmn, o_orderdate) * {2**_Z_BITS})
+               // (date_diff('day', dmn, dmx) + 1) AS x,
+             CAST(least(floor((o_totalprice - pmn)
+                 / ((pmx - pmn) / {float(2**_Z_BITS)})),
+               {2**_Z_BITS - 1}) AS BIGINT) AS y
+      FROM orders, st
+    ), z AS (
+      SELECT x, y, ({_z_oracle_terms()}) AS zkey FROM q
+    )
+    SELECT CAST(zkey >> {_Z_BLOCK_SHIFT} AS BIGINT) AS block_id,
+           count(*) AS n,
+           min(x) AS min_x, max(x) AS max_x,
+           min(y) AS min_y, max(y) AS max_y
+    FROM z GROUP BY 1
+    """,
+)
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout keys over (order date, total price)
+    plus per-block zone-map stats -- the multi-dimensional clustering
+    a 100-TB table uses so that BOTH date filters and price filters
+    prune files (a single-column sort gives min/max locality in one
+    dimension only; Z-order gives it in both).
+
+    Each dimension is quantized to 8 bits against the global min/max
+    (dates by exact integer day arithmetic, prices by the same
+    float bucket formula the histogram queries use), interleaved to
+    a 16-bit key with shift/and arithmetic (whole-stage codegen; the
+    oracle unrolls the identical 16 terms), then rows group into 64
+    layout blocks and the per-block min/max of each dimension is the
+    zone map a scan would prune against.  One 1-row stats broadcast,
+    one partial-agg shuffle on block_id -- no sort is needed to
+    EVALUATE the layout, only to write it.  The write-path twin that
+    actually lays files out on the curve (range-partition + sort on
+    the z-value) is operators/scale.py::write_zordered, whose skipping
+    win tests/test_scale.py quantifies on real per-file min/max stats.
+    """
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderdate", "o_totalprice"
+    )
+    st = o.agg(
+        F.min("o_orderdate").alias("dmn"),
+        F.max("o_orderdate").alias("dmx"),
+        F.min("o_totalprice").alias("pmn"),
+        F.max("o_totalprice").alias("pmx"),
+    )
+    q = o.join(F.broadcast(st)).select(
+        F.expr(
+            f"CAST((datediff(o_orderdate, dmn) * {2**_Z_BITS})"
+            f" div (datediff(dmx, dmn) + 1) AS BIGINT)"
+        ).alias("x"),
+        F.least(
+            F.floor(
+                (F.col("o_totalprice") - F.col("pmn"))
+                / ((F.col("pmx") - F.col("pmn")) / F.lit(float(2**_Z_BITS)))
+            ),
+            F.lit(2**_Z_BITS - 1),
+        )
+        .cast("bigint")
+        .alias("y"),
+    )
+    z = q.withColumn("zkey", _interleave(F.col("x"), F.col("y")))
+    return (
+        z.groupBy(
+            F.shiftright(F.col("zkey"), _Z_BLOCK_SHIFT)
+            .cast("bigint")
+            .alias("block_id")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket pair mining (co-occurrence support / confidence / lift)
+# ---------------------------------------------------------------------------
+
+_FP_MIN_SUPPORT = 2
+_FP_TOP = 20
+
+
+@query(
+    "frequent_pairs",
+    oracle=f"""
+    WITH pr AS (
+      SELECT l1.l_partkey AS a, l2.l_partkey AS b,
+             count(DISTINCT l1.l_orderkey) AS support
+      FROM lineitem l1
+      JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+      GROUP BY 1, 2
+      HAVING count(DISTINCT l1.l_orderkey) >= {_FP_MIN_SUPPORT}
+    ), pc AS (
+      SELECT l_partkey, count(DISTINCT l_orderkey) AS cnt
+      FROM lineitem GROUP BY 1
+    ), n AS (
+      SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem
+    )
+    SELECT a, b, support,
+           round(support / CAST(ca.cnt AS DOUBLE), 4) AS confidence,
+           round(support * n_orders / CAST(ca.cnt * cb.cnt AS DOUBLE), 4)
+             AS lift
+    FROM pr JOIN pc ca ON pr.a = ca.l_partkey
+            JOIN pc cb ON pr.b = cb.l_partkey, n
+    ORDER BY support DESC, a, b LIMIT {_FP_TOP}
+    """,
+)
+def frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: the top co-ordered part pairs by
+    support (distinct orders containing both), with confidence
+    P(b|a) and lift -- the first rung of association-rule mining and
+    the same co-occurrence shape recommendation candidate generation
+    uses.
+
+    Scale: pair generation is a SELF-JOIN ON THE ORDER KEY, so the
+    blow-up is bounded by per-order line count (C(7,2) here), never
+    all-pairs across orders; the support threshold prunes before the
+    per-part stats join (broadcast -- part cardinality << pair
+    cardinality); the top-{_FP_TOP} is TakeOrdered with a full
+    deterministic tie-break.  A degree-capped variant (drop parts in
+    > cap orders) is the standard guard when one SKU appears in
+    millions of baskets.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    l1 = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("a")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("b")
+    )
+    pr = (
+        l1.join(l2, ["ok"])
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.countDistinct("ok").alias("support"))
+        .filter(F.col("support") >= _FP_MIN_SUPPORT)
+    )
+    pc = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_orderkey").alias("cnt")
+    )
+    n = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    ca = pc.select(F.col("l_partkey").alias("a"), F.col("cnt").alias("cnt_a"))
+    cb = pc.select(F.col("l_partkey").alias("b"), F.col("cnt").alias("cnt_b"))
+    return (
+        pr.join(F.broadcast(ca), "a")
+        .join(F.broadcast(cb), "b")
+        .join(F.broadcast(n))
+        .select(
+            "a",
+            "b",
+            "support",
+            F.round(
+                F.col("support") / F.col("cnt_a").cast("double"), 4
+            ).alias("confidence"),
+            F.round(
+                F.col("support")
+                * F.col("n_orders")
+                / (F.col("cnt_a") * F.col("cnt_b")).cast("double"),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("support").desc(), "a", "b")
+        .limit(_FP_TOP)
+    )
+
+
+frequent_pairs.__doc__ = frequent_pairs.__doc__.format(_FP_TOP=_FP_TOP)

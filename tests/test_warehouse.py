@@ -1,0 +1,172 @@
+"""Warehouse / ETL maintenance operators (plans/warehouse.py):
+property checks that pin the semantics beyond the driver's oracle
+gate -- interval algebra for SCD2, merge-action arithmetic, the
+sweep-line invariants, exact-rank equivalence for the partitioner
+bounds, and the Z-order locality guarantee the layout exists for."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mvp_mini_etl_pipeline_1762840347_spark.io import read_table
+from mvp_mini_etl_pipeline_1762840347_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_scd2_intervals_contiguous_and_compressed(spark):
+    out = QUERIES["scd2_user_state"](spark, SF)
+    w = Window.partitionBy("user_id").orderBy("version")
+    r = out.select(
+        "user_id",
+        "state",
+        "valid_from",
+        "valid_to",
+        "version",
+        F.lead("valid_from").over(w).alias("next_from"),
+        F.lead("state").over(w).alias("next_state"),
+    ).collect()
+    open_per_user: dict = {}
+    for row in r:
+        if row.valid_to is None:
+            open_per_user[row.user_id] = open_per_user.get(row.user_id, 0) + 1
+            assert row.next_from is None  # open interval is the last one
+        else:
+            # each closed interval hands off exactly at the next start
+            assert row.valid_to == row.next_from
+        if row.next_state is not None:
+            # SCD2 compression: consecutive versions change state
+            assert row.next_state != row.state
+    assert all(v == 1 for v in open_per_user.values())
+
+
+def test_merge_upsert_action_arithmetic(spark):
+    out = QUERIES["merge_upsert_orders"](spark, SF)
+    acts = {
+        r["action"]: r["n"]
+        for r in out.groupBy("action").agg(F.count("*").alias("n")).collect()
+    }
+    o = read_table(spark, SF, "orders")
+    n_ins = o.filter((F.col("o_orderkey") % 3 == 0) & (F.col("o_orderkey") % 2 == 0)).count()
+    n_upd = o.filter((F.col("o_orderkey") % 3 != 0) & (F.col("o_orderkey") % 2 == 0)).count()
+    n_keep = o.filter((F.col("o_orderkey") % 3 != 0) & (F.col("o_orderkey") % 2 != 0)).count()
+    assert acts.get("insert", 0) == n_ins
+    assert acts.get("update", 0) == n_upd
+    assert acts.get("keep", 0) == n_keep
+    # updates carry the delta's price: original + 10.0 exactly
+    j = (
+        out.filter(F.col("action") == "update")
+        .join(o, "o_orderkey")
+        .filter(F.col("price") != F.col("o_totalprice") + F.lit(10.0))
+    )
+    assert j.count() == 0
+
+
+def test_max_concurrent_matches_naive_global_window(spark):
+    out = QUERIES["max_concurrent_sessions"](spark, SF).first()
+    # naive one-node recomputation with a single global window
+    from mvp_mini_etl_pipeline_1762840347_spark.io import read_events
+
+    e = read_events(spark, SF).select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    )
+    s = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap >= 30 * 60 * 1_000_000), 1).otherwise(0),
+    ).withColumn(
+        "sid",
+        F.sum("new_session").over(
+            Window.partitionBy("user_id")
+            .orderBy("ts")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    iv = s.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("s"),
+        (F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"),
+    )
+    d = iv.select(F.col("s").alias("t"), F.lit(1).alias("d")).unionAll(
+        iv.select(F.col("e").alias("t"), F.lit(-1).alias("d"))
+    )
+    g = d.groupBy("t").agg(F.sum("d").alias("d"))
+    run = g.withColumn(
+        "run",
+        F.sum("d").over(
+            Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    naive = run.agg(F.max("run").alias("m")).first()["m"]
+    assert out["max_concurrent"] == naive
+    assert out["n_sessions"] == iv.count()
+    assert out["at_ts"] is not None
+
+
+def test_range_partition_bounds_are_exact_ranks(spark):
+    out = {
+        r["split_idx"]: r["split_price"]
+        for r in QUERIES["range_partition_bounds"](spark, SF).collect()
+    }
+    o = read_table(spark, SF, "orders")
+    n = o.count()
+    ranked = o.select(
+        "o_totalprice",
+        F.row_number()
+        .over(Window.orderBy("o_totalprice", "o_orderkey"))
+        .alias("rn"),
+    )
+    want = {
+        i: ranked.filter(F.col("rn") == (i * n) // 8).first()["o_totalprice"]
+        for i in range(1, 8)
+    }
+    assert out == want
+    # bounds are nondecreasing (equi-depth over a continuous column)
+    vals = [out[i] for i in range(1, 8)]
+    assert vals == sorted(vals)
+
+
+def test_skew_diagnose_top_key(spark):
+    rows = QUERIES["skew_diagnose"](spark, SF).orderBy("rnk").collect()
+    assert len(rows) == 5
+    cnts = (
+        read_table(spark, SF, "orders")
+        .groupBy("o_custkey")
+        .count()
+        .orderBy(F.col("count").desc(), "o_custkey")
+        .limit(1)
+        .first()
+    )
+    assert rows[0]["o_custkey"] == cnts["o_custkey"]
+    assert rows[0]["cnt"] == cnts["count"]
+    assert rows[0]["skew_factor"] >= 1.0  # the max key is above the mean
+    assert [r["cnt"] for r in rows] == sorted(
+        [r["cnt"] for r in rows], reverse=True
+    )
+
+
+def test_zorder_blocks_bound_both_dimensions(spark):
+    rows = QUERIES["zorder_layout"](spark, SF).collect()
+    o_n = read_table(spark, SF, "orders").count()
+    assert sum(r["n"] for r in rows) == o_n
+    for r in rows:
+        assert 0 <= r["min_x"] <= r["max_x"] <= 255
+        assert 0 <= r["min_y"] <= r["max_y"] <= 255
+        # block = zkey >> 10 fixes the top 3 bits of BOTH dimensions,
+        # so each block spans < 2^5 = 32 in x AND in y -- the
+        # two-dimensional locality a single-column sort cannot give.
+        assert r["max_x"] - r["min_x"] < 32
+        assert r["max_y"] - r["min_y"] < 32
+
+
+def test_frequent_pairs_properties(spark):
+    rows = QUERIES["frequent_pairs"](spark, SF).collect()
+    assert rows, "sf0.001 should still have co-ordered pairs"
+    supports = [r["support"] for r in rows]
+    assert supports == sorted(supports, reverse=True)
+    for r in rows:
+        assert r["a"] < r["b"]
+        assert r["support"] >= 2
+        assert 0 < r["confidence"] <= 1.0
+        assert r["lift"] > 0
