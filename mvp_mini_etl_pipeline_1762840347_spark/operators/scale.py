@@ -157,7 +157,7 @@ def scd2_merge(
     target: DataFrame,
     updates: DataFrame,
     key: str,
-    effective: Column,
+    effective: Column | str,
     attrs: list[str],
     start_col: str = "valid_from",
     end_col: str = "valid_to",
@@ -169,18 +169,27 @@ def scd2_merge(
     and historical rows pass through untouched.
 
     `target` carries (key, attrs..., valid_from, valid_to,
-    is_current); `updates` carries (key, attrs...).  One left join of
-    the current slice against updates decides changed/new; the
-    history slice never joins at all.  At deploy scale the target is
-    bucketed on the key so the join is shuffle-free, and the merge
+    is_current); `updates` carries (key, attrs...).  `effective` is
+    either a constant Column (one effective time for the whole merge,
+    the nightly-batch case) or the NAME of a column in `updates`
+    (per-row effective time, the CDC case -- each key's version
+    boundary is stamped with that key's own change time).  One left
+    join of the current slice against updates decides changed/new;
+    the history slice never joins at all.  At deploy scale the target
+    is bucketed on the key so the join is shuffle-free, and the merge
     output overwrites partitions, not the whole table.
     """
     cur = target.filter(F.col(current_col))
     hist = target.filter(~F.col(current_col))
 
+    eff_name = effective if isinstance(effective, str) else None
     u = updates.select(
-        F.col(key).alias("__ukey"), *[F.col(a).alias(f"__u_{a}") for a in attrs]
+        F.col(key).alias("__ukey"),
+        *[F.col(a).alias(f"__u_{a}") for a in attrs],
+        *([F.col(eff_name).alias("__u_eff")] if eff_name else []),
     )
+    if eff_name:
+        effective = F.col("__u_eff")
     joined = cur.join(u, cur[key] == F.col("__ukey"), "full_outer")
 
     attr_changed = F.lit(False)
@@ -191,12 +200,15 @@ def scd2_merge(
 
     # untouched current rows (no update, or update identical)
     untouched = joined.filter(~is_new & ~is_changed).select(*target.columns)
-    # closed-out versions of changed rows
+    # closed-out versions of changed rows (stamp the effective time
+    # before projecting down to target columns -- the per-row
+    # effective lives on the update side of the join)
     closed = (
         joined.filter(is_changed)
-        .select(*target.columns)
-        .withColumn(end_col, effective)
+        .select(*target.columns, effective.alias("__eff"))
+        .withColumn(end_col, F.col("__eff"))
         .withColumn(current_col, F.lit(False))
+        .drop("__eff")
     )
     # fresh versions: changed rows' new values + brand-new keys
     fresh = joined.filter(is_changed | is_new).select(

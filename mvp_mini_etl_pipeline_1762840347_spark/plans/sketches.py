@@ -1175,3 +1175,121 @@ def hll_registers(df: DataFrame, group_col: str, key: Column) -> DataFrame:
 
 
 hll_registers.__doc__ = hll_registers.__doc__.format(m=_HLL_M)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min inner product: sketch-based join-size estimation
+# ---------------------------------------------------------------------------
+# The estimator a planner uses to size a join BEFORE running it:
+# |R join S on k| = sum_k cR(k)*cS(k), and the inner product of the
+# two relations' Count-Min rows upper-bounds it (min over the d rows
+# tightens the bound) -- the classic AMS/CM join-size result.
+
+_JC_SQL = rf"""
+    WITH r AS (
+      SELECT l_partkey, count(*) AS c FROM lineitem
+      WHERE l_returnflag = 'R' GROUP BY 1
+    ), s AS (
+      SELECT l_partkey, count(*) AS c FROM lineitem
+      WHERE l_linestatus = 'O' GROUP BY 1
+    ), rc AS (
+      SELECT d.j, {_cms_cell_sql("d.j", "r.l_partkey")} AS cell,
+             sum(r.c)::BIGINT AS total
+      FROM r CROSS JOIN (SELECT unnest(range({_CMS_D})) AS j) d
+      GROUP BY 1, 2
+    ), sc AS (
+      SELECT d.j, {_cms_cell_sql("d.j", "s.l_partkey")} AS cell,
+             sum(s.c)::BIGINT AS total
+      FROM s CROSS JOIN (SELECT unnest(range({_CMS_D})) AS j) d
+      GROUP BY 1, 2
+    ), est AS (
+      SELECT rc.j, CAST(sum(rc.total * sc.total) AS BIGINT) AS ip
+      FROM rc JOIN sc ON rc.j = sc.j AND rc.cell = sc.cell
+      GROUP BY 1
+    ), exact AS (
+      SELECT CAST(sum(r.c * s.c) AS BIGINT) AS exact_join_size
+      FROM r JOIN s ON r.l_partkey = s.l_partkey
+    )
+    SELECT exact.exact_join_size,
+           (SELECT min(ip) FROM est) AS cm_est,
+           CAST((SELECT min(ip) FROM est) - exact.exact_join_size AS BIGINT)
+             AS overestimate
+    FROM exact
+"""
+
+
+@query("sketch_join_cardinality", oracle=_JC_SQL)
+def sketch_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation from Count-Min sketches (AMS inner
+    product): the true size of R join S on l_partkey (R = returned
+    lines, S = open-status lines) is sum_k cR(k)*cS(k); the inner
+    product of the two relations' CM rows estimates it WITHOUT
+    joining -- min over the d hash rows, always >= the truth.  This
+    is how a planner prices a join between two 100-TB relations from
+    two 2048-cell summaries instead of running the join: each side's
+    sketch partial-aggregates map-side on its own scan, the inner
+    product is a (d*w)x(d*w)-bounded equi-join of two broadcastable
+    frames, and the `overestimate` column exposes the collision bias
+    the cell width induces (the exact join here is the oracle's
+    ride-along, feasible only at test scale).
+
+    Plan: two pushed-down lineitem scans -> per-key counts (checkpoint
+    barrier so the sketch + exact branches reuse them) -> explode d
+    cells/key -> groupBy (j, cell).  All integer arithmetic.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    r = (
+        li.filter(F.col("l_returnflag") == "R")
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    s = (
+        li.filter(F.col("l_linestatus") == "O")
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+
+    def _cell(j: Column, key: Column) -> Column:
+        return (
+            _h60(F.concat_ws("_", j.cast("string"), key.cast("string")))
+            % _CMS_W
+        )
+
+    jcol = F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)])).alias("j")
+
+    def _sketch(df: DataFrame) -> DataFrame:
+        return (
+            df.select("l_partkey", "c", jcol)
+            .select("c", "j", _cell(F.col("j"), F.col("l_partkey")).alias("cell"))
+            .groupBy("j", "cell")
+            .agg(F.sum("c").cast("bigint").alias("total"))
+        )
+
+    rc = _sketch(r).select("j", "cell", F.col("total").alias("r_total"))
+    sc = _sketch(s).select("j", "cell", F.col("total").alias("s_total"))
+    est = (
+        rc.join(sc, ["j", "cell"])
+        .groupBy("j")
+        .agg(
+            F.sum(F.col("r_total") * F.col("s_total"))
+            .cast("bigint")
+            .alias("ip")
+        )
+    )
+    cm = est.agg(F.min("ip").alias("cm_est"))
+    exact = (
+        r.join(s.select(F.col("l_partkey"), F.col("c").alias("s_c")), "l_partkey")
+        .agg(F.sum(F.col("c") * F.col("s_c")).cast("bigint").alias("exact_join_size"))
+    )
+    return (
+        exact.join(F.broadcast(cm))
+        .select(
+            "exact_join_size",
+            "cm_est",
+            (F.col("cm_est") - F.col("exact_join_size"))
+            .cast("bigint")
+            .alias("overestimate"),
+        )
+    )

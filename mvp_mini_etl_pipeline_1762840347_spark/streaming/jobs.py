@@ -476,47 +476,95 @@ def hourly_rollup_stream(
     )
 
 
-def hourly_rollup_merge_step(
-    spark: SparkSession, batch_df: DataFrame, batch_id: int, hourly_path: str
+def exactly_once_table_merge(
+    spark: SparkSession,
+    path: str,
+    batch_id: int,
+    merge_fn,
 ) -> bool:
-    """One hardened hourly-rollup merge (the foreachBatch body of
-    hourly_rollup_stream, exposed for direct replay/crash testing).
-    Returns True if the batch was merged, False if it was a replayed
-    no-op."""
+    """Replay-guarded, staged-swap overwrite of a parquet state table
+    -- the exactly-once discipline every foreachBatch state merge here
+    shares (hourly rollup, HLL registers, SCD2 dimension).
+
+    ``merge_fn(target)`` builds the table's new full contents from its
+    current contents (``target`` is None only when the table does not
+    exist yet -- a corrupt/unreadable table re-raises and aborts the
+    batch rather than silently resetting state).  Guarantees:
+
+    * replayed batches (batch_id <= the table's committed batch id)
+      are no-ops, so at-least-once foreachBatch delivery cannot
+      double-apply a non-idempotent merge;
+    * the merged table is fully STAGED before the old one moves --
+      the plan reads ``path`` itself, so an in-place overwrite could
+      recompute from a half-deleted source;
+    * the commit point is ATOMIC: the applied batch id travels INSIDE
+      the staged directory (``_BATCH_ID``, underscore-prefixed so
+      parquet readers ignore it, like ``_SUCCESS``), so the single
+      directory rename publishes data and mark together -- there is
+      no window where the merge landed but the mark did not (a
+      separate mark file written after the swap would double-apply on
+      a crash between the two);
+    * a crash between the two swap renames is recovered on the next
+      call (the pre-merge table is restored, the batch re-runs).
+
+    Returns True if the batch was applied, False for a replay no-op.
+    """
     import os
     import shutil
 
-    hw_path = hourly_path.rstrip("/") + "_LAST_BATCH"
+    staged = path.rstrip("/") + "_staging"
+    old = path.rstrip("/") + "_premerge"
+    # recover a crash between the two swap renames, then clear
+    # stale dirs from any earlier crashed attempt
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+    for stale in (staged, old):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
+
+    marker = os.path.join(path, "_BATCH_ID")
     try:
-        with open(hw_path) as f:
+        with open(marker) as f:
             applied = int(f.read().strip())
     except (FileNotFoundError, ValueError):
         applied = -1
     if batch_id <= applied:
         return False  # replayed batch: already merged, exactly-once no-op
 
-    staged = hourly_path.rstrip("/") + "_staging"
-    old = hourly_path.rstrip("/") + "_premerge"
-    # recover a crash between the two swap renames, then clear
-    # stale dirs from any earlier crashed attempt
-    if not os.path.exists(hourly_path) and os.path.exists(old):
-        os.rename(old, hourly_path)
-    for stale in (staged, old):
-        if os.path.exists(stale):
-            shutil.rmtree(stale)
-
-    delta = batch_df.groupBy(
-        F.date_trunc("hour", "ts").alias("hour"), "event_type"
-    ).agg(F.count("*").alias("pc"), F.sum("value").alias("pv"))
     # only explicit absence means "first batch"; a corrupt/unreadable
-    # table must abort the batch, not silently reset the rollup
-    if os.path.exists(hourly_path):
-        target = spark.read.parquet(hourly_path)  # IO errors re-raise
+    # table must abort the batch, not silently reset the state
+    if os.path.exists(path):
+        target = spark.read.parquet(path)  # IO errors re-raise
     else:
         target = None
-    if target is None:
-        merged = delta
-    else:
+    merged = merge_fn(target)
+
+    merged.write.mode("overwrite").parquet(staged)
+    with open(os.path.join(staged, "_BATCH_ID"), "w") as f:
+        f.write(str(batch_id))
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(staged, path)  # atomic commit: data + batch id together
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    return True
+
+
+def hourly_rollup_merge_step(
+    spark: SparkSession, batch_df: DataFrame, batch_id: int, hourly_path: str
+) -> bool:
+    """One hardened hourly-rollup merge (the foreachBatch body of
+    hourly_rollup_stream, exposed for direct replay/crash testing).
+    Returns True if the batch was merged, False if it was a replayed
+    no-op.  Replay guard / staged swap live in
+    exactly_once_table_merge."""
+
+    def _merge(target: DataFrame | None) -> DataFrame:
+        delta = batch_df.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        ).agg(F.count("*").alias("pc"), F.sum("value").alias("pv"))
+        if target is None:
+            return delta
         t = target.select(
             F.col("hour").alias("t_hour"),
             F.col("event_type").alias("t_type"),
@@ -543,18 +591,9 @@ def hourly_rollup_merge_step(
                 ).alias("pv"),
             )
         )
-    # stage fully, then swap -- the plan reads hourly_path, so an
-    # in-place overwrite could recompute from a half-deleted source
-    merged.write.mode("overwrite").parquet(staged)
-    if os.path.exists(hourly_path):
-        os.rename(hourly_path, old)
-    os.rename(staged, hourly_path)
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    with open(hw_path + ".tmp", "w") as f:
-        f.write(str(batch_id))
-    os.replace(hw_path + ".tmp", hw_path)
-    return True
+        return merged
+
+    return exactly_once_table_merge(spark, hourly_path, batch_id, _merge)
 
 
 def hll_rollup_stream(
@@ -585,49 +624,21 @@ def hll_rollup_merge_step(
     spark: SparkSession, batch_df: DataFrame, batch_id: int, regs_path: str
 ) -> bool:
     """One register-merge micro-batch (exposed for replay testing).
-    Returns True if merged, False for a replayed no-op."""
-    import os
-    import shutil
-
+    Returns True if merged, False for a replayed no-op.  Replay guard
+    / staged swap live in exactly_once_table_merge."""
     from ..plans.sketches import hll_registers
 
-    hw_path = regs_path.rstrip("/") + "_LAST_BATCH"
-    try:
-        with open(hw_path) as f:
-            applied = int(f.read().strip())
-    except (FileNotFoundError, ValueError):
-        applied = -1
-    if batch_id <= applied:
-        return False
-
-    staged = regs_path.rstrip("/") + "_staging"
-    old = regs_path.rstrip("/") + "_premerge"
-    if not os.path.exists(regs_path) and os.path.exists(old):
-        os.rename(old, regs_path)
-    for stale in (staged, old):
-        if os.path.exists(stale):
-            shutil.rmtree(stale)
-
-    delta = hll_registers(batch_df, "event_type", F.col("user_id"))
-    if os.path.exists(regs_path):
-        target = spark.read.parquet(regs_path)  # IO errors re-raise
-        merged = (
+    def _merge(target: DataFrame | None) -> DataFrame:
+        delta = hll_registers(batch_df, "event_type", F.col("user_id"))
+        if target is None:
+            return delta
+        return (
             delta.unionByName(target)
             .groupBy("event_type", "bucket")
             .agg(F.max("m_j").alias("m_j"))
         )
-    else:
-        merged = delta
-    merged.write.mode("overwrite").parquet(staged)
-    if os.path.exists(regs_path):
-        os.rename(regs_path, old)
-    os.rename(staged, regs_path)
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    with open(hw_path + ".tmp", "w") as f:
-        f.write(str(batch_id))
-    os.replace(hw_path + ".tmp", hw_path)
-    return True
+
+    return exactly_once_table_merge(spark, regs_path, batch_id, _merge)
 
 
 def daily_from_hourly(hourly: DataFrame) -> DataFrame:
@@ -932,4 +943,79 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
         outputStructType="user_id long, n_events long, total_value double",
         outputMode="Update",
         timeMode="None",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming SCD Type-2 dimension maintenance (CDC apply)
+# ---------------------------------------------------------------------------
+SCD2_DIM_SCHEMA = (
+    "user_id long, event_type string, valid_from timestamp, "
+    "valid_to timestamp, is_current boolean"
+)
+
+
+def scd2_merge_step(
+    spark: SparkSession, batch_df: DataFrame, batch_id: int, dim_path: str
+) -> bool:
+    """One CDC micro-batch applied to the SCD2 dimension table (the
+    foreachBatch body of scd2_stream, exposed for replay testing).
+
+    The batch first compacts to each key's LAST change (max (ts,
+    event_id) -- standard CDC batch semantics: intermediate states
+    that both arrive and are superseded inside one micro-batch never
+    become versions), then operators/scale.py::scd2_merge closes /
+    opens versions with each key's own change time as the effective
+    timestamp.  Exactly-once via exactly_once_table_merge -- the
+    version append is NOT idempotent, so the replay guard is load-
+    bearing here (a double-applied batch would close the fresh
+    version against itself).  Returns True if applied, False for a
+    replayed no-op."""
+    from ..operators.scale import scd2_merge
+
+    def _merge(target: DataFrame | None) -> DataFrame:
+        last = (
+            batch_df.select("user_id", "ts", "event_id", "event_type")
+            .groupBy("user_id")
+            .agg(
+                F.expr("max_by(event_type, struct(ts, event_id))").alias(
+                    "event_type"
+                ),
+                F.max("ts").alias("eff_ts"),
+            )
+        )
+        if target is None:
+            target = spark.createDataFrame([], schema=SCD2_DIM_SCHEMA)
+        return scd2_merge(
+            target, last, key="user_id", effective="eff_ts",
+            attrs=["event_type"],
+        )
+
+    return exactly_once_table_merge(spark, dim_path, batch_id, _merge)
+
+
+def scd2_stream(
+    spark: SparkSession, events: DataFrame, dim_path: str
+) -> StreamingQuery:
+    """Streaming SCD2 dimension maintenance: consume the events CDC
+    stream and keep a versioned (valid_from / valid_to / is_current)
+    dimension of each user's current event_type state -- the
+    streaming counterpart of the batch history build
+    plans/warehouse.py::scd2_user_state (parity on the CURRENT state
+    is pinned in tests; historical version boundaries differ only by
+    micro-batch compaction, which is the standard CDC contract).
+
+    Scale: each micro-batch joins only the CURRENT slice of the
+    dimension against the (key-compacted) batch -- history rows never
+    join; at deploy scale the dimension is bucketed on the key and
+    only touched partitions rewrite."""
+
+    def _step(batch_df: DataFrame, batch_id: int) -> None:
+        scd2_merge_step(spark, batch_df, batch_id, dim_path)
+
+    return (
+        events.writeStream.foreachBatch(_step)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", dim_path + "_chk")
+        .start()
     )

@@ -232,3 +232,17 @@ def test_quantile_merge_equals_direct_build(spark):
     direct = {r["q"]: tuple(r) for r in psk.sketch_quantile_hist(spark, SF).collect()}
     merged = {r["q"]: tuple(r) for r in psk.sketch_quantile_merge(spark, SF).collect()}
     assert merged == direct
+
+
+def test_join_cardinality_cm_upper_bound(spark):
+    """CM inner product never underestimates the true join size, and
+    at sketch width >> key cardinality it should be tight."""
+    from mvp_mini_etl_pipeline_1762840347_spark.plans import QUERIES
+
+    row = QUERIES["sketch_join_cardinality"](spark, SF).first()
+    assert row["cm_est"] >= row["exact_join_size"]
+    assert row["overestimate"] == row["cm_est"] - row["exact_join_size"]
+    # d=4 x w=512 over sf0.001's part keys: demand a loose 2x bound so
+    # the test is hash-collision-robust while still catching a broken
+    # estimator (which would be off by orders of magnitude)
+    assert row["cm_est"] <= 2 * row["exact_join_size"]

@@ -800,3 +800,99 @@ def test_hll_rollup_stream_end_to_end(spark, sf_dir, tmp_path_factory):
         for r in hll_registers(e, "event_type", F.col("user_id")).collect()
     }
     assert got == want
+
+
+def test_scd2_stream_current_state_matches_batch(
+    spark, sf_dir, tmp_path_factory
+):
+    """CDC stream applied in ts-ordered micro-batches: the dimension's
+    CURRENT slice must equal the batch SCD2 build's open intervals
+    (per-key final state), replays must be no-ops, and a crash between
+    the swap renames must recover."""
+    import os
+
+    from mvp_mini_etl_pipeline_1762840347_spark.io import read_events
+
+    base = tmp_path_factory.mktemp("scd2_dim")
+    dim_path = str(base / "dim")
+    e = read_events(spark, sf_dir).cache()
+    b0 = e.filter(F.col("ts") < F.expr("timestamp'2024-01-15'"))
+    b1 = e.filter(F.col("ts") >= F.expr("timestamp'2024-01-15'"))
+    assert jobs.scd2_merge_step(spark, b0, 0, dim_path) is True
+    assert jobs.scd2_merge_step(spark, b0, 0, dim_path) is False  # replay
+    assert jobs.scd2_merge_step(spark, b1, 1, dim_path) is True
+
+    cur = {
+        r["user_id"]: r["state"]
+        for r in spark.read.parquet(dim_path)
+        .filter(F.col("is_current"))
+        .select("user_id", F.col("event_type").alias("state"))
+        .collect()
+    }
+    want = {
+        r["user_id"]: r["state"]
+        for r in plans.QUERIES["scd2_user_state"](spark, sf_dir)
+        .filter(F.col("valid_to").isNull())
+        .collect()
+    }
+    assert cur == want
+    # interval sanity: exactly one open version per user, closed
+    # versions carry valid_to >= valid_from
+    dim = spark.read.parquet(dim_path)
+    per_user_open = (
+        dim.filter(F.col("is_current")).groupBy("user_id").count().collect()
+    )
+    assert all(r["count"] == 1 for r in per_user_open)
+    assert (
+        dim.filter(
+            F.col("valid_to").isNotNull()
+            & (F.col("valid_to") < F.col("valid_from"))
+        ).count()
+        == 0
+    )
+
+    # crash between the two swap renames: path gone, _premerge left
+    os.rename(dim_path, dim_path + "_premerge")
+    assert jobs.scd2_merge_step(spark, b1, 2, dim_path) is True
+    cur2 = {
+        r["user_id"]: r["event_type"]
+        for r in spark.read.parquet(dim_path)
+        .filter(F.col("is_current"))
+        .collect()
+    }
+    assert cur2 == cur  # recovery restored state; re-apply was clean
+    e.unpersist()
+
+
+def test_scd2_stream_end_to_end(spark, sf_dir, tmp_path_factory):
+    """Dimension maintained through an actual multi-batch file stream
+    equals the batch build's current state."""
+    base = tmp_path_factory.mktemp("scd2_e2e")
+    landing = str(base / "landing")
+    dim_path = str(base / "dim")
+    from mvp_mini_etl_pipeline_1762840347_spark.io import read_events
+
+    e = read_events(spark, sf_dir)
+    e.filter(F.col("ts") < F.expr("timestamp'2024-01-15'")).coalesce(
+        1
+    ).write.parquet(landing, mode="overwrite")
+    e.filter(F.col("ts") >= F.expr("timestamp'2024-01-15'")).coalesce(
+        1
+    ).write.parquet(landing, mode="append")
+    ev = jobs.stream_events(spark, landing, max_files_per_trigger=1)
+    q = jobs.scd2_stream(spark, ev, dim_path)
+    q.awaitTermination(120)
+
+    cur = {
+        r["user_id"]: r["event_type"]
+        for r in spark.read.parquet(dim_path)
+        .filter(F.col("is_current"))
+        .collect()
+    }
+    want = {
+        r["user_id"]: r["state"]
+        for r in plans.QUERIES["scd2_user_state"](spark, sf_dir)
+        .filter(F.col("valid_to").isNull())
+        .collect()
+    }
+    assert cur == want
