@@ -854,3 +854,91 @@ def events_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("val"), 2).alias("sum_vals"),
         F.max("k").alias("max_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Session path mining (top user journeys)
+# ---------------------------------------------------------------------------
+_PATH_TOP = 15
+
+
+@query(
+    "session_paths",
+    oracle=f"""
+    WITH t AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 3600000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM t
+    ), p AS (
+      SELECT user_id, sid,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+             count(*) AS n_events
+      FROM s GROUP BY user_id, sid
+    )
+    SELECT path,
+           count(*) AS n_sessions,
+           round(avg(n_events), 4) AS avg_len
+    FROM p GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT {_PATH_TOP}
+    """,
+)
+def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys: sessionize (1 h gap, the events_session
+    convention), concatenate each session's event types in time order
+    into a path string ('view>click>purchase'), and rank paths by how
+    many sessions follow them -- the product-analytics query behind
+    every funnel-discovery / user-flow dashboard.
+
+    Scale: sessionization windows are PARTITION BY user_id; the path
+    builds JVM-side from collect_list of (ts, event_id, type) structs
+    + array_sort + transform + array_join (higher-order functions, no
+    UDF) -- per-session arrays are bounded by session length, the
+    same bound any sessionized aggregate carries.  Path frequencies
+    then partial-aggregate (paths are low-cardinality relative to
+    sessions) and the top-{top} is TakeOrdered with a full
+    deterministic tie-break."""
+    e = read_events(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run_w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    s = e.withColumn(
+        "new_session",
+        F.when(gap_us.isNull() | (gap_us >= 3_600_000_000), 1).otherwise(0),
+    ).withColumn("sid", F.sum("new_session").over(run_w))
+    p = s.groupBy("user_id", "sid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda x: x.event_type,
+            ),
+            ">",
+        ).alias("path"),
+        F.count("*").alias("n_events"),
+    )
+    return (
+        p.groupBy("path")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.round(F.avg("n_events"), 4).alias("avg_len"),
+        )
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(_PATH_TOP)
+    )
+
+
+session_paths.__doc__ = session_paths.__doc__.format(top=_PATH_TOP)

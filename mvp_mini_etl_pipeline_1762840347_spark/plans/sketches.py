@@ -1293,3 +1293,128 @@ def sketch_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("overestimate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV set intersection (theta-sketch-style set algebra)
+# ---------------------------------------------------------------------------
+# Two cohorts' KMV sketches combine into a union sketch (K smallest of
+# the combined hash sets); the fraction of those K present in BOTH
+# inputs estimates Jaccard, and jaccard * est_union estimates the
+# intersection -- set algebra over sketches, the theta-sketch idea:
+# audience overlap across 100-TB cohorts from two K-value summaries.
+
+_KMV_I_SQL = rf"""
+    WITH a AS (
+      SELECT DISTINCT {_h60_sql("CAST(o_custkey AS VARCHAR)")} AS h
+      FROM orders WHERE year(o_orderdate) = 1995
+    ), b AS (
+      SELECT DISTINCT {_h60_sql("CAST(o_custkey AS VARCHAR)")} AS h
+      FROM orders WHERE year(o_orderdate) = 2000
+    ), u AS (
+      SELECT h,
+             max(in_a) AS in_a, max(in_b) AS in_b
+      FROM (SELECT h, 1 AS in_a, 0 AS in_b FROM a
+            UNION ALL
+            SELECT h, 0 AS in_a, 1 AS in_b FROM b)
+      GROUP BY h
+    ), kmin AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             max(h) AS kth_hash,
+             CAST(sum(in_a * in_b) AS BIGINT) AS matches
+      FROM (SELECT * FROM u ORDER BY h LIMIT {_KMV_K})
+    ), est AS (
+      SELECT k, matches,
+             CASE WHEN k < {_KMV_K} THEN CAST(k AS DOUBLE)
+                  ELSE ({_KMV_K} - 1)
+                       / (CAST(kth_hash AS DOUBLE) / {_HASH_SPACE!r})
+             END AS est_union,
+             matches / CAST(k AS DOUBLE) AS jaccard
+      FROM kmin
+    ), exact AS (
+      SELECT CAST(count(*) AS BIGINT) AS exact_intersection
+      FROM a JOIN b ON a.h = b.h
+    )
+    SELECT est.k, est.matches, exact.exact_intersection,
+           round(est.jaccard, 4) AS est_jaccard,
+           round(est.jaccard * est.est_union, 2) AS est_intersection
+    FROM est CROSS JOIN exact
+"""
+
+
+@query("sketch_kmv_intersection", oracle=_KMV_I_SQL)
+def sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection from KMV sketches (theta-sketch set algebra):
+    customers active in 1995 vs in 2000, overlap estimated from the
+    K={k} smallest hashes of the UNION of the two cohorts' sketches --
+    est_jaccard = fraction of those K present in both, and
+    est_intersection = est_jaccard * est_union.  Small unions (k < K)
+    fall back to the exact count (the KMV small-set rule).  The exact
+    intersection rides along as the oracle-checkable truth.
+
+    Scale: each cohort's distinct-hash set partial-aggregates on its
+    own pushed-down scan; the union flags come from one tagged
+    union + groupBy (no join); the K-min cut is TakeOrdered (never a
+    full sort); everything after operates on <= K rows.  Two cohort
+    sketches of any size combine this way -- audience-overlap algebra
+    without ever joining the raw 100-TB cohorts.
+    """
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate"
+    )
+
+    def _cohort(yr: int, a: int, b: int) -> DataFrame:
+        return (
+            o.filter(F.year("o_orderdate") == yr)
+            .select("o_custkey")
+            .distinct()
+            .select(
+                _h60(F.col("o_custkey").cast("string")).alias("h"),
+                F.lit(a).alias("in_a"),
+                F.lit(b).alias("in_b"),
+            )
+        )
+
+    u = (
+        _cohort(1995, 1, 0)
+        .unionAll(_cohort(2000, 0, 1))
+        .groupBy("h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    kmin = (
+        u.orderBy("h")
+        .limit(_KMV_K)
+        .agg(
+            F.count("*").cast("bigint").alias("k"),
+            F.max("h").alias("kth_hash"),
+            F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("matches"),
+        )
+    )
+    est = kmin.select(
+        "k",
+        "matches",
+        F.when(F.col("k") < _KMV_K, F.col("k").cast("double"))
+        .otherwise(
+            F.lit(float(_KMV_K - 1))
+            / (F.col("kth_hash").cast("double") / F.lit(_HASH_SPACE))
+        )
+        .alias("est_union"),
+        (F.col("matches") / F.col("k").cast("double")).alias("jaccard"),
+    )
+    exact = u.filter((F.col("in_a") == 1) & (F.col("in_b") == 1)).agg(
+        F.count("*").cast("bigint").alias("exact_intersection")
+    )
+    return est.join(F.broadcast(exact)).select(
+        "k",
+        "matches",
+        "exact_intersection",
+        F.round(F.col("jaccard"), 4).alias("est_jaccard"),
+        F.round(F.col("jaccard") * F.col("est_union"), 2).alias(
+            "est_intersection"
+        ),
+    )
+
+
+sketch_kmv_intersection.__doc__ = sketch_kmv_intersection.__doc__.format(
+    k=_KMV_K
+)

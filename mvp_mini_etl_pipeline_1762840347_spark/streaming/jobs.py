@@ -173,29 +173,27 @@ def merge_stream_into_parquet(
     the additive variant running totals need).
 
     foreachBatch gives exactly-once-per-batch batch semantics inside a
-    stream: the merge join + overwrite is ordinary batch code.  At
-    deploy scale the target is a transactional table format; plain
-    parquet here keeps the harness dependency-free (the target is
-    cached before overwrite so the read and write don't race)."""
+    stream: the merge join + overwrite is ordinary batch code routed
+    through exactly_once_table_merge (replay guard, explicit
+    missing-path check so IO errors abort instead of resetting the
+    totals, staged-swap so the overwrite never races its own read).
+    At deploy scale the target is a transactional table format; plain
+    parquet here keeps the harness dependency-free."""
 
-    def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        delta = batch_df.groupBy("user_id").agg(
-            F.count("*").alias("n_events"),
-            F.sum("value").alias("total_value"),
-        )
-        try:
-            target = spark.read.parquet(target_path)
-        except Exception:
-            target = None
-        if target is None:
-            merged = delta
-        else:
+    def _step(batch_df: DataFrame, batch_id: int) -> None:
+        def _merge(target: DataFrame | None) -> DataFrame:
+            delta = batch_df.groupBy("user_id").agg(
+                F.count("*").alias("n_events"),
+                F.sum("value").alias("total_value"),
+            )
+            if target is None:
+                return delta
             t = target.select(
                 F.col("user_id").alias("t_user"),
                 F.col("n_events").alias("t_n"),
                 F.col("total_value").alias("t_v"),
             )
-            merged = (
+            return (
                 delta.join(t, delta.user_id == t.t_user, "full_outer")
                 .select(
                     F.coalesce(delta.user_id, t.t_user).alias("user_id"),
@@ -209,13 +207,11 @@ def merge_stream_into_parquet(
                     ).alias("total_value"),
                 )
             )
-        merged = merged.cache()
-        merged.count()  # materialize before overwriting the source of `target`
-        merged.write.mode("overwrite").parquet(target_path)
-        merged.unpersist()
+
+        exactly_once_table_merge(spark, target_path, batch_id, _merge)
 
     return (
-        events.writeStream.foreachBatch(_merge)
+        events.writeStream.foreachBatch(_step)
         .trigger(availableNow=True)
         .option("checkpointLocation", target_path + "_chk")
         .start()

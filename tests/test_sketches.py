@@ -246,3 +246,20 @@ def test_join_cardinality_cm_upper_bound(spark):
     # the test is hash-collision-robust while still catching a broken
     # estimator (which would be off by orders of magnitude)
     assert row["cm_est"] <= 2 * row["exact_join_size"]
+
+
+def test_kmv_intersection_estimates_overlap(spark):
+    """KMV set-algebra sanity: matches <= k, the exact intersection is
+    positive on the year cohorts, and the estimate lands within a
+    K=64-appropriate error band of the truth."""
+    from mvp_mini_etl_pipeline_1762840347_spark.plans import QUERIES
+
+    row = QUERIES["sketch_kmv_intersection"](spark, SF).first()
+    assert 0 <= row["matches"] <= row["k"]
+    assert row["exact_intersection"] > 0
+    assert 0.0 <= row["est_jaccard"] <= 1.0
+    # K=64 gives ~1/sqrt(64) = 12.5% std err on jaccard; allow 3 sigma
+    rel = abs(row["est_intersection"] - row["exact_intersection"]) / row[
+        "exact_intersection"
+    ]
+    assert rel < 0.45, row

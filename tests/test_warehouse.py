@@ -170,3 +170,18 @@ def test_frequent_pairs_properties(spark):
         assert r["support"] >= 2
         assert 0 < r["confidence"] <= 1.0
         assert r["lift"] > 0
+
+
+def test_session_paths_consistent_with_sessionization(spark):
+    rows = QUERIES["session_paths"](spark, SF).collect()
+    assert rows
+    counts = [r["n_sessions"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    n_total_sessions = QUERIES["events_session"](spark, SF).count()
+    assert sum(counts) <= n_total_sessions
+    for r in rows:
+        steps = r["path"].split(">")
+        assert steps and all(s for s in steps)
+        assert r["avg_len"] >= 1.0
+        # a path of k steps means sessions of exactly k events
+        assert abs(r["avg_len"] - len(steps)) < 1e-9
