@@ -942,3 +942,100 @@ def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 session_paths.__doc__ = session_paths.__doc__.format(top=_PATH_TOP)
+
+
+# ---------------------------------------------------------------------------
+# Funnel time-to-convert stats
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "funnel_conversion_time",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END)     AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END)    AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY 1
+    ), d AS (
+      SELECT 'view_to_click' AS step,
+             epoch_us(t_click) - epoch_us(t_view) AS delay_us
+      FROM per_user WHERE t_view < t_click
+      UNION ALL
+      SELECT 'click_to_purchase' AS step,
+             epoch_us(t_purchase) - epoch_us(t_click) AS delay_us
+      FROM per_user WHERE t_view < t_click AND t_click < t_purchase
+    )
+    SELECT step,
+           count(*) AS n_users,
+           round(CAST(sum(delay_us) AS BIGINT)
+                 / CAST(count(*) AS DOUBLE) / 1000000.0, 4) AS avg_s,
+           CAST(min(delay_us) AS BIGINT) AS min_us,
+           CAST(max(delay_us) AS BIGINT) AS max_us
+    FROM d GROUP BY 1
+    """,
+)
+def funnel_conversion_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How long conversion takes, not just whether it happens: for
+    users who progress view -> click (-> purchase) in funnel order,
+    the delay between their FIRST occurrences of consecutive steps --
+    count, mean seconds, min/max.  The latency companion to
+    events_funnel's conversion counts.
+
+    Scale: the identical one-keyed-aggregation funnel core (three
+    conditional mins per user -- no self-joins, no window sort, state
+    is 3 timestamps per user at any volume), then the two step delays
+    stack via a single explode (not a union, which would re-derive
+    the per-user aggregate twice) and partial-aggregate on the
+    2-value step key."""
+    e = _events(spark, sf_dir)
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "t_view"
+        ),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "t_click"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    d = (
+        per_user.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("view_to_click").alias("step"),
+                        F.when(
+                            F.col("t_view") < F.col("t_click"),
+                            F.unix_micros("t_click")
+                            - F.unix_micros("t_view"),
+                        ).alias("delay_us"),
+                    ),
+                    F.struct(
+                        F.lit("click_to_purchase").alias("step"),
+                        F.when(
+                            (F.col("t_view") < F.col("t_click"))
+                            & (F.col("t_click") < F.col("t_purchase")),
+                            F.unix_micros("t_purchase")
+                            - F.unix_micros("t_click"),
+                        ).alias("delay_us"),
+                    ),
+                )
+            ).alias("x")
+        )
+        .select("x.step", "x.delay_us")
+        .filter(F.col("delay_us").isNotNull())
+    )
+    return d.groupBy("step").agg(
+        F.count("*").alias("n_users"),
+        F.round(
+            F.sum("delay_us").cast("bigint")
+            / F.count("*").cast("double")
+            / F.lit(1000000.0),
+            4,
+        ).alias("avg_s"),
+        F.min("delay_us").cast("bigint").alias("min_us"),
+        F.max("delay_us").cast("bigint").alias("max_us"),
+    )

@@ -902,3 +902,47 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(F.map_keys("nation_counts"), 1),
         ).alias("first_nation_cust"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Salted join: semantics-preserving skew rewrite, oracle-checked
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_salted",
+    oracle="""
+    SELECT o.o_orderpriority,
+           count(*) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority revenue through operators/scale.py::salted_join --
+    the skew-resilient join rewrite (big side salted by row hash,
+    small side replicated n_salts times, join on (key, salt)) -- with
+    the PLAIN join as the oracle, proving the rewrite is
+    semantics-preserving end to end, not just in a unit test.
+
+    Scale: a hot l_orderkey's rows spread over 8 reducers instead of
+    one; the deterministic salt (xxhash64 of the row, not rand())
+    keeps the plan replayable.  Use when AQE's skew split can't
+    apply; the aggregation after the join partial-aggregates as
+    usual.  tests/test_scale.py measures the skew win on a
+    manufactured hot key (3.1x at sf0.1)."""
+    from ..operators.scale import salted_join
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    j = salted_join(li, o, "l_orderkey", "o_orderkey", n_salts=8)
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum("rev"), 2).alias("revenue"),
+    )

@@ -731,3 +731,98 @@ def token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cab").desc(), "a", "b")
         .limit(_PMI_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval
+# ---------------------------------------------------------------------------
+_BM25_TERMS = ("spark", "query", "merge")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOP = 10
+# One scoring expression string parsed by BOTH engines (F.expr on the
+# Spark side, inline SQL in the oracle), so the float arithmetic tree
+# is structurally identical and the rounded scores agree bit-for-bit.
+_BM25_SCORE = (
+    f"ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)"
+    f" * (tf * ({_BM25_K1} + 1.0))"
+    f" / (tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl))"
+)
+
+
+@query(
+    "text_bm25_search",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY 1
+    ), stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             (SELECT avg(dl) FROM dl) AS avgdl
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+      FROM toks WHERE tok IN {_BM25_TERMS!r}
+      GROUP BY 1, 2
+    ), df AS (
+      SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1
+    ), scored AS (
+      SELECT tf.doc_id,
+             sum({_BM25_SCORE}) AS score
+      FROM tf JOIN df USING (tok) JOIN dl USING (doc_id), stats
+      GROUP BY 1
+    )
+    SELECT doc_id, round(score, 4) AS bm25
+    FROM scored ORDER BY round(score, 4) DESC, doc_id LIMIT {_BM25_TOP}
+    """,
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval for the fixed query {terms}: the
+    Okapi scoring function (k1={k1}, b={b}) over corpus term
+    statistics -- the classic IR ranking behind quality-biased
+    pretraining-data selection and retrieval-augmented pipelines,
+    and the consumer of text_inverted_index's postings.
+
+    Scale: term frequencies restrict to the query terms AT THE SCAN
+    (the IN filter pushes into the token explode, so the tf shuffle
+    carries query-term postings only, not the whole corpus
+    vocabulary); document lengths are one partial-agg pass; df and
+    the corpus stats are tiny broadcasts; the score is a single
+    shared SQL expression string parsed by both engines, summed per
+    doc, TakeOrdered top-{top} on the rounded score with doc_id
+    tie-break."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.explode(_toks(F.col("text"))).alias("tok")
+    )
+    dl = toks.groupBy("doc_id").agg(
+        F.count("*").cast("double").alias("dl")
+    )
+    stats = d.agg(F.count("*").cast("double").alias("n_docs")).join(
+        dl.agg(F.avg("dl").alias("avgdl"))
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count("*").cast("double").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(F.expr(_BM25_SCORE)).alias("score"))
+    )
+    return (
+        scored.select("doc_id", F.round("score", 4).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(_BM25_TOP)
+    )
+
+
+text_bm25_search.__doc__ = text_bm25_search.__doc__.format(
+    terms=_BM25_TERMS, k1=_BM25_K1, b=_BM25_B, top=_BM25_TOP
+)
