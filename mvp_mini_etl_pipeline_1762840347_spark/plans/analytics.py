@@ -1168,3 +1168,110 @@ def winsorized_pricing_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 winsorized_pricing_approx.__doc__ = winsorized_pricing_approx.__doc__.format(
     bins=_WA_BINS
 )
+
+
+# ---------------------------------------------------------------------------
+# Cohort lifetime-value triangle
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cohort_ltv_triangle",
+    oracle="""
+    WITH first_order AS (
+      SELECT o_custkey, min(o_orderdate) AS first_dt
+      FROM orders GROUP BY 1
+    )
+    SELECT year(f.first_dt) AS cohort_year,
+           year(o.o_orderdate) - year(f.first_dt) AS order_age_years,
+           count(*) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue,
+           count(DISTINCT o.o_custkey) AS active_customers
+    FROM orders o JOIN first_order f ON o.o_custkey = f.o_custkey
+    GROUP BY 1, 2
+    """,
+)
+def cohort_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime-value triangle: acquisition cohort (year of
+    first order) x order age (years since acquisition) -> orders,
+    revenue, active customers.  The classic LTV/retention matrix
+    finance reads diagonally; complements events_cohort_retention
+    (which tracks activity, not value).
+
+    Scale: the first-order date is one partial-agg pass keyed on
+    customer; joining it back is a shuffle join co-partitioned on the
+    SAME key the aggregate just produced (Catalyst reuses the
+    partitioning -- no second exchange of the fact side), and the
+    triangle itself aggregates to |cohorts| x |ages| rows."""
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    f = o.groupBy("o_custkey").agg(F.min("o_orderdate").alias("first_dt"))
+    return (
+        o.join(f, "o_custkey")
+        .groupBy(
+            F.year("first_dt").alias("cohort_year"),
+            (F.year("o_orderdate") - F.year("first_dt")).alias(
+                "order_age_years"
+            ),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.countDistinct("o_custkey").alias("active_customers"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonality index
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_seasonality",
+    oracle="""
+    WITH m AS (
+      SELECT month(o_orderdate) AS month,
+             count(*) AS n_orders,
+             sum(o_totalprice) AS rev
+      FROM orders GROUP BY 1
+    ), t AS (
+      SELECT CAST(sum(n_orders) AS BIGINT) AS total_n, sum(rev) AS total_rev
+      FROM m
+    )
+    SELECT month, n_orders,
+           round(rev, 2) AS revenue,
+           round(rev / total_rev * 12.0, 4) AS seasonality_idx
+    FROM m, t
+    """,
+)
+def orders_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-of-year seasonality index: each calendar month's share of
+    annual revenue scaled by 12, so 1.0 = a perfectly flat month --
+    the multiplicative seasonal factor a demand forecast divides out
+    before trend fitting (forecast_revenue_change's companion).
+
+    Scale: one partial-agg pass to 12 rows; the grand total is a
+    second tiny aggregation over those 12 rows (NOT a second fact
+    scan) broadcast back as a 1-row bound."""
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderdate", "o_totalprice"
+    )
+    m = o.groupBy(F.month("o_orderdate").alias("month")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum("o_totalprice").alias("rev"),
+    )
+    m = m.localCheckpoint(eager=False)  # 12 rows; total derives from them
+    t = m.agg(
+        F.sum("n_orders").cast("bigint").alias("total_n"),
+        F.sum("rev").alias("total_rev"),
+    )
+    return m.join(F.broadcast(t)).select(
+        "month",
+        "n_orders",
+        F.round("rev", 2).alias("revenue"),
+        F.round(F.col("rev") / F.col("total_rev") * F.lit(12.0), 4).alias(
+            "seasonality_idx"
+        ),
+    )

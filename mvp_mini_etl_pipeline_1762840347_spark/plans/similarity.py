@@ -1010,3 +1010,127 @@ def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 pq_encode.__doc__ = pq_encode.__doc__.format(subs=_PQ_SUBS, codes=_PQ_CODES)
+
+
+# ---------------------------------------------------------------------------
+# ANN recall evaluation (index quality monitoring)
+# ---------------------------------------------------------------------------
+_RECALL_K = 5
+_RECALL_NQ = 20
+
+
+@query(
+    "similarity_recall",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    b AS (SELECT vec_id, e, {_BUCKET_SQL} AS bucket FROM v),
+    q AS (SELECT vec_id AS query_id, e AS qe, bucket
+          FROM b WHERE vec_id < {_RECALL_NQ}),
+    ex AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, v.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round({_COS_SQL.format(a="q.qe", b="v.e")}, 4)
+                            DESC, v.vec_id) AS rank
+        FROM q JOIN v ON v.vec_id <> q.query_id
+      ) WHERE rank <= {_RECALL_K}
+    ),
+    ap AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round({_COS_SQL.format(a="q.qe", b="c.e")}, 4)
+                            DESC, c.vec_id) AS rank
+        FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+      ) WHERE rank <= {_RECALL_K}
+    )
+    SELECT e.query_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+           round(count(a.neighbor_id) / {float(_RECALL_K)}, 2) AS recall_at_k
+    FROM ex e LEFT JOIN ap a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY 1
+    """,
+)
+def similarity_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{k} of the sign-bucket LSH index against exact
+    brute-force cosine top-{k}, per query -- the metric an ANN
+    deployment monitors continuously (index drift, bucket imbalance,
+    recall regressions after re-training) and the honest statement of
+    what the approximate path trades away.  Both rankings break ties
+    identically (rounded sim desc, neighbor id), so the compared sets
+    are deterministic across engines.
+
+    Scale: the exact arm is the monitoring-sample pattern -- you
+    never brute-force the full corpus against all queries, you
+    brute-force a SMALL query sample (broadcast) against one corpus
+    scan; the LSH arm touches ~N/2^{bits} of the corpus per query via
+    the bucket equi-join; the set intersection is a join on
+    (query_id, neighbor_id) over 2 x {nq}x{k} rows."""
+    v = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("e")
+    )
+    bucket = sum(
+        F.when(F.element_at("e", i + 1) > 0, F.lit(1 << i)).otherwise(0)
+        for i in range(BUCKET_BITS)
+    )
+    b = v.withColumn("bucket", bucket)
+    q = b.filter(F.col("vec_id") < _RECALL_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("bucket").alias("qbucket"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    ex = (
+        v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qe"), F.col("e")), 4).alias("sim"),
+        )
+        .select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= _RECALL_K)
+        .select("query_id", "neighbor_id")
+    )
+    ap = (
+        b.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qe"), F.col("e")), 4).alias("sim"),
+        )
+        .select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= _RECALL_K)
+        .select(
+            F.col("query_id").alias("a_query_id"),
+            F.col("neighbor_id").alias("a_neighbor_id"),
+        )
+    )
+    return (
+        ex.join(
+            ap,
+            (ex.query_id == ap.a_query_id)
+            & (ex.neighbor_id == ap.a_neighbor_id),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("a_neighbor_id").cast("bigint").alias("n_hits"),
+            F.round(
+                F.count("a_neighbor_id") / F.lit(float(_RECALL_K)), 2
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+similarity_recall.__doc__ = similarity_recall.__doc__.format(
+    k=_RECALL_K, bits=BUCKET_BITS, nq=_RECALL_NQ
+)
