@@ -747,3 +747,93 @@ def decontaminate_frame(train_docs: DataFrame, eval_docs: DataFrame) -> DataFram
             (ratio >= _DECON_THRESHOLD).alias("is_contaminated"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Containment dedup (asymmetric near-dup: one doc inside another)
+# ---------------------------------------------------------------------------
+_CONTAIN_THRESHOLD = 0.6
+
+
+@query(
+    "dedup_containment",
+    oracle=rf"""
+    WITH cand AS (
+      SELECT doc_a, doc_b FROM ({_MINHASH_PAIRS_SQL})
+    ),
+    shingles AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      FROM cand c
+      JOIN shingles sa ON sa.doc_id = c.doc_a
+      JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(CAST(i.n_inter AS DOUBLE) / least(za.n, zb.n), 4)
+             AS containment,
+           CASE WHEN za.n < zb.n THEN i.doc_a
+                WHEN zb.n < za.n THEN i.doc_b
+                ELSE least(i.doc_a, i.doc_b) END AS contained_doc
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.doc_a
+    JOIN sizes zb ON zb.doc_id = i.doc_b
+    WHERE CAST(i.n_inter AS DOUBLE) / least(za.n, zb.n)
+          >= {_CONTAIN_THRESHOLD}
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup detection: shingle CONTAINMENT
+    |A n B| / min(|A|, |B|) over the LSH candidate pairs -- the
+    statistic that catches a document EMBEDDED inside another (full
+    quotes, concatenated crawls, boilerplate-wrapped reposts), which
+    symmetric Jaccard under-scores precisely when the size ratio is
+    large.  Emits the containing relation and which doc is the
+    contained one (the smaller shingle set; lower id on ties); the
+    retention policy then keeps the superset document.
+
+    Scale: identical two-stage candidates->verify shape as
+    dedup_verified_pairs -- LSH bounds the pair set, the exact
+    intersection joins only candidates to shingle sets, and the size
+    table broadcast is vocabulary-bounded.  Only the final statistic
+    differs (min-normalization instead of union-normalization)."""
+    docs = _docs(spark, sf_dir)
+    cand = _minhash_pairs_impl(docs).select("doc_a", "doc_b")
+    sh = _shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a")
+    )
+    sb = sh.select(
+        F.col("doc_id").alias("b_doc"), F.col("shingle").alias("sh_b")
+    )
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(
+            sb,
+            (F.col("doc_b") == F.col("b_doc"))
+            & (F.col("sh_a") == F.col("sh_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    contain = F.col("n_inter").cast("double") / F.least(
+        F.col("na"), F.col("nb")
+    )
+    return (
+        inter.join(F.broadcast(za), "doc_a")
+        .join(F.broadcast(zb), "doc_b")
+        .filter(contain >= _CONTAIN_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(contain, 4).alias("containment"),
+            F.when(F.col("na") < F.col("nb"), F.col("doc_a"))
+            .when(F.col("nb") < F.col("na"), F.col("doc_b"))
+            .otherwise(F.least("doc_a", "doc_b"))
+            .alias("contained_doc"),
+        )
+    )

@@ -225,6 +225,37 @@ def test_scd2_merge_idempotent(spark):
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
 
 
+def test_scd2_merge_per_row_effective(spark):
+    """CDC mode: `effective` as an updates column name stamps each
+    key's version boundary with that key's OWN change time."""
+    from mvp_mini_etl_pipeline_1762840347_spark.operators.scale import scd2_merge
+
+    target = spark.createDataFrame(
+        [
+            (1, "NYC", "2024-01-01", None, True),
+            (2, "LA", "2024-01-01", None, True),
+        ],
+        "id int, city string, valid_from string, valid_to string, is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, "BOS", "2024-03-05"),  # changed at its own time
+            (3, "SEA", "2024-03-09"),  # new key at a different time
+        ],
+        "id int, city string, changed_at string",
+    )
+    out = scd2_merge(
+        target, updates, "id", "changed_at", ["city"]
+    ).orderBy("id", "valid_from")
+    rows = [tuple(r) for r in out.collect()]
+    assert rows == [
+        (1, "NYC", "2024-01-01", "2024-03-05", False),  # closed at ITS time
+        (1, "BOS", "2024-03-05", None, True),
+        (2, "LA", "2024-01-01", None, True),
+        (3, "SEA", "2024-03-09", None, True),           # opened at ITS time
+    ]
+
+
 def test_runtime_bloom_filter_join_pruning(spark):
     """With a selective filter on one join side, Spark injects a
     runtime Bloom filter (might_contain) on the big side so
