@@ -30,12 +30,16 @@ def get_spark(app_name: str = "mvp_mini_etl_spark", cpus: int | None = None) -> 
     comes from spark-submit and everything here still applies.
     """
     n = cpus or DEFAULT_CPUS
+    # SPARK_GRAFT_AQE=0 disables adaptive execution for the
+    # plan-independence gate: results must not depend on AQE's runtime
+    # re-planning (coalescing, skew splits, broadcast conversion).
+    aqe = os.environ.get("SPARK_GRAFT_AQE", "1") != "0"
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(n))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.enabled", str(aqe).lower())
+        .config("spark.sql.adaptive.coalescePartitions.enabled", str(aqe).lower())
+        .config("spark.sql.adaptive.skewJoin.enabled", str(aqe).lower())
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
