@@ -15,3 +15,4 @@ from . import quality  # noqa: F401,E402
 from . import sketches  # noqa: F401,E402
 from . import packing  # noqa: F401,E402
 from . import warehouse  # noqa: F401,E402
+from . import scrub  # noqa: F401,E402

@@ -837,3 +837,66 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("contained_doc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-span mass per document (RefinedWeb-style repetition stat)
+# ---------------------------------------------------------------------------
+@query(
+    "dup_span_fraction",
+    oracle=rf"""
+    WITH pos AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+               AS shingle
+      FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+            FROM documents)
+      WHERE len(toks) >= 3
+    ),
+    docs_with AS (
+      SELECT shingle, count(DISTINCT doc_id) AS n_docs
+      FROM pos GROUP BY shingle
+    )
+    SELECT p.doc_id,
+           count(*)                                             AS n_shingles,
+           CAST(sum(CASE WHEN w.n_docs >= 2 THEN 1 ELSE 0 END)
+                AS BIGINT)                                      AS n_dup,
+           round(CAST(sum(CASE WHEN w.n_docs >= 2 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 4)                 AS dup_fraction
+    FROM pos p JOIN docs_with w USING (shingle)
+    GROUP BY p.doc_id
+    """,
+)
+def dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span mass: the fraction of a document's
+    word-3-gram occurrences whose shingle text also appears in at
+    least one OTHER document.  This is the corpus-repetition statistic
+    web-scale cleaning pipelines threshold on (a doc that is mostly
+    boilerplate shared with the rest of the crawl scores near 1.0)
+    -- complementary to ``text_repetition`` (intra-doc) and the
+    pairwise dedup family (which names the partner; this scores the
+    doc without materializing pairs).
+
+    Scale: explode to positional shingles, one vocabulary-bounded
+    partial-aggregating groupBy for the doc-frequency table, one
+    shuffle join back on the shingle key, one per-doc aggregate.  No
+    pair enumeration anywhere, so cost is O(corpus tokens), not
+    O(pairs) -- the reason this stat is computable at 100 TB when
+    exact all-pairs Jaccard is not."""
+    pos = _shingles(_docs(spark, sf_dir), distinct=False)
+    docs_with = pos.groupBy("shingle").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    dup = F.when(F.col("n_docs") >= 2, 1).otherwise(0)
+    return (
+        pos.join(docs_with, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(dup).cast("bigint").alias("n_dup"),
+            F.round(
+                F.sum(dup).cast("double") / F.count("*"), 4
+            ).alias("dup_fraction"),
+        )
+    )

@@ -1039,3 +1039,87 @@ def funnel_conversion_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("delay_us").cast("bigint").alias("min_us"),
         F.max("delay_us").cast("bigint").alias("max_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing (bounded exponentially-weighted moving average)
+# ---------------------------------------------------------------------------
+_EWMA_DECAY = 0.7  # (1 - alpha); per-step weight multiplier
+_EWMA_K = 8  # window length (weights below decay^K are truncated)
+
+
+@query(
+    "events_ewma",
+    oracle=f"""
+    WITH r AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT a.user_id, a.event_id,
+           round(a.value, 4) AS value,
+           round(sum(power({_EWMA_DECAY}, a.rn - b.rn) * b.value)
+                 / sum(power({_EWMA_DECAY}, a.rn - b.rn)), 4) AS ewma
+    FROM r a JOIN r b
+      ON b.user_id = a.user_id
+     AND b.rn BETWEEN a.rn - {_EWMA_K - 1} AND a.rn
+    GROUP BY a.user_id, a.event_id, a.value
+    """,
+)
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of the event
+    value: weight decay^d for the reading d steps back, truncated at
+    {k} steps (weights past that are < decay^{k} of the newest --
+    numerically negligible), normalized by the realized weight mass
+    so early rows with short histories are unbiased.
+
+    EWMA's recursive form (s_t = a*x_t + (1-a)*s_t-1) is an
+    order-dependent scan that neither engine's window algebra
+    expresses; the bounded form used here is the standard distributed
+    rewrite: a band self-join on the per-user row_number (an
+    equi-join on user_id plus a length-{k} range predicate), then one
+    grouped weighted sum.  Fan-out is a fixed {k}x, so cost stays
+    O(k * events) at any scale; both the row_number window and the
+    join shuffle on user_id, and AQE coalesces the tiny tail
+    partitions."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = e.select(
+        "user_id", "event_id", "value", F.row_number().over(w).alias("rn")
+    )
+    a = r.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.col("rn").alias("rn_a"),
+    )
+    b = r.select(
+        F.col("user_id").alias("b_user"),
+        F.col("rn").alias("rn_b"),
+        F.col("value").alias("b_value"),
+    )
+    weight = F.pow(F.lit(_EWMA_DECAY), F.col("rn_a") - F.col("rn_b"))
+    return (
+        a.join(
+            b,
+            (F.col("b_user") == F.col("user_id"))
+            & (F.col("rn_b") >= F.col("rn_a") - (_EWMA_K - 1))
+            & (F.col("rn_b") <= F.col("rn_a")),
+        )
+        .groupBy("user_id", "event_id", "value")
+        .agg(
+            F.round(
+                F.sum(weight * F.col("b_value")) / F.sum(weight), 4
+            ).alias("ewma")
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.round("value", 4).alias("value"),
+            "ewma",
+        )
+    )
+
+
+events_ewma.__doc__ = events_ewma.__doc__.format(k=_EWMA_K)

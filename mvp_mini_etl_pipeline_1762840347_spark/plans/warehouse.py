@@ -649,3 +649,77 @@ def frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 frequent_pairs.__doc__ = frequent_pairs.__doc__.format(_FP_TOP=_FP_TOP)
+
+
+# ---------------------------------------------------------------------------
+# CDC snapshot diff (change-data-capture delta between two table versions)
+# ---------------------------------------------------------------------------
+@query(
+    "cdc_snapshot_diff",
+    oracle="""
+    WITH old_snap AS (
+      SELECT o_orderkey, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 13 != 0
+    ),
+    new_snap AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderstatus = 'O'
+                  THEN round(o_totalprice * 1.01, 2)
+                  ELSE o_totalprice END AS price
+      FROM orders WHERE o_orderkey % 19 != 0
+    )
+    SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END               AS change_type,
+           round(o.price, 2)                    AS old_price,
+           round(n.price, 2)                    AS new_price
+    FROM old_snap o FULL OUTER JOIN new_snap n USING (o_orderkey)
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+          OR o.price != n.price
+    """,
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture delta between two snapshots of the same
+    table: full-outer join on the key, classify each row as
+    insert / delete / update, and emit only the changed rows -- the
+    feed an incremental materialized view or downstream MERGE
+    consumes.  (The reference's closest analogue is its full-refresh
+    fetch; this is the incremental replacement.)  Snapshots are
+    derived deterministically from `orders`: keys %13==0 are missing
+    from the old version (inserts), keys %19==0 are missing from the
+    new (deletes), and open orders are repriced +1% (updates);
+    unchanged rows are filtered out pre-emission.
+
+    Scale: one shuffle each side on the join key, then a sort-merge
+    full-outer join -- with both snapshots bucketed by key on disk
+    the shuffles disappear entirely.  The changed-rows filter runs
+    join-side, so only the delta leaves the stage (CDC output is
+    proportional to change volume, not table size)."""
+    orders = read_table(spark, sf_dir, "orders")
+    old_snap = orders.filter(F.col("o_orderkey") % 13 != 0).select(
+        "o_orderkey", F.col("o_totalprice").alias("price_old")
+    )
+    new_snap = orders.filter(F.col("o_orderkey") % 19 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderstatus") == "O",
+            F.round(F.col("o_totalprice") * 1.01, 2),
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("price_new"),
+    )
+    joined = old_snap.join(new_snap, "o_orderkey", "full_outer")
+    return joined.filter(
+        F.col("price_old").isNull()
+        | F.col("price_new").isNull()
+        | (F.col("price_old") != F.col("price_new"))
+    ).select(
+        "o_orderkey",
+        F.when(F.col("price_old").isNull(), "insert")
+        .when(F.col("price_new").isNull(), "delete")
+        .otherwise("update")
+        .alias("change_type"),
+        F.round("price_old", 2).alias("old_price"),
+        F.round("price_new", 2).alias("new_price"),
+    )
