@@ -158,3 +158,208 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("has_pii"),
         "redacted_md5",
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality classifier (broadcast linear model + sigmoid)
+# ---------------------------------------------------------------------------
+_QC_STOP_SQL = ", ".join(
+    f"'{w}'"
+    for w in ("the", "a", "of", "and", "to", "in", "is", "on", "for")
+)
+_QC_STOPS = ("the", "a", "of", "and", "to", "in", "is", "on", "for")
+# Fixed logistic-model weights: intercept, stop_ratio, mean_tok_len, ttr.
+_QC_W = (-2.0, 6.0, 0.3, 1.5)
+_QC_THRESH = 0.6
+
+
+@query(
+    "quality_classifier",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             round(CAST(len(list_filter(toks,
+                     x -> x IN ({_QC_STOP_SQL}))) AS DOUBLE)
+                   / len(toks), 4)                       AS stop_ratio,
+             round(CAST(list_sum(list_transform(toks, x -> len(x)))
+                        AS DOUBLE) / len(toks), 4)        AS mean_tok_len,
+             round(CAST(len(list_distinct(toks)) AS DOUBLE)
+                   / len(toks), 4)                        AS ttr
+      FROM t WHERE len(toks) > 0
+    ),
+    scored AS (
+      SELECT doc_id, n_tokens, stop_ratio, mean_tok_len, ttr,
+             round(1.0 / (1.0 + exp(-({_QC_W[0]} + {_QC_W[1]} * stop_ratio
+                   + {_QC_W[2]} * mean_tok_len + {_QC_W[3]} * ttr))), 4)
+               AS score
+      FROM feat
+    )
+    SELECT doc_id, n_tokens, stop_ratio, mean_tok_len, ttr, score,
+           CASE WHEN score >= {_QC_THRESH} THEN 'keep' ELSE 'drop' END
+             AS label
+    FROM scored
+    """,
+)
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter: featurize every document (stopword
+    ratio, mean token length, type-token ratio), apply a FIXED
+    logistic model (the broadcast-small-model pattern -- in
+    production the weights come from a trained fastText/LR quality
+    classifier; here they are constants so the oracle can restate
+    them), and emit the per-doc keep/drop decision plus the score the
+    curriculum samplers consume.  Features are rounded to 4 decimals
+    BEFORE entering the linear form so both engines score identical
+    inputs (kills cross-engine float drift at the decision boundary).
+
+    Scale: narrow per-row projection -- tokenization, the three
+    array folds, and the sigmoid all run inside whole-stage codegen
+    with zero shuffles; the 'model' is a constant expression, the
+    degenerate (and fastest) case of a broadcast join.  This is the
+    exact shape a learned-classifier scoring pass has at 100 TB:
+    scan-bound, embarrassingly parallel."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    staged = d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda x: x.isin(*_QC_STOPS))).alias("n_stop"),
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x)),
+            F.lit(0),
+            lambda acc, t: acc + t,
+        ).alias("sum_len"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    ).filter(F.col("n_tokens") > 0)
+    feat = staged.select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            F.col("n_stop").cast("double") / F.col("n_tokens"), 4
+        ).alias("stop_ratio"),
+        F.round(
+            F.col("sum_len").cast("double") / F.col("n_tokens"), 4
+        ).alias("mean_tok_len"),
+        F.round(
+            F.col("n_distinct").cast("double") / F.col("n_tokens"), 4
+        ).alias("ttr"),
+    )
+    z = (
+        F.lit(_QC_W[0])
+        + F.lit(_QC_W[1]) * F.col("stop_ratio")
+        + F.lit(_QC_W[2]) * F.col("mean_tok_len")
+        + F.lit(_QC_W[3]) * F.col("ttr")
+    )
+    scored = feat.withColumn(
+        "score", F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4)
+    )
+    return scored.withColumn(
+        "label",
+        F.when(F.col("score") >= _QC_THRESH, "keep").otherwise("drop"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Importance resampling (DSIR-style: target-vs-corpus unigram LM ratio)
+# ---------------------------------------------------------------------------
+_IMP_TARGET_LANG = "en"
+_IMP_N = 120  # docs selected
+
+
+@query(
+    "sample_importance",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split_regex(lower(text), '\\s+'))
+               AS tok
+      FROM documents
+    ),
+    counts AS (
+      SELECT tok,
+             count(*) AS c_all,
+             CAST(sum(CASE WHEN lang = '{_IMP_TARGET_LANG}'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c_tgt
+      FROM tok GROUP BY tok
+    ),
+    totals AS (
+      SELECT CAST(sum(c_all) AS BIGINT) AS n_all,
+             CAST(sum(c_tgt) AS BIGINT) AS n_tgt,
+             count(*)                   AS v
+      FROM counts
+    ),
+    weighted AS (
+      SELECT t.doc_id, t.lang,
+             count(*) AS n_tokens,
+             round(avg(ln(((c.c_tgt + 1.0) / (tt.n_tgt + tt.v))
+                        / ((c.c_all + 1.0) / (tt.n_all + tt.v)))), 4)
+               AS avg_log_ratio
+      FROM tok t JOIN counts c USING (tok) CROSS JOIN totals tt
+      GROUP BY t.doc_id, t.lang
+    )
+    SELECT doc_id, lang, n_tokens, avg_log_ratio
+    FROM weighted
+    ORDER BY round(avg_log_ratio, 6) DESC, doc_id
+    LIMIT {_IMP_N}
+    """,
+)
+def sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-selection-by-importance-resampling (DSIR-style): score
+    every document by the mean per-token log-likelihood ratio of a
+    TARGET unigram LM (add-one-smoothed, built from the '{lang}'
+    slice) against the full-corpus unigram LM, then keep the top
+    {n} documents -- the cheap importance sampler that skews a
+    pretraining mixture toward a target domain without a learned
+    classifier.
+
+    Scale: one vocabulary-bounded token-count aggregate serves BOTH
+    language models (the target count rides along as a conditional
+    sum, so the corpus is scanned once); the count table and the
+    1-row totals broadcast back onto the exploded tokens; per-doc
+    scoring is one grouped average; selection is a TakeOrdered
+    (per-partition top-{n} then merge -- no global sort, no
+    unpartitioned window).  Ordering is on the 6-decimal-rounded
+    score with doc_id tiebreak, so the cut is engine-deterministic."""
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
+    )
+    counts = tok.groupBy("tok").agg(
+        F.count("*").alias("c_all"),
+        F.sum(
+            F.when(F.col("lang") == _IMP_TARGET_LANG, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("c_tgt"),
+    )
+    totals = counts.agg(
+        F.sum("c_all").cast("bigint").alias("n_all"),
+        F.sum("c_tgt").cast("bigint").alias("n_tgt"),
+        F.count("*").alias("v"),
+    )
+    ratio = F.log(
+        ((F.col("c_tgt") + 1.0) / (F.col("n_tgt") + F.col("v")))
+        / ((F.col("c_all") + 1.0) / (F.col("n_all") + F.col("v")))
+    )
+    weighted = (
+        tok.join(F.broadcast(counts), "tok")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(ratio), 4).alias("avg_log_ratio"),
+        )
+    )
+    return weighted.orderBy(
+        F.round(F.col("avg_log_ratio"), 6).desc(), "doc_id"
+    ).limit(_IMP_N)
+
+
+sample_importance.__doc__ = sample_importance.__doc__.format(
+    lang=_IMP_TARGET_LANG, n=_IMP_N
+)

@@ -1134,3 +1134,211 @@ def similarity_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 similarity_recall.__doc__ = similarity_recall.__doc__.format(
     k=_RECALL_K, bits=BUCKET_BITS, nq=_RECALL_NQ
 )
+
+
+# ---------------------------------------------------------------------------
+# PQ ADC search (asymmetric-distance top-k over the compressed corpus)
+# ---------------------------------------------------------------------------
+_ADC_NQ = 8  # query vectors (vec_id < _ADC_NQ)
+_ADC_K = 5  # results per query
+
+
+@query(
+    "pq_adc_search",
+    oracle=rf"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    sub AS (
+      SELECT v.vec_id, s.s,
+             v.e[s.s * {_PQ_SUBDIM} + 1 : (s.s + 1) * {_PQ_SUBDIM}] AS x
+      FROM v CROSS JOIN (SELECT unnest(range({_PQ_SUBS})) AS s) s
+    ),
+    seeds AS (
+      SELECT s, vec_id AS code, x AS c FROM sub WHERE vec_id < {_PQ_CODES}
+    ),
+    assigned AS (
+      SELECT sub.vec_id, sub.s, sub.x,
+             min_by(seeds.code,
+                    CAST(round(list_sum(list_transform(range(1, {_PQ_SUBDIM + 1}),
+                       i -> (sub.x[i] - seeds.c[i]) * (sub.x[i] - seeds.c[i])))
+                       * 10000, 0) AS BIGINT) * 1000 + seeds.code) AS code
+      FROM sub JOIN seeds ON sub.s = seeds.s
+      GROUP BY sub.vec_id, sub.s, sub.x
+    ),
+    cb AS (
+      SELECT s, code, list(cv ORDER BY pos) AS c FROM (
+        SELECT s, code, p.pos, round(avg(x[p.pos]), 6) AS cv
+        FROM assigned
+        CROSS JOIN (SELECT unnest(range(1, {_PQ_SUBDIM + 1})) AS pos) p
+        GROUP BY s, code, p.pos
+      ) GROUP BY s, code
+    ),
+    enc AS (
+      SELECT sub.vec_id, sub.s,
+             min_by(cb.code,
+                    CAST(round(list_sum(list_transform(range(1, {_PQ_SUBDIM + 1}),
+                       i -> (sub.x[i] - cb.c[i]) * (sub.x[i] - cb.c[i])))
+                       * 10000, 0) AS BIGINT) * 1000 + cb.code) AS code
+      FROM sub JOIN cb ON sub.s = cb.s
+      GROUP BY sub.vec_id, sub.s
+    ),
+    lut AS (
+      SELECT q.vec_id AS q_id, cb.s, cb.code,
+             round(list_sum(list_transform(range(1, {_PQ_SUBDIM + 1}),
+                   i -> (q.x[i] - cb.c[i]) * (q.x[i] - cb.c[i]))), 6) AS sq
+      FROM sub q JOIN cb ON q.s = cb.s
+      WHERE q.vec_id < {_ADC_NQ}
+    ),
+    approx AS (
+      SELECT l.q_id, enc.vec_id, sum(l.sq) AS adc
+      FROM enc JOIN lut l ON l.s = enc.s AND l.code = enc.code
+      GROUP BY l.q_id, enc.vec_id
+    ),
+    ranked AS (
+      SELECT q_id, vec_id, adc,
+             row_number() OVER (PARTITION BY q_id ORDER BY
+               CAST(round(adc * 10000, 0) AS BIGINT) * 100000000 + vec_id)
+               AS rank
+      FROM approx
+    )
+    SELECT r.q_id, r.rank, r.vec_id,
+           round(r.adc, 4) AS adc_sq_dist,
+           round(list_sum(list_transform(range(1, {_JL_IN + 1}),
+                 i -> (qv.e[i] - cv.e[i]) * (qv.e[i] - cv.e[i]))), 4)
+             AS exact_sq_dist
+    FROM ranked r
+    JOIN v qv ON qv.vec_id = r.q_id
+    JOIN v cv ON cv.vec_id = r.vec_id
+    WHERE r.rank <= {_ADC_K}
+    """,
+)
+def pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC (asymmetric distance computation) top-k search -- the
+    serving step that completes the IVF-PQ pipeline after
+    pq_codebooks (train) and pq_encode (compress): each query builds
+    a tiny {subs}x{codes} lookup table of squared L2 distances from
+    its subvectors to every trained centroid, the approximate
+    distance to a compressed corpus vector is then just the SUM of
+    {subs} table lookups selected by the vector's stored codes (the
+    corpus's raw floats are never touched), and the top-{k} per query
+    are re-ranked against the exact vectors.  Emitting both the ADC
+    and exact distances per hit is what one monitors to size the
+    re-rank depth.
+
+    Plan shape: the per-query LUT is NQ x {subs} x {codes} rows --
+    broadcast; the scan side is the CODES table ({subs} small ints
+    per vector, ~{subs} bytes vs {din} floats = the whole point of
+    PQ), joined to the LUT with zero shuffle and summed per
+    (query, vector); only (q_id, vec_id, dist) tuples reach the
+    per-query top-k (rank key = quantized distance packed with
+    vec_id, so the argmin and tiebreak are engine-independent); the
+    exact re-rank touches NQ x {k} raw vectors, not the corpus.  At
+    100 TB the full-precision embeddings stay cold on disk -- ADC
+    reads ~{subs} bytes/vector, which is why PQ serving scales."""
+    v = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("e")
+    )
+    sub = v.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_PQ_SUBS - 1))).alias("s"),
+        "e",
+    ).select(
+        "vec_id",
+        "s",
+        F.slice(F.col("e"), F.col("s") * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("x"),
+    )
+    seeds = sub.filter(F.col("vec_id") < _PQ_CODES).select(
+        F.col("s").alias("c_s"),
+        F.col("vec_id").alias("code"),
+        F.col("x").alias("c"),
+    )
+
+    def _l2(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    def _key(dist: Column, code: Column) -> Column:
+        return F.round(dist * 10000, 0).cast("bigint") * 1000 + code
+
+    assigned = (
+        sub.join(F.broadcast(seeds), sub.s == seeds.c_s)
+        .groupBy("vec_id", "s", "x")
+        .agg(
+            F.min_by("code", _key(_l2(F.col("x"), F.col("c")), F.col("code"))).alias(
+                "code"
+            )
+        )
+    )
+    cb = (
+        assigned.select("s", "code", F.posexplode("x").alias("pos", "val"))
+        .withColumn("pos", F.col("pos") + 1)
+        .groupBy("s", "code", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("cv"))
+        .groupBy(F.col("s").alias("c_s"), "code")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                lambda t: t.cv,
+            ).alias("c")
+        )
+    )
+    enc = (
+        sub.join(F.broadcast(cb), sub.s == cb.c_s)
+        .groupBy("vec_id", "s")
+        .agg(
+            F.min_by(
+                "code", _key(_l2(F.col("x"), F.col("c")), F.col("code"))
+            ).alias("code")
+        )
+    )
+    lut = (
+        sub.filter(F.col("vec_id") < _ADC_NQ)
+        .join(F.broadcast(cb), F.col("s") == cb.c_s)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("s").alias("l_s"),
+            F.col("code").alias("l_code"),
+            F.round(_l2(F.col("x"), F.col("c")), 6).alias("sq"),
+        )
+    )
+    approx = (
+        enc.join(
+            F.broadcast(lut),
+            (F.col("s") == F.col("l_s")) & (F.col("code") == F.col("l_code")),
+        )
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("sq").alias("adc"))
+    )
+    rank_key = (
+        F.round(F.col("adc") * 10000, 0).cast("bigint") * 100000000
+        + F.col("vec_id")
+    )
+    ranked = approx.select(
+        "q_id",
+        "vec_id",
+        "adc",
+        F.row_number()
+        .over(Window.partitionBy("q_id").orderBy(rank_key))
+        .alias("rank"),
+    ).filter(F.col("rank") <= _ADC_K)
+    qv = v.filter(F.col("vec_id") < _ADC_NQ).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe")
+    )
+    return (
+        ranked.join(v, "vec_id")
+        .join(F.broadcast(qv), "q_id")
+        .select(
+            "q_id",
+            "rank",
+            "vec_id",
+            F.round("adc", 4).alias("adc_sq_dist"),
+            F.round(_l2(F.col("qe"), F.col("e")), 4).alias("exact_sq_dist"),
+        )
+    )
+
+
+pq_adc_search.__doc__ = pq_adc_search.__doc__.format(
+    subs=_PQ_SUBS, codes=_PQ_CODES, din=_JL_IN, k=_ADC_K
+)
