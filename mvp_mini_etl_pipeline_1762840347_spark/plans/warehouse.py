@@ -664,7 +664,7 @@ frequent_pairs.__doc__ = frequent_pairs.__doc__.format(_FP_TOP=_FP_TOP)
     new_snap AS (
       SELECT o_orderkey,
              CASE WHEN o_orderstatus = 'O'
-                  THEN round(o_totalprice * 1.01, 2)
+                  THEN round(o_totalprice + 10.0, 2)
                   ELSE o_totalprice END AS price
       FROM orders WHERE o_orderkey % 19 != 0
     )
@@ -688,7 +688,8 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     fetch; this is the incremental replacement.)  Snapshots are
     derived deterministically from `orders`: keys %13==0 are missing
     from the old version (inserts), keys %19==0 are missing from the
-    new (deletes), and open orders are repriced +1% (updates);
+    new (deletes), and open orders get a flat +10.00 surcharge (updates --
+    additive so the reprice is float-exact in any engine);
     unchanged rows are filtered out pre-emission.
 
     Scale: one shuffle each side on the join key, then a sort-merge
@@ -704,7 +705,7 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.when(
             F.col("o_orderstatus") == "O",
-            F.round(F.col("o_totalprice") * 1.01, 2),
+            F.round(F.col("o_totalprice") + 10.0, 2),
         )
         .otherwise(F.col("o_totalprice"))
         .alias("price_new"),
