@@ -900,3 +900,93 @@ def dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_fraction"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style: k-means cluster-scoped embedding pairs)
+# ---------------------------------------------------------------------------
+_SEM_K = 8  # clusters (reuses the kmeans seed discipline)
+_SEM_THRESHOLD = 0.40  # within-cluster cosine at/above which b is a dup
+
+
+@query(
+    "dedup_semantic",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cent0 AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {_SEM_K}),
+    a AS (
+      SELECT vec_id, e, cid AS cluster FROM (
+        SELECT v.vec_id, v.e, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY round(list_dot_product(v.e, c.ce)
+                   / sqrt(list_dot_product(v.e, v.e)
+                          * list_dot_product(c.ce, c.ce)), 4) DESC,
+                   c.cid) AS rnk
+        FROM v CROSS JOIN cent0 c
+      ) WHERE rnk = 1
+    )
+    SELECT a1.cluster, a1.vec_id AS vec_a, a2.vec_id AS vec_b,
+           round(list_dot_product(a1.e, a2.e)
+             / sqrt(list_dot_product(a1.e, a1.e)
+                    * list_dot_product(a2.e, a2.e)), 4) AS cos_sim,
+           a2.vec_id AS drop_vec
+    FROM a a1 JOIN a a2
+      ON a1.cluster = a2.cluster AND a1.vec_id < a2.vec_id
+    WHERE round(list_dot_product(a1.e, a2.e)
+            / sqrt(list_dot_product(a1.e, a1.e)
+                   * list_dot_product(a2.e, a2.e)), 4)
+          >= {_SEM_THRESHOLD}
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the embedding
+    space with k-means (deterministic seed assignment -- the same
+    broadcast-argmax pass as kmeans_2iter's first iteration), then
+    enumerate near-duplicate pairs ONLY within each cluster (cosine
+    >= {thr}) and mark the higher-id vector of each pair as the drop
+    -- the keep-one-representative policy.  Unlike the LSH family
+    (dedup_embedding_cosine), which buckets on sign sketches of the
+    raw vectors, semantic dedup groups by LEARNED structure, catching
+    paraphrase-level duplicates whose surface vectors land in
+    different LSH buckets.
+
+    Scale: assignment is a zero-shuffle broadcast argmax over the
+    corpus; the pair join shuffles once on the cluster key, and the
+    quadratic term is confined to single clusters -- the SemDeDup
+    design point is that K grows with the corpus so per-cluster
+    population (and thus pair count) stays bounded, turning an
+    intractable all-pairs problem into per-cluster work that
+    parallelizes across the cluster key.  No global cross join
+    anywhere."""
+    from .similarity import _km_assign, _km_seed, _km_vectors, cosine
+
+    v = _km_vectors(spark, sf_dir)
+    assigned = _km_assign(v, _km_seed(v))
+    a1 = assigned.select(
+        "cluster", F.col("vec_id").alias("vec_a"), F.col("e").alias("e_a")
+    )
+    a2 = assigned.select(
+        F.col("cluster").alias("cl_b"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("e").alias("e_b"),
+    )
+    cos = F.round(cosine(F.col("e_a"), F.col("e_b")), 4)
+    return (
+        a1.join(
+            a2,
+            (F.col("cluster") == F.col("cl_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .filter(cos >= _SEM_THRESHOLD)
+        .select(
+            "cluster",
+            "vec_a",
+            "vec_b",
+            cos.alias("cos_sim"),
+            F.col("vec_b").alias("drop_vec"),
+        )
+    )
+
+
+dedup_semantic.__doc__ = dedup_semantic.__doc__.format(thr=_SEM_THRESHOLD)

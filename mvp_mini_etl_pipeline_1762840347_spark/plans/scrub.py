@@ -363,3 +363,79 @@ def sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 sample_importance.__doc__ = sample_importance.__doc__.format(
     lang=_IMP_TARGET_LANG, n=_IMP_N
 )
+
+
+# ---------------------------------------------------------------------------
+# Shared hygiene core (batch + streaming twins consume the same frame)
+# ---------------------------------------------------------------------------
+def hygiene_frame(docs: DataFrame) -> DataFrame:
+    """One-pass corpus-hygiene transform over (doc_id, text) rows:
+    PII detection counts (emails / phones / IPs on the text AS GIVEN
+    -- no injection here), the quality-classifier features + sigmoid
+    score, and the combined admission decision
+    (``admit`` = classifier says keep AND no PII found).
+
+    Stateless and narrow (zero shuffles, no watermark state), so the
+    SAME function serves the batch queries and the Structured
+    Streaming ingest twin (streaming/jobs.py::hygiene_stream) --
+    the per-document hygiene gate a landing-zone pipeline applies
+    before anything enters the corpus."""
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    n_emails = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(_RE_EMAIL), F.lit(0))
+    )
+    n_phones = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(_RE_PHONE), F.lit(0))
+    )
+    n_ips = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(_RE_IP), F.lit(0))
+    )
+    staged = docs.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        n_ips.alias("n_ips"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda x: x.isin(*_QC_STOPS))).alias("n_stop"),
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x)),
+            F.lit(0),
+            lambda acc, t: acc + t,
+        ).alias("sum_len"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    ).filter(F.col("n_tokens") > 0)
+    feat = staged.select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        "n_ips",
+        "n_tokens",
+        F.round(
+            F.col("n_stop").cast("double") / F.col("n_tokens"), 4
+        ).alias("stop_ratio"),
+        F.round(
+            F.col("sum_len").cast("double") / F.col("n_tokens"), 4
+        ).alias("mean_tok_len"),
+        F.round(
+            F.col("n_distinct").cast("double") / F.col("n_tokens"), 4
+        ).alias("ttr"),
+    )
+    z = (
+        F.lit(_QC_W[0])
+        + F.lit(_QC_W[1]) * F.col("stop_ratio")
+        + F.lit(_QC_W[2]) * F.col("mean_tok_len")
+        + F.lit(_QC_W[3]) * F.col("ttr")
+    )
+    scored = feat.select(
+        "*",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4).alias("score"),
+        (
+            (F.col("n_emails") + F.col("n_phones") + F.col("n_ips")) > 0
+        ).alias("has_pii"),
+    )
+    return scored.select(
+        "*",
+        (
+            (F.col("score") >= _QC_THRESH) & ~F.col("has_pii")
+        ).alias("admit"),
+    )

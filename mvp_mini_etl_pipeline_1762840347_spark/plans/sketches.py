@@ -1418,3 +1418,109 @@ def sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
 sketch_kmv_intersection.__doc__ = sketch_kmv_intersection.__doc__.format(
     k=_KMV_K
 )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-pruned join (sideways information passing / semi-join pushdown)
+# ---------------------------------------------------------------------------
+_BJ_SEGMENT = "BUILDING"
+_BJ_WORD = 32  # bits per packed word (stays positive in any engine)
+
+
+@query(
+    "join_bloom_pruned",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           count(*)                    AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE c.c_mktsegment = '{_BJ_SEGMENT}'
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned join -- sideways information passing: build a
+    {m}-bit Bloom filter ({k} hashes, packed into {word}-bit words
+    keyed by word index) from the SELECTIVE dim side (customers in
+    the '{seg}' segment), broadcast it as one map row, and pre-filter
+    the fact scan with the might-contain test BEFORE any join; the
+    final equi-join then removes Bloom false positives, so the result
+    is byte-identical to the plain join the oracle states.  The
+    mechanism under test is exactly what engines call a runtime/Bloom
+    join filter (Spark's spark.sql.optimizer.runtime.bloomFilter) --
+    built here from first principles so the pruning is explicit,
+    portable, and plan-pinnable.
+
+    Scale: this is THE pattern that rescues selective fact-dim joins
+    at 100 TB -- the filter costs O(|dim|) bit-sets plus a ~{m}-bit
+    broadcast, and discards non-matching fact rows AT THE SCAN (map
+    side, inside codegen), so the shuffle/join sees only rows that
+    can match (false-positive rate ~0.6%% per probe at these
+    parameters) instead of the full fact table.  The dim side is
+    broadcast for the verifying join; only surviving rows ever leave
+    the scan stage."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    dim = cust.filter(F.col("c_mktsegment") == _BJ_SEGMENT).select(
+        "c_custkey"
+    )
+
+    def _pos(j: int, key: Column) -> Column:
+        return (
+            _h60(
+                F.concat(
+                    F.lit(str(j)), F.lit("_"), key.cast("string")
+                )
+            )
+            % _BLOOM_M
+        )
+
+    # Pack dim-key bit positions into 32-bit words: (word_idx, bits).
+    pos_rows = dim.select(
+        F.explode(
+            F.array(
+                *[_pos(j, F.col("c_custkey")).alias("p") for j in range(_BLOOM_K)]
+            )
+        ).alias("pos")
+    )
+    words = pos_rows.groupBy(
+        (F.col("pos") / _BJ_WORD).cast("bigint").alias("w")
+    ).agg(
+        F.bit_or(
+            F.pow(F.lit(2.0), (F.col("pos") % _BJ_WORD)).cast("bigint")
+        ).alias("bits")
+    )
+    bloom = words.agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("w", "bits")))
+        ).alias("bloom")
+    )
+
+    def _hit(j: int) -> Column:
+        p = _pos(j, F.col("o_custkey"))
+        word = F.coalesce(
+            F.element_at(F.col("bloom"), (p / _BJ_WORD).cast("bigint")),
+            F.lit(0).cast("bigint"),
+        )
+        mask = F.pow(F.lit(2.0), (p % _BJ_WORD)).cast("bigint")
+        return word.bitwiseAND(mask) != 0
+
+    might_contain = _hit(0)
+    for j in range(1, _BLOOM_K):
+        might_contain = might_contain & _hit(j)
+
+    pruned = orders.join(F.broadcast(bloom)).filter(might_contain)
+    return (
+        pruned.join(F.broadcast(dim), pruned.o_custkey == dim.c_custkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+join_bloom_pruned.__doc__ = join_bloom_pruned.__doc__.format(
+    m=_BLOOM_M, k=_BLOOM_K, word=_BJ_WORD, seg=_BJ_SEGMENT
+)

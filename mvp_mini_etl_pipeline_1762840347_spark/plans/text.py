@@ -826,3 +826,85 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 text_bm25_search.__doc__ = text_bm25_search.__doc__.format(
     terms=_BM25_TERMS, k1=_BM25_K1, b=_BM25_B, top=_BM25_TOP
 )
+
+
+# ---------------------------------------------------------------------------
+# BPE training step (adjacent-pair counting + merge selection)
+# ---------------------------------------------------------------------------
+_BPE_TOP = 20
+
+
+@query(
+    "bpe_merge_step",
+    oracle=f"""
+    WITH w AS (
+      SELECT tok AS word, count(*) AS wc FROM (
+        SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok
+        FROM documents
+      ) WHERE length(tok) >= 2
+      GROUP BY tok
+    ),
+    pairs AS (
+      SELECT word, wc,
+             unnest(list_transform(range(1, length(word)),
+                    i -> substring(word, i, 2))) AS pair
+      FROM w
+    )
+    SELECT pair,
+           CAST(sum(wc) AS BIGINT) AS pair_count,
+           count(DISTINCT word)    AS n_words
+    FROM pairs
+    GROUP BY pair
+    ORDER BY pair_count DESC, pair
+    LIMIT {_BPE_TOP}
+    """,
+)
+def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training iteration, the distributed way: count every
+    adjacent character pair across the corpus weighted by word
+    frequency and emit the top {top} merge candidates (the head of
+    this list IS the next merge rule a byte-pair-encoding tokenizer
+    would adopt).  Counting pairs over the word-frequency table
+    instead of raw text is the classic BPE trick -- the corpus
+    collapses to its vocabulary before any quadratic-ish character
+    work happens.
+
+    Scale: the word-count aggregate is vocabulary-bounded (partial
+    agg eats the corpus volume map-side); the pair fan-out runs over
+    VOCAB rows, not corpus rows, so its cost is independent of corpus
+    size; selection is a TakeOrdered on (count, pair) -- unique,
+    hence engine-deterministic -- with no global sort.  This is why
+    real tokenizer training over 100 TB is feasible: every iteration
+    is O(vocab), and only the initial word count ever sees the
+    data."""
+    d = read_table(spark, sf_dir, "documents")
+    w = (
+        d.select(
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word")
+        )
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count("*").alias("wc"))
+    )
+    pairs = w.select(
+        "word",
+        "wc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("wc").cast("bigint").alias("pair_count"),
+            F.countDistinct("word").alias("n_words"),
+        )
+        .orderBy(F.col("pair_count").desc(), "pair")
+        .limit(_BPE_TOP)
+    )
+
+
+bpe_merge_step.__doc__ = bpe_merge_step.__doc__.format(top=_BPE_TOP)

@@ -1015,3 +1015,19 @@ def scd2_stream(
         .option("checkpointLocation", dim_path + "_chk")
         .start()
     )
+
+
+def hygiene_stream(docs: DataFrame) -> DataFrame:
+    """Streaming corpus-hygiene gate: the per-document PII counts,
+    quality score, and admit decision applied to a landing-zone
+    document stream.  Entirely stateless (narrow projections only --
+    plans/scrub.py::hygiene_frame), so it runs in append mode with no
+    watermark, no state store, and exactly the batch semantics: the
+    streaming output over any landing set equals the batch frame over
+    the same rows (parity-tested).  This is the shape to put FIRST in
+    a streaming ingest DAG -- rejecting PII/low-quality docs at the
+    landing edge keeps every downstream stateful stage (dedup, index
+    maintenance) smaller."""
+    from ..plans.scrub import hygiene_frame
+
+    return hygiene_frame(docs)

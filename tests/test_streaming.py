@@ -896,3 +896,48 @@ def test_scd2_stream_end_to_end(spark, sf_dir, tmp_path_factory):
         .collect()
     }
     assert cur == want
+
+
+def test_hygiene_stream_matches_batch(spark, sf_dir, tmp_path_factory):
+    """The streaming hygiene gate is stateless, so its output over a
+    landing set must equal the batch hygiene_frame over the same rows
+    -- including nonzero PII detections (the landing fixture injects
+    the deterministic dirty strings)."""
+    from mvp_mini_etl_pipeline_1762840347_spark.io import read_table
+    from mvp_mini_etl_pipeline_1762840347_spark.plans.scrub import (
+        _dirty_col,
+        hygiene_frame,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        _dirty_col().alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    landing = str(tmp_path_factory.mktemp("hygiene") / "landing")
+    docs.write.parquet(landing)
+
+    q = jobs.run_to_memory(
+        jobs.hygiene_stream(jobs.stream_documents(spark, landing)),
+        "hygiene_out",
+    )
+    try:
+        got = {
+            r.doc_id: (r.n_emails, r.n_phones, r.n_ips, r.score, r.admit)
+            for r in spark.sql("SELECT * FROM hygiene_out").collect()
+        }
+    finally:
+        q.stop()
+
+    want = {
+        r.doc_id: (r.n_emails, r.n_phones, r.n_ips, r.score, r.admit)
+        for r in hygiene_frame(docs).collect()
+    }
+    assert got == want
+    assert any(v[0] or v[1] or v[2] for v in got.values()), (
+        "fixture injected no PII"
+    )
+    assert any(not v[4] for v in got.values()), "nothing rejected"
+    assert any(v[4] for v in got.values()), "everything rejected"
