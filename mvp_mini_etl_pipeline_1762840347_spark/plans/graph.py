@@ -370,3 +370,187 @@ def dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("tokens_dropped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Co-purchase graph: degree distribution + degree-oriented triangle count
+# ---------------------------------------------------------------------------
+_COP_SUPPORT = 2  # min co-occurrence count for an edge
+_TRI_TOP = 20
+
+# Undirected co-purchase edges: parts appearing in the same order at
+# least _COP_SUPPORT times (pa < pb canonical form).
+_COP_EDGES_SQL = f"""
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+      JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= {_COP_SUPPORT}
+"""
+
+
+def _cop_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(pa, pb) undirected co-purchase edges, pa < pb.  The per-order
+    pair fan-out is bounded by order size (small constant), so edge
+    generation is O(orders), never O(parts^2)."""
+    from ..io import read_table
+
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("pb")
+    )
+    return (
+        li.join(
+            b,
+            (F.col("l_orderkey") == F.col("o2"))
+            & (F.col("l_partkey") < F.col("pb")),
+        )
+        .groupBy(F.col("l_partkey").alias("pa"), "pb")
+        .agg(F.count("*").alias("sup"))
+        .filter(F.col("sup") >= _COP_SUPPORT)
+        .select("pa", "pb")
+    )
+
+
+@query(
+    "graph_degree_distribution",
+    oracle=f"""
+    WITH e AS ({_COP_EDGES_SQL}),
+    deg AS (
+      SELECT node, count(*) AS degree FROM (
+        SELECT pa AS node FROM e UNION ALL SELECT pb FROM e
+      ) GROUP BY node
+    )
+    SELECT degree, count(*) AS n_nodes
+    FROM deg GROUP BY degree
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the part co-purchase graph (edges =
+    part pairs bought together in >= {sup} orders) -- the first
+    diagnostic run on any large graph, because the tail of this
+    histogram decides whether downstream joins (triangles, CC,
+    pagerank) need skew handling.
+
+    Scale: edge generation is a per-order bounded fan-out + one
+    support aggregate; degrees are one union + count; the histogram
+    collapses to at most max-degree rows.  All partial-aggregating
+    shuffles on integer keys."""
+    e = _cop_edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("pa").alias("node"))
+        .unionAll(e.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
+
+
+@query(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH e AS ({_COP_EDGES_SQL}),
+    deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT pa AS node FROM e UNION ALL SELECT pb FROM e
+      ) GROUP BY node
+    ),
+    o AS (
+      SELECT CASE WHEN (da.d, e.pa) < (db.d, e.pb) THEN e.pa ELSE e.pb END
+               AS src,
+             CASE WHEN (da.d, e.pa) < (db.d, e.pb) THEN e.pb ELSE e.pa END
+               AS dst
+      FROM e JOIN deg da ON da.node = e.pa JOIN deg db ON db.node = e.pb
+    ),
+    tri AS (
+      SELECT o1.src AS u, o1.dst AS v, o2.dst AS w
+      FROM o o1 JOIN o o2 ON o2.src = o1.dst
+      JOIN o o3 ON o3.src = o1.src AND o3.dst = o2.dst
+    ),
+    per_node AS (
+      SELECT node, count(*) AS n_triangles FROM (
+        SELECT u AS node FROM tri
+        UNION ALL SELECT v FROM tri
+        UNION ALL SELECT w FROM tri
+      ) GROUP BY node
+    )
+    SELECT p.node, d.d AS degree, p.n_triangles
+    FROM per_node p JOIN deg d ON d.node = p.node
+    ORDER BY p.n_triangles DESC, p.node
+    LIMIT {_TRI_TOP}
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting with DEGREE ORIENTATION -- the algorithm
+    that makes triangle enumeration tractable on skewed graphs: every
+    undirected edge is directed from its lower-(degree, id) endpoint
+    to the higher one, so each triangle is enumerated exactly once
+    AND the join fan-out of a hub node collapses (a node of degree d
+    has out-degree <= sqrt-ish of d in expectation under this
+    orientation; the wedge join never pivots on a hub's full
+    neighborhood).  Emits the top {top} parts by triangle
+    participation with their degrees -- the densely co-bought
+    product clusters.
+
+    Scale: two shuffle joins on integer node keys (wedge build +
+    closure check) after the oriented edge list; this is the
+    MapReduce-era Cohen / Suri-Vassilvitskii design, which is exactly
+    a pair of DataFrame equi-joins in Spark -- AQE's skew split
+    covers residual heavy keys.  The per-node rollup is a bounded
+    3x explode of the triangle set."""
+    e = _cop_edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("pa").alias("node"))
+        .unionAll(e.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    da = deg.select(F.col("node").alias("pa"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("pb"), F.col("d").alias("db"))
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("pa") < F.col("pb"))
+    )
+    o = (
+        e.join(da, "pa")
+        .join(db, "pb")
+        .select(
+            F.when(a_first, F.col("pa")).otherwise(F.col("pb")).alias("src"),
+            F.when(a_first, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
+        )
+    )
+    o1 = o.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    o2 = o.select(F.col("src").alias("v2"), F.col("dst").alias("w"))
+    o3 = o.select(F.col("src").alias("u3"), F.col("dst").alias("w3"))
+    tri = (
+        o1.join(o2, F.col("v") == F.col("v2"))
+        .join(
+            o3,
+            (F.col("u") == F.col("u3")) & (F.col("w") == F.col("w3")),
+        )
+        .select("u", "v", "w")
+    )
+    per_node = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("v").alias("node")))
+        .unionAll(tri.select(F.col("w").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return (
+        per_node.join(deg, "node")
+        .select("node", F.col("d").alias("degree"), "n_triangles")
+        .orderBy(F.col("n_triangles").desc(), "node")
+        .limit(_TRI_TOP)
+    )
+
+
+graph_degree_distribution.__doc__ = graph_degree_distribution.__doc__.format(
+    sup=_COP_SUPPORT
+)
+graph_triangle_count.__doc__ = graph_triangle_count.__doc__.format(
+    top=_TRI_TOP
+)
