@@ -1284,6 +1284,12 @@ def pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("c")
         )
     )
+    # Training output is {subs}x{codes} tiny rows; materialize it ONCE
+    # (the persist-the-trained-model step) so the two serving
+    # consumers (corpus encode + query LUT) don't each re-derive the
+    # whole training chain -- this cuts the corpus scans of the plan
+    # roughly in half.
+    cb = cb.localCheckpoint()
     enc = (
         sub.join(F.broadcast(cb), sub.s == cb.c_s)
         .groupBy("vec_id", "s")

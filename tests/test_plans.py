@@ -175,3 +175,28 @@ def test_kmv_by_group_keeps_bottom_k_map_side(spark):
     the exchange at <= K rows per (group, partition) however large
     the corpus."""
     assert "WindowGroupLimit" in _plan(spark, "sketch_kmv_by_group")
+
+
+def test_bloom_pruned_join_filters_at_the_scan(spark):
+    """join_bloom_pruned's point is sideways information passing: the
+    might-contain conjunction must sit BEFORE the dim equi-join in
+    the physical plan (fact rows die at the scan stage), and the
+    verifying join must be a broadcast."""
+    plan = _plan(spark, "join_bloom_pruned")
+    filter_pos = plan.find("bitand")
+    if filter_pos < 0:
+        filter_pos = plan.find("&")
+    join_pos = plan.find("BroadcastHashJoin")
+    assert filter_pos >= 0, "bloom might-contain filter missing"
+    assert join_pos >= 0, "verifying broadcast join missing"
+    # Spark prints operators top-down (output first), so the
+    # downstream join appears BEFORE the scan-side filter text.
+    assert join_pos < filter_pos, "bloom filter not below the join"
+
+
+def test_pq_adc_search_scan_budget(spark):
+    """The trained codebook is checkpointed once, so ADC serving must
+    not re-derive the training chain per consumer: at most 2 full +
+    3 key-pruned corpus scans (was 8 before the checkpoint)."""
+    plan = _plan(spark, "pq_adc_search")
+    assert plan.count("embeddings.parquet") <= 5
