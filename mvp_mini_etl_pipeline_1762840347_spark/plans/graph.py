@@ -554,3 +554,89 @@ graph_degree_distribution.__doc__ = graph_degree_distribution.__doc__.format(
 graph_triangle_count.__doc__ = graph_triangle_count.__doc__.format(
     top=_TRI_TOP
 )
+
+
+# ---------------------------------------------------------------------------
+# k-hop reachability (recursive-query class: BFS from a seed node)
+# ---------------------------------------------------------------------------
+_BFS_HOPS = 3
+
+
+@query(
+    "graph_reachability",
+    oracle=f"""
+    WITH RECURSIVE e0 AS ({_COP_EDGES_SQL}),
+    e AS (
+      SELECT pa AS src, pb AS dst FROM e0
+      UNION ALL SELECT pb, pa FROM e0
+    ),
+    deg AS (SELECT src AS node, count(*) AS degree FROM e GROUP BY src),
+    seed AS (SELECT node FROM deg ORDER BY degree DESC, node LIMIT 1),
+    walk(node, hops) AS (
+      SELECT node, 0 FROM seed
+      UNION
+      SELECT e.dst, w.hops + 1 FROM walk w
+      JOIN e ON e.src = w.node WHERE w.hops < {_BFS_HOPS}
+    )
+    SELECT node, CAST(min(hops) AS BIGINT) AS hops
+    FROM walk GROUP BY node
+    """,
+)
+def graph_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum hop distance (BFS, <= {k} hops) from the highest-degree
+    node of the part co-purchase graph -- the recursive-query class
+    (SQL `WITH RECURSIVE`, Spark has no native equivalent), stated as
+    semi-naive iterative evaluation: each round expands ONLY the
+    frontier discovered last round (never re-expands settled nodes),
+    which is the delta-based trick that makes recursive queries
+    feasible at scale (reference semantics: the same k-hop walk a
+    recommendation widget would run; cf. Datalog semi-naive eval).
+
+    Scale: the edge list is materialized once (localCheckpoint) and
+    re-joined per round; each round broadcasts the frontier into the
+    edge scan (a bounded-hop egonet is << the graph by construction,
+    the one regime where broadcasting the build side of a graph join
+    is right) and anti-joins the equally-bounded visited set the same
+    way, so the only per-round shuffle is the frontier dedup.  Hop
+    count bounds the rounds, so the job count is a compile-time
+    constant; only the NEW frontier is checkpointed per round (the
+    visited set is the union of already-materialized frontiers --
+    never re-materialized), exactly the semi-naive delta discipline."""
+    e0 = _cop_edges(spark, sf_dir)
+    e = (
+        e0.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionAll(e0.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+        .localCheckpoint()
+    )
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("degree")
+    )
+    seed = (
+        deg.orderBy(F.col("degree").desc(), "node").limit(1).select("node")
+    )
+    layers = [
+        seed.withColumn("hops", F.lit(0).cast("long")).localCheckpoint()
+    ]
+    for h in range(1, _BFS_HOPS + 1):
+        frontier = layers[-1].select("node")
+        visited = layers[0].select("node")
+        for lay in layers[1:]:
+            visited = visited.unionByName(lay.select("node"))
+        nxt = (
+            e.join(F.broadcast(frontier), e.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(F.broadcast(visited), "node", "left_anti")
+            .withColumn("hops", F.lit(h).cast("long"))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        layers.append(nxt)
+    out = layers[0]
+    for lay in layers[1:]:
+        out = out.unionByName(lay)
+    return out
+
+
+graph_reachability.__doc__ = graph_reachability.__doc__.format(k=_BFS_HOPS)

@@ -908,3 +908,321 @@ def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 bpe_merge_step.__doc__ = bpe_merge_step.__doc__.format(top=_BPE_TOP)
+
+
+# ---------------------------------------------------------------------------
+# Corpus novelty profile: per-source share of trigram types whose FIRST
+# corpus occurrence (by ingest order = doc_id) is in that source's docs
+# ---------------------------------------------------------------------------
+@query(
+    "ngram_novelty",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS t
+      FROM documents
+    ),
+    tri AS (
+      SELECT DISTINCT doc_id, source,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+    ),
+    marked AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY g)
+                  THEN 1 ELSE 0 END AS is_novel
+      FROM tri
+    ),
+    per_doc AS (
+      SELECT doc_id, source, count(*) AS n_g, sum(is_novel) AS n_novel
+      FROM marked GROUP BY doc_id, source
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_novel) AS BIGINT) AS novel_trigrams,
+           CAST(sum(n_g) AS BIGINT) AS total_trigrams,
+           round(CAST(sum(n_novel) AS DOUBLE) / sum(n_g), 6) AS novelty_rate
+    FROM per_doc GROUP BY source
+    """,
+)
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n-gram novelty: of each document's distinct word
+    trigrams, how many are seen for the FIRST time in the corpus
+    (first occurrence = lowest doc_id, i.e. ingest order)?  Sources
+    whose novelty rate collapses are re-crawling already-seen text --
+    the curation signal behind "dedup before you mix" (cf. RefinedWeb
+    / Gopher corpus analyses); the complementary per-doc form drives
+    repetition-aware sampling.
+
+    Scale: trigram fan-out is linear in tokens; first-occurrence is a
+    single min-over-window keyed by trigram (ONE shuffle on the
+    trigram -- no groupBy + join-back second pass), then per-doc and
+    per-source partial-aggregating rollups.  The novelty ratio is
+    emitted as a ratio of exact integer sums (one double division),
+    never an avg of per-doc doubles, so the value is bit-stable
+    across engines and partitionings."""
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split(F.lower(F.col("text")), r"\s+").alias("t")
+    )
+    tri = (
+        d.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.when(
+                    F.size("t") >= 3,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("t") - 3),
+                        lambda i: F.concat_ws(
+                            " ",
+                            F.element_at("t", i + 1),
+                            F.element_at("t", i + 2),
+                            F.element_at("t", i + 3),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    wg = Window.partitionBy("g")
+    marked = tri.select(
+        "doc_id",
+        "source",
+        F.when(F.col("doc_id") == F.min("doc_id").over(wg), 1)
+        .otherwise(0)
+        .alias("is_novel"),
+    )
+    per_doc = marked.groupBy("doc_id", "source").agg(
+        F.count("*").alias("n_g"), F.sum("is_novel").alias("n_novel")
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_novel").cast("bigint").alias("novel_trigrams"),
+        F.sum("n_g").cast("bigint").alias("total_trigrams"),
+        F.round(
+            F.sum("n_novel").cast("double") / F.sum("n_g"), 6
+        ).alias("novelty_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style rule filter report (Rae et al. 2021, public quality rules)
+# ---------------------------------------------------------------------------
+_GOPHER_STOPWORDS = (
+    "the", "be", "to", "of", "and", "that", "have", "with", "it", "in",
+)
+
+
+@query(
+    "quality_gopher_rules",
+    oracle=rf"""
+    WITH feat AS (
+      SELECT source,
+             string_split_regex(trim(lower(text)), '\s+') AS t,
+             length(text) - length(replace(text, '#', '')) AS n_hash,
+             (length(text) - length(replace(text, '...', ''))) / 3 AS n_ellipsis
+      FROM documents
+    ),
+    rules AS (
+      SELECT source,
+             len(t) AS n_words,
+             CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+               / len(t) AS mean_wl,
+             CAST(n_hash + n_ellipsis AS DOUBLE) / len(t) AS sym_ratio,
+             CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+                  AS DOUBLE) / len(t) AS alpha_ratio,
+             len(list_filter(
+                 t, x -> list_contains({list(_GOPHER_STOPWORDS)!r}, x)
+             )) AS n_stop
+      FROM feat
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN n_words < 50 OR n_words > 100000
+                    THEN 1 ELSE 0 END) AS BIGINT) AS fail_word_count,
+           CAST(sum(CASE WHEN mean_wl < 3 OR mean_wl > 10
+                    THEN 1 ELSE 0 END) AS BIGINT) AS fail_mean_word_len,
+           CAST(sum(CASE WHEN sym_ratio >= 0.1
+                    THEN 1 ELSE 0 END) AS BIGINT) AS fail_symbol_ratio,
+           CAST(sum(CASE WHEN alpha_ratio < 0.8
+                    THEN 1 ELSE 0 END) AS BIGINT) AS fail_alpha_words,
+           CAST(sum(CASE WHEN n_stop < 2
+                    THEN 1 ELSE 0 END) AS BIGINT) AS fail_stopwords,
+           CAST(sum(CASE WHEN n_words BETWEEN 50 AND 100000
+                          AND mean_wl BETWEEN 3 AND 10
+                          AND sym_ratio < 0.1
+                          AND alpha_ratio >= 0.8
+                          AND n_stop >= 2
+                    THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
+    FROM rules GROUP BY source
+    """,
+)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source report of the Gopher corpus-filter rules (Rae et
+    al. 2021, the published rule set behind MassiveText): word-count
+    bounds, mean word length 3-10, symbol-to-word ratio (# and
+    ellipsis) < 0.1, >= 80% words containing an alphabetic char, and
+    >= 2 stopword hits.  Complements text_quality (raw ratios) with
+    the thresholded accept/reject decisions a curation run applies.
+
+    Scale: zero-shuffle per-doc feature extraction (one regex split
+    staged once, higher-order array folds -- all JVM-side, no UDF)
+    followed by one partial-aggregating rollup on source.  Every
+    per-doc ratio is a single integer/integer division, so the
+    threshold comparisons are bit-identical across engines and
+    partitionings."""
+    stop_arr = F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS])
+    feat = read_table(spark, sf_dir, "documents").select(
+        "source",
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t"),
+        (
+            F.length("text") - F.length(F.replace("text", F.lit("#")))
+        ).alias("n_hash"),
+        (
+            (F.length("text") - F.length(F.replace("text", F.lit("..."))))
+            / F.lit(3)
+        ).cast("long").alias("n_ellipsis"),
+    )
+    rules = feat.select(
+        "source",
+        F.size("t").alias("n_words"),
+        (
+            F.aggregate(
+                "t", F.lit(0), lambda acc, x: acc + F.length(x)
+            ).cast("double")
+            / F.size("t")
+        ).alias("mean_wl"),
+        (
+            (F.col("n_hash") + F.col("n_ellipsis")).cast("double")
+            / F.size("t")
+        ).alias("sym_ratio"),
+        (
+            F.size(F.filter("t", lambda x: x.rlike("[a-z]"))).cast("double")
+            / F.size("t")
+        ).alias("alpha_ratio"),
+        F.size(
+            F.filter("t", lambda x: F.array_contains(stop_arr, x))
+        ).alias("n_stop"),
+    )
+    fail = lambda cond, name: F.sum(  # noqa: E731
+        F.when(cond, 1).otherwise(0)
+    ).cast("bigint").alias(name)
+    return rules.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        fail(
+            (F.col("n_words") < 50) | (F.col("n_words") > 100000),
+            "fail_word_count",
+        ),
+        fail(
+            (F.col("mean_wl") < 3) | (F.col("mean_wl") > 10),
+            "fail_mean_word_len",
+        ),
+        fail(F.col("sym_ratio") >= 0.1, "fail_symbol_ratio"),
+        fail(F.col("alpha_ratio") < 0.8, "fail_alpha_words"),
+        fail(F.col("n_stop") < 2, "fail_stopwords"),
+        fail(
+            F.col("n_words").between(50, 100000)
+            & F.col("mean_wl").between(3, 10)
+            & (F.col("sym_ratio") < 0.1)
+            & (F.col("alpha_ratio") >= 0.8)
+            & (F.col("n_stop") >= 2),
+            "pass_all",
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage / OOV rate against the corpus top-K vocabulary
+# ---------------------------------------------------------------------------
+_VOCAB_K = 256
+
+
+@query(
+    "vocab_coverage",
+    oracle=rf"""
+    WITH st AS (
+      SELECT source, tok, count(*) AS n
+      FROM (
+        SELECT source,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        FROM documents
+      ) GROUP BY source, tok
+    ),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, sum(n) AS wc FROM st GROUP BY tok
+        ORDER BY wc DESC, tok LIMIT {_VOCAB_K}
+      )
+    )
+    SELECT st.source,
+           CAST(sum(st.n) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN v.tok IS NOT NULL THEN st.n ELSE 0 END)
+                AS BIGINT) AS covered_tokens,
+           round(1.0 - CAST(sum(CASE WHEN v.tok IS NOT NULL THEN st.n
+                                     ELSE 0 END) AS DOUBLE) / sum(st.n),
+                 6) AS oov_rate
+    FROM st LEFT JOIN vocab v ON st.tok = v.tok
+    GROUP BY st.source
+    """,
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per source against the corpus's own
+    top-{k} token vocabulary -- the tokenizer-fit diagnostic run
+    before committing a vocab: sources with high OOV either need
+    vocab budget or are noise (cf. SentencePiece / BPE coverage
+    reports).
+
+    Scale: raw token instances collapse to (source, token) partial
+    counts in the FIRST shuffle; the global vocabulary derives from
+    those partials (token-keyed rollup + top-K on the already-tiny
+    aggregate), and coverage is a broadcast membership join against
+    the {k}-row vocab -- the corpus is tokenized exactly once, and
+    nothing after the first aggregate is data-scale.  Ties at the
+    vocab boundary break on the token string, so the vocabulary is
+    deterministic across engines and partitionings."""
+    st = (
+        read_table(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("tok"),
+        )
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("n"))
+        # Two consumers (vocab derivation + coverage rollup) share
+        # this frame; materialize the partial counts ONCE so the
+        # corpus is tokenized a single time, not re-derived per
+        # branch (the no-plan-reuse trap; plan-pinned in tests).
+        .localCheckpoint()
+    )
+    vocab = (
+        st.groupBy("tok")
+        .agg(F.sum("n").alias("wc"))
+        .orderBy(F.col("wc").desc(), "tok")
+        .limit(_VOCAB_K)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        st.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.sum("n").cast("bigint").alias("total_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNotNull(), F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias("covered_tokens"),
+            F.round(
+                F.lit(1.0)
+                - F.sum(
+                    F.when(
+                        F.col("in_vocab").isNotNull(), F.col("n")
+                    ).otherwise(0)
+                ).cast("double")
+                / F.sum("n"),
+                6,
+            ).alias("oov_rate"),
+        )
+    )
+
+
+vocab_coverage.__doc__ = vocab_coverage.__doc__.format(k=_VOCAB_K)

@@ -1,0 +1,152 @@
+"""Unit tests for the round-5 corpus/graph additions: k-hop BFS
+reachability, n-gram novelty, Gopher rule filtering, and vocabulary
+coverage.
+
+The oracle gate proves value parity with DuckDB; these tests pin
+SEMANTIC invariants the driver data cannot prove by itself (seed
+selection, conservation laws between the queries' aggregates, and
+the arithmetic tying the emitted ratios to the emitted counts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run(spark, name):
+    return entrymod.queries()[name](spark, SF)
+
+
+# ---------------------------------------------------------------------------
+# graph_reachability
+# ---------------------------------------------------------------------------
+def test_reachability_seed_is_the_max_degree_node(spark):
+    from mvp_mini_etl_pipeline_1762840347_spark.plans.graph import _cop_edges
+
+    out = _run(spark, "graph_reachability").collect()
+    seeds = [r.node for r in out if r.hops == 0]
+    assert len(seeds) == 1, "exactly one hop-0 row (the seed)"
+    e = _cop_edges(spark, SF)
+    deg = (
+        e.select(F.col("pa").alias("node"))
+        .unionAll(e.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+        .orderBy(F.col("d").desc(), "node")
+        .first()
+    )
+    assert seeds[0] == deg.node
+
+
+def test_reachability_hop1_equals_seed_neighborhood(spark):
+    from mvp_mini_etl_pipeline_1762840347_spark.plans.graph import _cop_edges
+
+    rows = _run(spark, "graph_reachability").collect()
+    seed = next(r.node for r in rows if r.hops == 0)
+    hop1 = {r.node for r in rows if r.hops == 1}
+    e = _cop_edges(spark, SF).collect()
+    nbrs = {r.pb for r in e if r.pa == seed} | {r.pa for r in e if r.pb == seed}
+    assert hop1 == nbrs
+
+
+def test_reachability_each_node_once_hops_bounded(spark):
+    rows = _run(spark, "graph_reachability").collect()
+    nodes = [r.node for r in rows]
+    assert len(nodes) == len(set(nodes)), "min-hop emits each node once"
+    assert all(0 <= r.hops <= 3 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# ngram_novelty
+# ---------------------------------------------------------------------------
+def test_novelty_conservation_every_trigram_type_is_novel_exactly_once(spark):
+    """Each distinct trigram has exactly one first-occurrence doc, so
+    the novel counts summed over sources must equal the number of
+    distinct trigram types in the corpus (computed independently)."""
+    out = _run(spark, "ngram_novelty").collect()
+    total_novel = sum(r.novel_trigrams for r in out)
+    d = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select(F.split(F.lower(F.col("text")), r"\s+").alias("t"))
+        .filter(F.size("t") >= 3)
+    )
+    n_types = (
+        d.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - 3),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("t", i + 1),
+                        F.element_at("t", i + 2),
+                        F.element_at("t", i + 3),
+                    ),
+                )
+            ).alias("g")
+        )
+        .distinct()
+        .count()
+    )
+    assert total_novel == n_types
+
+
+def test_novelty_rate_ties_to_counts(spark):
+    for r in _run(spark, "ngram_novelty").collect():
+        assert 0 <= r.novel_trigrams <= r.total_trigrams
+        assert abs(r.novelty_rate - round(r.novel_trigrams / r.total_trigrams, 6)) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# quality_gopher_rules
+# ---------------------------------------------------------------------------
+def test_gopher_pass_all_bounded_by_every_rule(spark):
+    for r in _run(spark, "quality_gopher_rules").collect():
+        fails = [
+            r.fail_word_count,
+            r.fail_mean_word_len,
+            r.fail_symbol_ratio,
+            r.fail_alpha_words,
+            r.fail_stopwords,
+        ]
+        assert all(0 <= f <= r.n_docs for f in fails)
+        # conjunction of rules: inclusion-exclusion bounds
+        assert r.pass_all <= r.n_docs - max(fails)
+        assert r.pass_all >= r.n_docs - sum(fails)
+
+
+# ---------------------------------------------------------------------------
+# vocab_coverage
+# ---------------------------------------------------------------------------
+def test_vocab_coverage_conservation_against_independent_topk(spark):
+    """Covered instances summed over sources == total corpus
+    instances of the top-K tokens, recomputed independently."""
+    from mvp_mini_etl_pipeline_1762840347_spark.plans.text import _VOCAB_K
+
+    out = _run(spark, "vocab_coverage").collect()
+    covered = sum(r.covered_tokens for r in out)
+    toks = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count("*").alias("wc"))
+    )
+    top = toks.orderBy(F.col("wc").desc(), "tok").limit(_VOCAB_K)
+    expect = top.agg(F.sum("wc")).first()[0]
+    assert covered == expect
+
+
+def test_vocab_oov_rate_ties_to_counts(spark):
+    for r in _run(spark, "vocab_coverage").collect():
+        assert 0 <= r.covered_tokens <= r.total_tokens
+        assert (
+            abs(r.oov_rate - round(1 - r.covered_tokens / r.total_tokens, 6))
+            < 1e-12
+        )

@@ -200,3 +200,22 @@ def test_pq_adc_search_scan_budget(spark):
     3 key-pruned corpus scans (was 8 before the checkpoint)."""
     plan = _plan(spark, "pq_adc_search")
     assert plan.count("embeddings.parquet") <= 5
+
+
+def test_ngram_novelty_tokenizes_corpus_once(spark):
+    """First-occurrence marking is a min-over-window on the trigram,
+    not a groupBy + join-back -- the corpus must be scanned and
+    trigram-exploded exactly once."""
+    assert _plan(spark, "ngram_novelty").count("documents.parquet") == 1
+
+
+def test_vocab_coverage_joins_vocab_broadcast(spark):
+    """The top-K vocabulary is tiny by construction; membership must
+    be a broadcast join, and the corpus must collapse to (source,
+    token) partials tokenized exactly once: the shared partial-count
+    frame is checkpointed, so the serving plan re-reads the
+    materialized partials (ExistingRDD), never documents.parquet."""
+    plan = _plan(spark, "vocab_coverage")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("documents.parquet") == 0
+    assert plan.count("Scan ExistingRDD") == 2
