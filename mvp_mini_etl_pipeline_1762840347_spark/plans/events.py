@@ -1123,3 +1123,114 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 events_ewma.__doc__ = events_ewma.__doc__.format(k=_EWMA_K)
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap join: user sessions x globally busy hours, via
+# bounded bucket fan-out + equi-join (never a range cross join)
+# ---------------------------------------------------------------------------
+@query(
+    "interval_overlap_join",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 3600000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM t
+    ),
+    sess AS (
+      SELECT user_id, session_id, min(ts) AS st, max(ts) AS en
+      FROM s GROUP BY user_id, session_id
+    ),
+    hours AS (
+      SELECT date_trunc('hour', ts) AS hr, count(*) AS cnt
+      FROM events GROUP BY 1
+    ),
+    stats AS (SELECT sum(cnt) AS total, count(*) AS n FROM hours),
+    busy AS (
+      SELECT hr FROM hours, stats WHERE cnt > 1.2 * total / n
+    ),
+    hit AS (
+      SELECT DISTINCT se.user_id, se.session_id
+      FROM sess se JOIN busy b
+        ON b.hr + INTERVAL 1 HOUR > se.st AND b.hr <= se.en
+    )
+    SELECT se.user_id,
+           count(*) AS n_sessions,
+           CAST(sum(CASE WHEN h.session_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_busy_sessions
+    FROM sess se
+    LEFT JOIN hit h ON h.user_id = se.user_id
+                   AND h.session_id = se.session_id
+    GROUP BY se.user_id
+    """,
+)
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: per user, how many of their sessions
+    (1 h-gap sessionization, [first event, last event]) overlap a
+    globally BUSY hour (hourly event count > 1.2x the mean hourly
+    count) -- the interval x interval join every ops/billing pipeline
+    runs (sessions x incidents, usage x peak-pricing windows).
+
+    Scale: the oracle states the natural range predicate (hr < en,
+    hr + 1h > st); the engine never executes a range cross join --
+    each session EXPLODES into its covered hour buckets (fan-out
+    bounded by session duration in hours, small by construction) and
+    overlap becomes an equi-join on the bucket key, the standard
+    binning rewrite that keeps interval joins shuffle-partitionable
+    when BOTH sides are data-scale.  Here the busy-hour side is also
+    tiny, so the equi-join additionally broadcasts; sessionization
+    itself is Spark's native session_window (one shuffle keyed by
+    user)."""
+    e = _events(spark, sf_dir)
+    hours = e.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.count("*").alias("cnt")
+    )
+    stats = hours.agg(
+        F.sum("cnt").alias("total"), F.count("*").alias("n")
+    )
+    busy = (
+        hours.crossJoin(F.broadcast(stats))
+        .filter(
+            F.col("cnt") > F.lit(1.2) * F.col("total") / F.col("n")
+        )
+        .select("hr")
+    )
+    sess = (
+        e.groupBy(F.session_window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.min("ts").alias("st"), F.max("ts").alias("en"))
+        .select("user_id", "st", "en")
+    )
+    cover = sess.select(
+        "user_id",
+        "st",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "st"),
+                F.date_trunc("hour", "en"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("hr"),
+    )
+    hit = (
+        cover.join(F.broadcast(busy), "hr")
+        .select("user_id", "st")
+        .distinct()
+        .withColumn("is_busy", F.lit(1))
+    )
+    return (
+        sess.join(hit, ["user_id", "st"], "left")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum(F.coalesce(F.col("is_busy"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_busy_sessions"),
+        )
+    )

@@ -1524,3 +1524,178 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 join_bloom_pruned.__doc__ = join_bloom_pruned.__doc__.format(
     m=_BLOOM_M, k=_BLOOM_K, word=_BJ_WORD, seg=_BJ_SEGMENT
 )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window HLL: distinct users over the trailing 3 days, per day,
+# by register-max union of per-day sketches (sketch x window composition)
+# ---------------------------------------------------------------------------
+_HLL_SLIDE_DAYS = 3
+
+_HLL_SLIDING_SQL = rf"""
+    WITH ev AS (
+      SELECT CAST(ts AS DATE) AS day, user_id,
+             {_h60_sql("CAST(user_id AS VARCHAR)")} AS h
+      FROM events
+    ),
+    regs AS (
+      SELECT day, h % {_HLL_M} AS bucket,
+             max(CASE WHEN h // {_HLL_M} = 0 THEN {_HLL_WBITS + 1}
+                      ELSE {_HLL_WBITS + 1} - length(bin(h // {_HLL_M}))
+                 END) AS m_j
+      FROM ev GROUP BY 1, 2
+    ),
+    days AS (SELECT DISTINCT day FROM regs),
+    merged AS (
+      SELECT c.tday AS day, c.bucket, max(c.m_j) AS m_j
+      FROM (SELECT day + i AS tday, bucket, m_j
+            FROM regs, UNNEST([0, 1, 2]) AS t(i)) c
+      JOIN days d ON d.day = c.tday
+      GROUP BY 1, 2
+    ),
+    mm AS (
+      SELECT day, max(m_j) AS m_max, count(*) AS n_buckets
+      FROM merged GROUP BY 1
+    ),
+    denom AS (
+      SELECT m.day, mm.n_buckets, mm.m_max,
+             (sum(1::BIGINT << (mm.m_max - m.m_j))::BIGINT
+              + ({_HLL_M} - mm.n_buckets) * (1::BIGINT << mm.m_max)
+             )::BIGINT AS sum_scaled
+      FROM merged m JOIN mm ON mm.day = m.day
+      GROUP BY 1, 2, 3
+    ),
+    est AS (
+      SELECT day, n_buckets, m_max, sum_scaled,
+             CAST({_HLL_ALPHA!r} AS DOUBLE) * {_HLL_M * _HLL_M}.0
+               * power(2.0, m_max) / sum_scaled AS raw_est
+      FROM denom
+    ),
+    corrected AS (
+      SELECT day, n_buckets, m_max, sum_scaled,
+             CASE WHEN raw_est <= 2.5 * {_HLL_M} AND n_buckets < {_HLL_M}
+                  THEN {_HLL_M}.0
+                       * ln({_HLL_M}.0 / ({_HLL_M} - n_buckets))
+                  ELSE raw_est
+             END AS est
+      FROM est
+    ),
+    exact AS (
+      SELECT c.tday AS day, count(DISTINCT c.user_id) AS exact_distinct
+      FROM (SELECT day + i AS tday, user_id
+            FROM (SELECT DISTINCT day, user_id FROM ev),
+                 UNNEST([0, 1, 2]) AS t(i)) c
+      JOIN days d ON d.day = c.tday
+      GROUP BY 1
+    )
+    SELECT CAST(c.day AS VARCHAR) AS day,
+           c.n_buckets, c.m_max, c.sum_scaled, e.exact_distinct,
+           round(c.est, 2) AS est_distinct,
+           round(100.0 * (c.est / e.exact_distinct - 1.0), 2)
+               AS rel_err_pct
+    FROM corrected c JOIN exact e ON e.day = c.day
+"""
+
+
+@query("sketch_hll_sliding", oracle=_HLL_SLIDING_SQL)
+def sketch_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window distinct count: users active in the trailing
+    {d} days, per day, estimated by UNIONING per-day HLL register
+    sets (elementwise max) -- the sketch x window composition every
+    continuous aggregate / hypertable rollup runs at scale, where the
+    raw events of a 3-day window can never be re-scanned per day.
+
+    The sliding union is stated as bounded FAN-OUT, not a window
+    function: each per-day register row contributes to exactly {d}
+    target days (explode over the offsets, then register-max per
+    target day), so work is {d} x |registers| -- registers, not
+    events -- and partial aggregation applies throughout.  Events are
+    hashed and collapsed to <= {m} register rows per day in the first
+    shuffle; everything downstream is sketch-sized.  The exact
+    sliding distinct rides along (same fan-out on deduped (day, user)
+    pairs) purely as the accuracy yardstick.  Estimator arithmetic is
+    the integer-exact scaled-denominator form of sketch_hll_distinct
+    (bit-stable under any partitioning / merge order)."""
+    ev = read_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        "user_id",
+        _h60(F.col("user_id").cast("string")).alias("h"),
+    )
+    w = F.expr(f"h div {_HLL_M}")
+    rho = F.when(w == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+        F.lit(_HLL_WBITS + 1) - F.length(F.bin(w))
+    )
+    regs = (
+        ev.select("day", (F.col("h") % _HLL_M).alias("bucket"), rho.alias("rho"))
+        .groupBy("day", "bucket")
+        .agg(F.max("rho").alias("m_j"))
+        # two consumers (observed-day set + fan-out); registers are
+        # sketch-sized, so materializing once is cheap and keeps the
+        # event scan single-pass for the sketch side
+        .localCheckpoint()
+    )
+    days = regs.select("day").distinct()
+    offs = F.explode(
+        F.array(*[F.lit(i) for i in range(_HLL_SLIDE_DAYS)])
+    ).alias("i")
+    merged = (
+        regs.select("day", "bucket", "m_j", offs)
+        .select(
+            F.date_add("day", F.col("i")).alias("day"), "bucket", "m_j"
+        )
+        .join(F.broadcast(days), "day")
+        .groupBy("day", "bucket")
+        .agg(F.max("m_j").alias("m_j"))
+    )
+    mm = merged.groupBy("day").agg(
+        F.max("m_j").alias("m_max"), F.count("*").alias("n_buckets")
+    )
+    denom = (
+        merged.join(F.broadcast(mm), "day")
+        .groupBy("day", "n_buckets", "m_max")
+        .agg(
+            (
+                F.sum(F.expr("shiftleft(cast(1 as bigint), m_max - m_j)"))
+                + (F.lit(_HLL_M) - F.col("n_buckets"))
+                * F.expr("shiftleft(cast(1 as bigint), m_max)")
+            ).cast("bigint").alias("sum_scaled")
+        )
+    )
+    raw_est = (
+        F.lit(_HLL_ALPHA)
+        * F.lit(float(_HLL_M * _HLL_M))
+        * F.pow(F.lit(2.0), F.col("m_max"))
+        / F.col("sum_scaled")
+    )
+    est = F.when(
+        (raw_est <= F.lit(2.5 * _HLL_M)) & (F.col("n_buckets") < _HLL_M),
+        F.lit(float(_HLL_M))
+        * F.log(F.lit(float(_HLL_M)) / (F.lit(_HLL_M) - F.col("n_buckets"))),
+    ).otherwise(raw_est)
+    exact = (
+        ev.select("day", "user_id")
+        .distinct()
+        .select(F.date_add("day", F.col("i")).alias("day"), "user_id", offs)
+        .select("day", "user_id")
+        .join(F.broadcast(days), "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+    )
+    return denom.join(exact, "day").select(
+        # dates travel as ISO strings: the two engines' native date
+        # types normalize differently in the driver's hash
+        F.col("day").cast("string").alias("day"),
+        "n_buckets",
+        "m_max",
+        "sum_scaled",
+        "exact_distinct",
+        F.round(est, 2).alias("est_distinct"),
+        F.round(
+            F.lit(100.0) * (est / F.col("exact_distinct") - 1.0), 2
+        ).alias("rel_err_pct"),
+    )
+
+
+sketch_hll_sliding.__doc__ = sketch_hll_sliding.__doc__.format(
+    d=_HLL_SLIDE_DAYS, m=_HLL_M
+)

@@ -150,3 +150,29 @@ def test_vocab_oov_rate_ties_to_counts(spark):
             abs(r.oov_rate - round(1 - r.covered_tokens / r.total_tokens, 6))
             < 1e-12
         )
+
+
+# ---------------------------------------------------------------------------
+# interval_overlap_join
+# ---------------------------------------------------------------------------
+def test_interval_overlap_session_count_matches_events_session(spark):
+    """Cross-query conservation: interval_overlap_join's per-user
+    session totals must agree with events_session (same 1 h gap rule,
+    independent implementation path of the session identity)."""
+    ov = {
+        r.user_id: r.n_sessions
+        for r in _run(spark, "interval_overlap_join").collect()
+    }
+    sess = _run(spark, "events_session")
+    per_user = {
+        r.user_id: r.n
+        for r in sess.groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert ov == per_user
+
+
+def test_interval_overlap_busy_subset(spark):
+    for r in _run(spark, "interval_overlap_join").collect():
+        assert 0 <= r.n_busy_sessions <= r.n_sessions

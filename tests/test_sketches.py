@@ -263,3 +263,44 @@ def test_kmv_intersection_estimates_overlap(spark):
         "exact_intersection"
     ]
     assert rel < 0.45, row
+
+
+def test_hll_sliding_exact_column_matches_pandas_recompute(spark):
+    """The query's exact_distinct yardstick is itself re-derived here
+    with an independent pandas implementation of the 3-day trailing
+    window (no fan-out trick), per observed day."""
+    from mvp_mini_etl_pipeline_1762840347_spark.plans import QUERIES
+
+    out = {
+        str(r["day"]): r["exact_distinct"]
+        for r in QUERIES["sketch_hll_sliding"](spark, SF).collect()
+    }
+    pdf = read_events(spark, SF).select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).toPandas()
+    days = sorted(pdf["day"].unique())
+    assert set(out) == {str(d) for d in days}
+    for d in days:
+        import datetime
+
+        lo = d - datetime.timedelta(days=2)
+        expect = pdf[(pdf["day"] >= lo) & (pdf["day"] <= d)][
+            "user_id"
+        ].nunique()
+        assert out[str(d)] == expect, d
+
+
+def test_hll_sliding_estimate_sane_and_registers_bounded(spark):
+    from mvp_mini_etl_pipeline_1762840347_spark.plans import QUERIES
+    from mvp_mini_etl_pipeline_1762840347_spark.plans.sketches import (
+        _HLL_M,
+        _HLL_WBITS,
+    )
+
+    for r in QUERIES["sketch_hll_sliding"](spark, SF).collect():
+        assert 1 <= r["n_buckets"] <= _HLL_M
+        assert 1 <= r["m_max"] <= _HLL_WBITS + 1
+        assert r["est_distinct"] > 0
+        # HLL with m=256 has ~6.5% std err; 3-day windows at sf0.001
+        # hold a few hundred users -- allow a generous 5-sigma band
+        assert abs(r["rel_err_pct"]) < 35.0, r
