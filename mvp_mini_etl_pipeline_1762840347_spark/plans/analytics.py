@@ -1275,3 +1275,121 @@ def orders_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seasonality_idx"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap confidence interval (deterministic, hash-seeded)
+# ---------------------------------------------------------------------------
+_BOOT_B = 32
+# P(Poisson(1) <= k), k = 0..5; identical literals in both engines.
+_POIS_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+)
+
+
+def _pois_case_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {t!r} THEN {k}" for k, t in enumerate(_POIS_CDF)
+    )
+    return f"CASE {branches} ELSE {len(_POIS_CDF)} END"
+
+
+@query(
+    "bootstrap_ci",
+    oracle=rf"""
+    WITH reps AS (
+      SELECT o.o_orderkey, o.o_totalprice, r.i AS rep,
+             CAST(('0x' || substring(
+                 md5(CAST(o.o_orderkey AS VARCHAR) || '|'
+                     || CAST(r.i AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)
+               / {float(1 << 60)!r} AS u
+      FROM orders o, (SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS i) r
+    ),
+    weighted AS (
+      SELECT rep, o_totalprice, {_pois_case_sql("u")} AS w FROM reps
+    ),
+    ests AS (
+      SELECT rep, sum(w * o_totalprice) / sum(w) AS est
+      FROM weighted GROUP BY rep
+    ),
+    ranked AS (SELECT list_sort(list(est)) AS es FROM ests)
+    SELECT {_BOOT_B} AS n_replicas,
+           (SELECT round(avg(o_totalprice), 2) FROM orders) AS full_mean,
+           round(es[2], 2) AS boot_lo,
+           round(es[{_BOOT_B - 1}], 2) AS boot_hi,
+           round(list_avg(es), 2) AS boot_mean
+    FROM ranked
+    """,
+)
+def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap CI for the mean order value -- the
+    distributed-bootstrap trick (Chamandy et al. / Kleiner et al.
+    line of work): instead of resampling N rows WITH replacement
+    (impossible to coordinate across partitions), each row draws an
+    independent Poisson(1) replication weight per replica, which
+    approximates multinomial resampling as N grows.  Every weight is
+    a pure hash of (orderkey, replica) pushed through the exact
+    Poisson(1) inverse CDF -- no RNG state, so the interval is
+    bit-reproducible under any partitioning, retry, or speculative
+    re-execution (the only sound way to randomize at 100 TB).
+
+    The CI is read off fixed ORDER STATISTICS of the {b} replica
+    means (2nd smallest / 2nd largest ~ a 94% interval at B={b}),
+    never an interpolated percentile -- interpolation rules differ
+    across engines.  Plan shape: one fan-out of {b} weights per row
+    (map-side, no shuffle), one partial-aggregating groupBy over {b}
+    keys, then a {b}-row sort on the driver side of the plan."""
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    reps = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(_BOOT_B - 1))
+        ).alias("rep"),
+    )
+    from .sketches import _h60, _HASH_SPACE
+
+    u = (
+        _h60(
+            F.concat_ws(
+                "|",
+                F.col("o_orderkey").cast("string"),
+                F.col("rep").cast("string"),
+            )
+        ).cast("double")
+        / F.lit(_HASH_SPACE)
+    )
+    w = F.lit(len(_POIS_CDF))
+    for k in range(len(_POIS_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POIS_CDF[k]), F.lit(k)).otherwise(w)
+    ests = (
+        reps.select("rep", "o_totalprice", w.alias("w"))
+        .groupBy("rep")
+        .agg(
+            (
+                F.sum(F.col("w") * F.col("o_totalprice")) / F.sum("w")
+            ).alias("est")
+        )
+    )
+    full = o.agg(F.round(F.avg("o_totalprice"), 2).alias("full_mean"))
+    ranked = ests.agg(
+        F.sort_array(F.collect_list("est")).alias("es"),
+        F.round(F.avg("est"), 2).alias("boot_mean"),
+    )
+    return ranked.crossJoin(F.broadcast(full)).select(
+        F.lit(_BOOT_B).alias("n_replicas"),
+        "full_mean",
+        F.round(F.element_at("es", 2), 2).alias("boot_lo"),
+        F.round(F.element_at("es", _BOOT_B - 1), 2).alias("boot_hi"),
+        "boot_mean",
+    )
+
+
+bootstrap_ci.__doc__ = bootstrap_ci.__doc__.format(b=_BOOT_B)

@@ -15,6 +15,7 @@ from ..operators.multimodal import (
     fake_media_from_documents,
     frame_sample,
     real_media_from_documents,
+    resize_media,
 )
 from .registry import query
 
@@ -180,3 +181,60 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     stdlib can carry)."""
     media = real_media_from_documents(read_table(spark, sf_dir, "documents"))
     return decode_media_headers(media)
+
+
+# ---------------------------------------------------------------------------
+# REAL media transform (pixel/sample bytes, not just headers)
+# ---------------------------------------------------------------------------
+@query(
+    "multimodal_resize",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                  ELSE 'video' END AS kind,
+             (8 + doc_id % 24) // 2 AS ow,
+             (8 + doc_id % 16) // 2 AS oh,
+             (8000 + 1000 * (doc_id % 5)) // 2 AS osr,
+             (64 + n_chars % 128 + 1) // 2 AS onf,
+             octet_length(encode(text)) AS raw_len
+      FROM documents
+    )
+    SELECT doc_id AS media_id, kind,
+           CAST(CASE kind
+                WHEN 'image' THEN 54 + ((3 * ow + 3) // 4) * 4 * oh
+                WHEN 'audio' THEN 44 + 2 * onf
+                ELSE raw_len END AS BIGINT) AS n_bytes_out,
+           CASE kind WHEN 'image' THEN 'image/bmp'
+                WHEN 'audio' THEN 'audio/wav' ELSE NULL END AS mime,
+           CAST(CASE WHEN kind = 'image' THEN ow END AS INTEGER) AS width,
+           CAST(CASE WHEN kind = 'image' THEN oh END AS INTEGER) AS height,
+           CAST(CASE WHEN kind = 'audio' THEN osr END AS INTEGER)
+               AS sample_rate,
+           CAST(CASE WHEN kind = 'audio' THEN onf END AS INTEGER)
+               AS n_frames
+    FROM dims
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media transform over pixel/sample bytes: BMPs downscale
+    2:1 by nearest neighbor (actual pixel re-layout, new row padding),
+    WAVs decimate 2:1 (every other 16-bit sample, halved declared
+    rate), unknown containers pass through.  The proof is a full
+    ROUND TRIP: the transformed bytes are RE-PARSED by the header
+    decoder and the oracle independently predicts what the new
+    headers must say from the generation parameters -- a stride bug,
+    off-by-one sample count, or unwritten header field fails the
+    value hash.  Completes the decode / feature-extract / resize /
+    frame-sample quartet with three genuinely real steps (video
+    demux stays honestly stubbed).
+
+    Scale: build -> resize -> re-parse are three chained mapInPandas
+    stages, embarrassingly parallel, zero shuffles end to end; blob
+    partition sizing stays byte-driven
+    (spark.sql.files.maxPartitionBytes)."""
+    media = real_media_from_documents(read_table(spark, sf_dir, "documents"))
+    resized = resize_media(media)
+    return decode_media_headers(resized).withColumnRenamed(
+        "n_bytes", "n_bytes_out"
+    )

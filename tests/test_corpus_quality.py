@@ -176,3 +176,74 @@ def test_interval_overlap_session_count_matches_events_session(spark):
 def test_interval_overlap_busy_subset(spark):
     for r in _run(spark, "interval_overlap_join").collect():
         assert 0 <= r.n_busy_sessions <= r.n_sessions
+
+
+# ---------------------------------------------------------------------------
+# multimodal_resize (pixel-level semantics the oracle's header
+# formulas cannot see)
+# ---------------------------------------------------------------------------
+def test_bmp_resize_picks_every_other_pixel():
+    import struct
+
+    from mvp_mini_etl_pipeline_1762840347_spark.operators.multimodal import (
+        _bmp_from_pixels,
+        parse_media_header,
+        resize_bmp_half,
+    )
+
+    # 4x2 image, distinct per-pixel bytes so sampling is observable
+    w, h = 4, 2
+    stride = ((3 * w + 3) // 4) * 4
+    px = bytearray(stride * h)
+    for y in range(h):
+        for x in range(w):
+            px[y * stride + 3 * x : y * stride + 3 * x + 3] = bytes(
+                [y * 16 + x] * 3
+            )
+    out = resize_bmp_half(_bmp_from_pixels(w, h, bytes(px)))
+    hdr = parse_media_header(out)
+    assert (hdr["width"], hdr["height"]) == (2, 1)
+    off = struct.unpack_from("<I", out, 10)[0]
+    # output pixel (x, 0) = input pixel (2x, 0): values 0 and 2
+    assert out[off : off + 3] == bytes([0] * 3)
+    assert out[off + 3 : off + 6] == bytes([2] * 3)
+
+
+def test_wav_downsample_keeps_even_samples():
+    import struct
+
+    from mvp_mini_etl_pipeline_1762840347_spark.operators.multimodal import (
+        downsample_wav_half,
+        parse_media_header,
+    )
+
+    samples = list(range(7))
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, 8000, 16000, 2, 16)
+    wav = (
+        struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + 8 + len(data), b"WAVE")
+        + fmt
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+    out = downsample_wav_half(wav)
+    hdr = parse_media_header(out)
+    assert hdr["sample_rate"] == 4000
+    assert hdr["n_frames"] == 4
+    kept = [
+        struct.unpack_from("<h", out, 44 + 2 * i)[0] for i in range(4)
+    ]
+    assert kept == [0, 2, 4, 6]
+
+
+# ---------------------------------------------------------------------------
+# bootstrap_ci
+# ---------------------------------------------------------------------------
+def test_bootstrap_interval_brackets_the_full_mean(spark):
+    r = _run(spark, "bootstrap_ci").first()
+    assert r.boot_lo <= r.boot_hi
+    # B=32 Poisson bootstrap of a ~1500-order mean: the full-sample
+    # mean must sit inside (or within a hair of) the 94% interval
+    span = r.boot_hi - r.boot_lo
+    assert r.boot_lo - span <= r.full_mean <= r.boot_hi + span
+    assert abs(r.boot_mean - r.full_mean) <= span

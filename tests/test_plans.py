@@ -17,7 +17,11 @@ SF = "/root/testdata/sf0.001"
 # for the multimodal decode plumbing).
 # Queries sanctioned to run Arrow-batched Python: per-row binary
 # construction/parsing that DataFrame builtins cannot express.
-ARROW_ALLOWED = {"multimodal_features", "multimodal_decode"}
+ARROW_ALLOWED = {
+    "multimodal_features",
+    "multimodal_decode",
+    "multimodal_resize",
+}
 
 
 def _plan(spark, name: str) -> str:
