@@ -990,3 +990,100 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 dedup_semantic.__doc__ = dedup_semantic.__doc__.format(thr=_SEM_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+# LSH quality eval: candidate recall/precision vs exact-Jaccard truth
+# ---------------------------------------------------------------------------
+_RECALL_J = 0.5  # ground-truth near-dup threshold (LSH s50 ~ 0.4 here)
+
+
+@query(
+    "dedup_lsh_recall",
+    oracle=rf"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT doc_a, doc_b
+      FROM common JOIN sizes sa ON sa.doc_id = doc_a
+                  JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= {_RECALL_J!r}
+    ),
+    cand AS (SELECT doc_a, doc_b FROM ({_MINHASH_PAIRS_SQL})),
+    hit AS (SELECT * FROM truth INTERSECT SELECT * FROM cand)
+    SELECT (SELECT count(*) FROM truth) AS n_true_pairs,
+           (SELECT count(*) FROM cand) AS n_candidate_pairs,
+           (SELECT count(*) FROM hit) AS n_hits,
+           round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
+                 / (SELECT count(*) FROM truth), 4) AS recall,
+           round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
+                 / (SELECT count(*) FROM cand), 4) AS precision
+    """,
+)
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured LSH quality, not guessed: recall and precision of the
+    MinHash-LSH candidate pairs against exact-Jaccard ground truth at
+    J >= {j} (the band parameters put the S-curve's 50% point near
+    0.4, so >= {j} pairs should be caught with high probability).
+    This is the eval every dedup deployment runs before trusting the
+    sketch parameters -- and the query that catches a silently broken
+    band hash (recall collapses) or over-wide bands (precision
+    collapses).
+
+    Scale: ground truth generation is the shared-shingle equi-join
+    (only pairs sharing a shingle can clear any positive threshold,
+    so no cross join); at production scale the eval runs on a
+    held-out sample -- here the test corpus IS the sample.  Truth and
+    candidates are both bucketed-join shaped; the final scorecard is
+    three tiny counts."""
+    docs = _docs(spark, sf_dir)
+    sh = _shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        sh.join(b, "shingle")
+        .filter(F.col("doc_id") < F.col("doc_b"))
+        .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    truth = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            F.col("c").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("c"))
+            >= F.lit(_RECALL_J)
+        )
+        .select("doc_a", "doc_b")
+    )
+    cand = _minhash_pairs_impl(docs).select("doc_a", "doc_b")
+    hit = truth.intersect(cand)
+    n_true = truth.agg(F.count("*").alias("n_true_pairs"))
+    n_cand = cand.agg(F.count("*").alias("n_candidate_pairs"))
+    n_hit = hit.agg(F.count("*").alias("n_hits"))
+    return (
+        n_true.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_hit))
+        .select(
+            "n_true_pairs",
+            "n_candidate_pairs",
+            "n_hits",
+            F.round(
+                F.col("n_hits").cast("double") / F.col("n_true_pairs"), 4
+            ).alias("recall"),
+            F.round(
+                F.col("n_hits").cast("double") / F.col("n_candidate_pairs"),
+                4,
+            ).alias("precision"),
+        )
+    )
+
+
+dedup_lsh_recall.__doc__ = dedup_lsh_recall.__doc__.format(j=_RECALL_J)

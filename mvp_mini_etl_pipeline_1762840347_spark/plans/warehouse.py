@@ -724,3 +724,128 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("price_old", 2).alias("old_price"),
         F.round("price_new", 2).alias("new_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time (PIT) lookup against the SCD2 dimension
+# ---------------------------------------------------------------------------
+@query(
+    "scd2_point_in_time",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), dim AS (
+      SELECT user_id, event_type AS state, ts AS valid_from,
+             CAST(row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS BIGINT)
+                 AS version
+      FROM t WHERE prev_type IS NULL OR event_type <> prev_type
+    ), probes AS (
+      SELECT o_orderkey, o_custkey,
+             TIMESTAMP '2024-01-01 00:00:00'
+               + (o_orderkey % 720) * INTERVAL 1 HOUR AS probe_ts
+      FROM orders
+      WHERE o_custkey <= (SELECT max(user_id) FROM events)
+    ), hit AS (
+      SELECT p.o_orderkey, d.state, d.version
+      FROM probes p
+      ASOF LEFT JOIN dim d
+        ON p.o_custkey = d.user_id AND p.probe_ts >= d.valid_from
+    )
+    SELECT coalesce(state, 'no_history') AS state,
+           count(*) AS n_probes,
+           CAST(coalesce(max(version), 0) AS BIGINT) AS max_version
+    FROM hit GROUP BY 1
+    """,
+)
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup against a Type-2 dimension: for each
+    probe (orders of users with event history, at o_orderdate), find
+    the state version VALID AT that instant -- the reproducible-ML /
+    feature-store join that prevents label leakage (a probe must
+    never see a state that began after it).  Probes before a user's
+    first transition resolve to 'no_history', never to a later state.
+    Probe instants are a deterministic spread over the dimension's
+    validity range (orders predate the event stream, so o_orderdate
+    itself would degenerate to all-'no_history').
+
+    Scale: the dimension is compressed transitions (tiny vs events);
+    the PIT match is the same tag-union-carry-forward merge as
+    asof_join -- one shuffle keyed on user, a single window pass, no
+    range cross-join -- and the dimension build shares the shuffle
+    key, so the whole chain moves data on user_id exactly once.
+    """
+    e = read_events(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            F.row_number().over(w).cast("bigint").alias("version"),
+        )
+    )
+    max_uid = e.agg(F.max("user_id").alias("m"))
+    probes = (
+        read_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.expr(
+                "timestamp'2024-01-01 00:00:00'"
+                " + make_interval(0, 0, 0, 0, o_orderkey % 720, 0, 0)"
+            ).alias("probe_ts"),
+        )
+        .crossJoin(F.broadcast(max_uid))
+        .filter(F.col("o_custkey") <= F.col("m"))
+    )
+    d_tagged = dim.select(
+        F.col("user_id").alias("k"),
+        F.col("valid_from").alias("t"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        "state",
+        "version",
+        F.lit(0).alias("is_probe"),
+    )
+    p_tagged = probes.select(
+        F.col("o_custkey").alias("k"),
+        F.col("probe_ts").alias("t"),
+        "o_orderkey",
+        F.lit(None).cast("string").alias("state"),
+        F.lit(None).cast("bigint").alias("version"),
+        F.lit(1).alias("is_probe"),
+    )
+    # dimension rows sort before probes at identical t => '>=' PIT
+    wc = (
+        Window.partitionBy("k")
+        .orderBy("t", "is_probe")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = d_tagged.unionByName(p_tagged).select(
+        "o_orderkey",
+        "is_probe",
+        F.last("state", ignorenulls=True).over(wc).alias("pit_state"),
+        F.last("version", ignorenulls=True).over(wc).alias("pit_version"),
+    )
+    return (
+        merged.filter(F.col("is_probe") == 1)
+        .groupBy(
+            F.coalesce(F.col("pit_state"), F.lit("no_history")).alias("state")
+        )
+        .agg(
+            F.count("*").alias("n_probes"),
+            F.coalesce(F.max("pit_version"), F.lit(0))
+            .cast("bigint")
+            .alias("max_version"),
+        )
+    )
