@@ -46,13 +46,27 @@ def main() -> None:
     # (3 reps: min-over-reps absorbs the +/-30-40% ambient band this
     # machine demonstrably swings on identical plans.)
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    # Wall-clock budget (seconds): the FIRST pass always completes, so
+    # the per-query map is total; later passes stop once the budget is
+    # spent (min-over-what-ran is still honest -- each sample is a full
+    # execution).  Keeps one `python bench.py` bounded as the registry
+    # grows instead of risking an external kill that loses everything.
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
+    bench_t0 = time.perf_counter()
     timings: dict[str, float] = {}
-    for _ in range(max(1, reps)):
+    passes_done = 0
+    for r in range(max(1, reps)):
+        if r > 0 and time.perf_counter() - bench_t0 > budget:
+            break
         for name, fn in sorted(plans.QUERIES.items()):
+            if r > 0 and time.perf_counter() - bench_t0 > budget:
+                break
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             wall = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, wall), wall)
+        else:
+            passes_done = r + 1
 
     total = round(sum(timings.values()), 3)
     payload = {
@@ -63,6 +77,8 @@ def main() -> None:
         "sf": float(sf),
         "n_queries": len(timings),
         "reps": max(1, reps),
+        "full_passes": max(1, passes_done),
+        "budget_sec": budget,
     }
     # The driver's log keeps only the tail of long stdout lines, which
     # truncates the per-query map to the alphabetical tail; persist the

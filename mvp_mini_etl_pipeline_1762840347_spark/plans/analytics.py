@@ -1299,16 +1299,24 @@ def _pois_case_sql(u: str) -> str:
     return f"CASE {branches} ELSE {len(_POIS_CDF)} END"
 
 
+_BOOT_P = 1_000_000_007  # affine-hash modulus (same family as minhash)
+
+
 @query(
     "bootstrap_ci",
     oracle=rf"""
-    WITH reps AS (
-      SELECT o.o_orderkey, o.o_totalprice, r.i AS rep,
-             CAST(('0x' || substring(
-                 md5(CAST(o.o_orderkey AS VARCHAR) || '|'
-                     || CAST(r.i AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)
-               / {float(1 << 60)!r} AS u
-      FROM orders o, (SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS i) r
+    WITH hashed AS (
+      SELECT o_totalprice,
+             ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)
+             )::BIGINT % {_BOOT_P} AS h
+      FROM orders
+    ),
+    reps AS (
+      SELECT o_totalprice, r.i AS rep,
+             CAST(((((104729 * r.i + 976369) % {_BOOT_P}) * h
+                    + ((15485863 * r.i + 32452843) % {_BOOT_P}))
+                   % {_BOOT_P}) AS DOUBLE) / {float(_BOOT_P)!r} AS u
+      FROM hashed, (SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS i) r
     ),
     weighted AS (
       SELECT rep, o_totalprice, {_pois_case_sql("u")} AS w FROM reps
@@ -1336,7 +1344,10 @@ def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     a pure hash of (orderkey, replica) pushed through the exact
     Poisson(1) inverse CDF -- no RNG state, so the interval is
     bit-reproducible under any partitioning, retry, or speculative
-    re-execution (the only sound way to randomize at 100 TB).
+    re-execution (the only sound way to randomize at 100 TB).  The
+    row hashes md5 ONCE; per-replica uniforms are affine universal
+    hashes of that value (the same cost trick as the integer
+    minhash), so hashing cost is independent of B.
 
     The CI is read off fixed ORDER STATISTICS of the {b} replica
     means (2nd smallest / 2nd largest ~ a 94% interval at B={b}),
@@ -1347,24 +1358,28 @@ def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice"
     )
-    reps = o.select(
-        "o_orderkey",
+    # ONE md5 per row; the B per-replica uniforms derive from cheap
+    # affine transforms of it (the minhash trick) -- 1/Bth the hash
+    # cost of md5-per-(row, replica), measured 9.4 -> ~1.5 s at sf0.1.
+    hashed = o.select(
         "o_totalprice",
+        (
+            F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+            % _BOOT_P
+        ).alias("h"),
+    )
+    reps = hashed.select(
+        "o_totalprice",
+        "h",
         F.explode(
             F.sequence(F.lit(0), F.lit(_BOOT_B - 1))
         ).alias("rep"),
     )
-    from .sketches import _h60, _HASH_SPACE
-
-    u = (
-        _h60(
-            F.concat_ws(
-                "|",
-                F.col("o_orderkey").cast("string"),
-                F.col("rep").cast("string"),
-            )
-        ).cast("double")
-        / F.lit(_HASH_SPACE)
+    a = (F.lit(104729) * F.col("rep") + F.lit(976369)) % _BOOT_P
+    b = (F.lit(15485863) * F.col("rep") + F.lit(32452843)) % _BOOT_P
+    u = ((a * F.col("h") + b) % _BOOT_P).cast("double") / F.lit(
+        float(_BOOT_P)
     )
     w = F.lit(len(_POIS_CDF))
     for k in range(len(_POIS_CDF) - 1, -1, -1):

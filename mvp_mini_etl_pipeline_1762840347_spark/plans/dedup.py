@@ -959,31 +959,69 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     intractable all-pairs problem into per-cluster work that
     parallelizes across the cluster key.  No global cross join
     anywhere."""
-    from .similarity import _km_assign, _km_seed, _km_vectors, cosine
+    from .similarity import _dot, _km_assign, _km_seed, _km_vectors
 
-    v = _km_vectors(spark, sf_dir)
-    assigned = _km_assign(v, _km_seed(v))
+    # The corpus arrives as one small file locally; spread it so the
+    # per-vector argmax and the per-pair folds use every core (at
+    # production scale the input partitioning already provides this).
+    v = _km_vectors(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    # Self-dots are per-VECTOR work; computing them before the pair
+    # join turns the per-PAIR cost from 3 array folds into 1 (pairs
+    # outnumber vectors by the per-cluster population).  The norm is
+    # kept as the un-rooted self-dot so the pair expression stays
+    # sqrt(sa*sb) -- the oracle's exact expression tree (sqrt(x)*
+    # sqrt(y) differs from sqrt(x*y) in the last ulps).  The
+    # assignment feeds BOTH pair-join branches: materialize it once
+    # (persisting the cluster assignment is what a production run
+    # does anyway) instead of re-deriving the argmax per branch.
+    assigned = (
+        _km_assign(v, _km_seed(v))
+        .withColumn("s", _dot(F.col("e"), F.col("e")))
+        .localCheckpoint()
+    )
+    # K is small (the clusters ARE the join key), so an unsalted pair
+    # join runs on K tasks no matter how many cores exist.  Salt the
+    # left side on vec_id and replicate the right side across salts:
+    # per-cluster pair work splits K x SALT ways at the cost of
+    # re-reading the (tiny per cluster) right side SALT times.
+    salt_n = 8
     a1 = assigned.select(
-        "cluster", F.col("vec_id").alias("vec_a"), F.col("e").alias("e_a")
+        "cluster",
+        F.col("vec_id").alias("vec_a"),
+        F.col("e").alias("e_a"),
+        F.col("s").alias("s_a"),
+        (F.col("vec_id") % salt_n).alias("salt"),
     )
     a2 = assigned.select(
         F.col("cluster").alias("cl_b"),
         F.col("vec_id").alias("vec_b"),
         F.col("e").alias("e_b"),
+        F.col("s").alias("s_b"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(salt_n - 1))
+        ).alias("salt_b"),
     )
-    cos = F.round(cosine(F.col("e_a"), F.col("e_b")), 4)
+    cos = F.round(
+        _dot(F.col("e_a"), F.col("e_b"))
+        / F.sqrt(F.col("s_a") * F.col("s_b")),
+        4,
+    )
     return (
         a1.join(
             a2,
             (F.col("cluster") == F.col("cl_b"))
+            & (F.col("salt") == F.col("salt_b"))
             & (F.col("vec_a") < F.col("vec_b")),
         )
-        .filter(cos >= _SEM_THRESHOLD)
+        .withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= _SEM_THRESHOLD)
         .select(
             "cluster",
             "vec_a",
             "vec_b",
-            cos.alias("cos_sim"),
+            "cos_sim",
             F.col("vec_b").alias("drop_vec"),
         )
     )

@@ -777,3 +777,113 @@ def split_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.countDistinct("split_key").alias("n_groups"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Neyman-allocation stratified sampling (optimal survey allocation)
+# ---------------------------------------------------------------------------
+_NEYMAN_BUDGET = 200
+
+
+@query(
+    "sample_neyman",
+    oracle=rf"""
+    WITH stats AS (
+      SELECT o_orderpriority AS stratum,
+             count(*) AS n_pop,
+             stddev_pop(o_totalprice) AS sd
+      FROM orders GROUP BY 1
+    ),
+    total AS (SELECT sum(n_pop * sd) AS t FROM stats),
+    alloc AS (
+      SELECT stratum, n_pop, sd,
+             greatest(1, CAST(floor({_NEYMAN_BUDGET} * n_pop * sd / t)
+                              AS BIGINT)) AS n_alloc
+      FROM stats, total
+    ),
+    ranked AS (
+      SELECT o_orderpriority AS stratum, o_totalprice,
+             row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+             ) AS rn
+      FROM orders
+      QUALIFY rn <= {_NEYMAN_BUDGET}
+    )
+    SELECT a.stratum, a.n_pop,
+           round(a.sd, 4) AS sd_price,
+           a.n_alloc,
+           count(*) AS n_sampled,
+           round(avg(r.o_totalprice), 2) AS sampled_mean
+    FROM ranked r JOIN alloc a ON a.stratum = r.stratum
+    WHERE r.rn <= a.n_alloc
+    GROUP BY a.stratum, a.n_pop, a.sd, a.n_alloc
+    """,
+)
+def sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sampling: a fixed budget of {b}
+    sample rows is allocated across strata proportionally to
+    N_h * S_h (population size x within-stratum std) -- the
+    textbook-optimal allocation for estimating the overall mean,
+    which a uniform or proportional sample wastes on low-variance
+    strata.  Membership is decided by deterministic hash order, so
+    the drawn sample is identical under any partitioning or retry.
+
+    Scale: stratum stats are one partial-aggregating shuffle; the
+    per-stratum rank FILTERS ON THE LITERAL budget first, which
+    Spark's WindowGroupLimit rewrites into a map-side per-partition
+    top-{b} (bounded state per task -- no stratum-sized sort
+    anywhere), and only then compares against the joined per-stratum
+    allocation.  The allocation floor()s the real-valued quota
+    (never round(): half-away vs half-even differs across engines)."""
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("stratum"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    stats = o.groupBy("stratum").agg(
+        F.count("*").alias("n_pop"),
+        F.stddev_pop("o_totalprice").alias("sd"),
+    )
+    total = stats.agg(F.sum(F.col("n_pop") * F.col("sd")).alias("t"))
+    alloc = stats.crossJoin(F.broadcast(total)).select(
+        "stratum",
+        "n_pop",
+        "sd",
+        F.greatest(
+            F.lit(1),
+            F.floor(
+                F.lit(_NEYMAN_BUDGET) * F.col("n_pop") * F.col("sd")
+                / F.col("t")
+            ),
+        ).cast("bigint").alias("n_alloc"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("stratum").orderBy(
+        F.md5(F.col("o_orderkey").cast("string")), "o_orderkey"
+    )
+    ranked = (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _NEYMAN_BUDGET)
+    )
+    return (
+        ranked.join(F.broadcast(alloc), "stratum")
+        .filter(F.col("rn") <= F.col("n_alloc"))
+        .groupBy("stratum", "n_pop", "sd", "n_alloc")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.round(F.avg("o_totalprice"), 2).alias("sampled_mean"),
+        )
+        .select(
+            "stratum",
+            "n_pop",
+            F.round("sd", 4).alias("sd_price"),
+            "n_alloc",
+            "n_sampled",
+            "sampled_mean",
+        )
+    )
+
+
+sample_neyman.__doc__ = sample_neyman.__doc__.format(b=_NEYMAN_BUDGET)

@@ -300,3 +300,32 @@ def test_lsh_recall_scorecard_consistent(spark):
     )
     # the banding is tuned so J>=0.5 pairs are caught w.h.p.
     assert r.recall >= 0.9, r
+
+
+# ---------------------------------------------------------------------------
+# sample_neyman
+# ---------------------------------------------------------------------------
+def test_neyman_allocation_properties(spark):
+    from mvp_mini_etl_pipeline_1762840347_spark.plans.quality import (
+        _NEYMAN_BUDGET,
+    )
+
+    rows = _run(spark, "sample_neyman").collect()
+    assert rows, "at least one stratum"
+    for r in rows:
+        assert 1 <= r.n_alloc <= _NEYMAN_BUDGET
+        # stratum may be smaller than its quota
+        assert r.n_sampled == min(r.n_alloc, r.n_pop)
+    # floor()-based quotas never exceed the budget in total
+    assert sum(r.n_alloc for r in rows) <= _NEYMAN_BUDGET + len(rows)
+
+
+def test_neyman_allocates_more_to_higher_n_sd(spark):
+    """Monotonicity: ordering strata by N_h*S_h must order the
+    allocations (before the >=1 clamp)."""
+    rows = sorted(
+        _run(spark, "sample_neyman").collect(),
+        key=lambda r: r.n_pop * r.sd_price,
+    )
+    allocs = [r.n_alloc for r in rows]
+    assert allocs == sorted(allocs)

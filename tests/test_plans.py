@@ -223,3 +223,10 @@ def test_vocab_coverage_joins_vocab_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     assert plan.count("documents.parquet") == 0
     assert plan.count("Scan ExistingRDD") == 2
+
+
+def test_sample_neyman_rank_is_group_limited(spark):
+    """The per-stratum hash rank filters on the literal budget, which
+    must compile to WindowGroupLimit (map-side bounded top-K, no
+    stratum-sized sort)."""
+    assert "WindowGroupLimit" in _plan(spark, "sample_neyman")
