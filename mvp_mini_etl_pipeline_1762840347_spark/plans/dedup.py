@@ -1080,7 +1080,10 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates are both bucketed-join shaped; the final scorecard is
     three tiny counts."""
     docs = _docs(spark, sf_dir)
-    sh = _shingles(docs)
+    # Three consumers (sizes + both sides of the shared-shingle self
+    # join) would each re-derive the regex-split/explode fan-out from
+    # the single-file scan; materialize the distinct shingle set once.
+    sh = _shingles(docs).localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     common = (
