@@ -1234,3 +1234,73 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_busy_sessions"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# M4 time-series downsampling (min/max/first/last per pixel bucket)
+# ---------------------------------------------------------------------------
+_M4_BUCKETS_PER_DAY = 4  # 6-hour pixels
+
+
+@query(
+    "events_m4_downsample",
+    oracle=f"""
+    WITH b AS (
+      SELECT time_bucket(INTERVAL 6 HOURS, ts) AS bucket, ts, value, event_id
+      FROM events
+    )
+    SELECT CAST(bucket AS VARCHAR) AS bucket,
+           count(*) AS n_points,
+           round(min(value), 4) AS v_min,
+           round(max(value), 4) AS v_max,
+           round(min_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                        || lpad(CAST(event_id AS VARCHAR), 12, '0')), 4)
+               AS v_first,
+           round(max_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                        || lpad(CAST(event_id AS VARCHAR), 12, '0')), 4)
+               AS v_last
+    FROM b GROUP BY bucket
+    """,
+)
+def events_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 time-series downsampling (Jugel et al., VLDB'14): each
+    6-hour pixel bucket keeps exactly the four points a line plot can
+    render -- min, max, first, last -- which provably preserves the
+    pixel-perfect shape of the series while collapsing any volume to
+    4 rows per pixel.  The dashboard-serving query every monitoring
+    stack runs between the raw store and the chart.
+
+    Scale: one partial-aggregating shuffle keyed on the bucket --
+    min/max/min_by/max_by all combine map-side, so the exchange
+    carries 4 values per (bucket, partition) however large the raw
+    stream.  Ties on ts are broken by event_id in BOTH engines
+    (min_by/max_by over the (ts, event_id) pair), so first/last are
+    deterministic under any partitioning."""
+    e = _events(spark, sf_dir)
+    b = e.select(
+        F.window("ts", "6 hours").start.alias("bucket_ts"),
+        "ts",
+        "value",
+        "event_id",
+    )
+    # a lexicographically sortable scalar key: DuckDB's min_by/max_by
+    # take no composite keys, so both engines order by the same
+    # zero-padded (epoch_us, event_id) string
+    pair = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return b.groupBy("bucket_ts").agg(
+        F.count("*").alias("n_points"),
+        F.round(F.min("value"), 4).alias("v_min"),
+        F.round(F.max("value"), 4).alias("v_max"),
+        F.round(F.min_by("value", pair), 4).alias("v_first"),
+        F.round(F.max_by("value", pair), 4).alias("v_last"),
+    ).select(
+        F.col("bucket_ts").cast("string").alias("bucket"),
+        "n_points",
+        "v_min",
+        "v_max",
+        "v_first",
+        "v_last",
+    )

@@ -1226,3 +1226,183 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 vocab_coverage.__doc__ = vocab_coverage.__doc__.format(k=_VOCAB_K)
+
+
+# ---------------------------------------------------------------------------
+# RAG-prep chunking: overlapping token windows with stable identities
+# ---------------------------------------------------------------------------
+_CHUNK_W = 64  # tokens per chunk
+_CHUNK_S = 48  # stride (overlap = W - S)
+
+
+@query(
+    "chunk_documents",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST((s - 1) / {_CHUNK_S} AS BIGINT) AS chunk_idx,
+           CAST(len(toks[s : s + {_CHUNK_W - 1}]) AS BIGINT) AS n_tokens,
+           md5(array_to_string(toks[s : s + {_CHUNK_W - 1}], ' '))
+               AS chunk_md5
+    FROM t, UNNEST(generate_series(1, len(toks), {_CHUNK_S})) AS u(s)
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding/RAG-prep chunking: each document splits into
+    {w}-token windows at stride {s} ({o}-token overlap so no span is
+    lost at a boundary), each chunk carrying a stable content
+    fingerprint -- the fan-out every retrieval pipeline runs between
+    curation and embedding, and the id discipline that lets chunk
+    vectors be re-derived/deduped incrementally.
+
+    Scale: pure per-row fan-out (sequence + slice higher-order ops,
+    all JVM-side), zero shuffles -- output partitioning inherits the
+    scan.  Chunk count is ceil(tokens/stride): work is linear in
+    corpus tokens with no materialized intermediate text beyond each
+    chunk row."""
+    toks = F.col("toks")
+    chunk = lambda s: F.slice(toks, s, _CHUNK_W)  # noqa: E731
+    return (
+        read_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("toks"),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.size(toks), F.lit(_CHUNK_S))
+            ).alias("s"),
+            toks,
+        )
+        .select(
+            "doc_id",
+            ((F.col("s") - 1) / _CHUNK_S).cast("bigint").alias("chunk_idx"),
+            F.size(chunk(F.col("s"))).cast("bigint").alias("n_tokens"),
+            F.md5(F.concat_ws(" ", chunk(F.col("s")))).alias("chunk_md5"),
+        )
+    )
+
+
+chunk_documents.__doc__ = chunk_documents.__doc__.format(
+    w=_CHUNK_W, s=_CHUNK_S, o=_CHUNK_W - _CHUNK_S
+)
+
+
+# ---------------------------------------------------------------------------
+# BPE ENCODE path: apply an ordered merge table to the corpus
+# ---------------------------------------------------------------------------
+# (a, b) -> ab, applied in table order -- the complement of
+# bpe_merge_step (which LEARNS the next merge).
+_BPE_MERGES = (
+    ("t", "h"), ("th", "e"), ("i", "n"), ("e", "r"),
+    ("a", "n"), ("o", "n"), ("r", "e"), ("a", "t"),
+)
+
+
+def _bpe_apply_sql(expr: str) -> str:
+    s = expr
+    for a, b in _BPE_MERGES:
+        s = f"replace({s}, ' {a} {b} ', ' {a}{b} ')"
+    return s
+
+
+_BPE_SPACED_SQL = (
+    "(' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' ')"
+)
+
+
+@query(
+    "bpe_encode_fixed",
+    oracle=rf"""
+    WITH words AS (
+      SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    wc AS (SELECT source, w, count(*) AS c FROM words GROUP BY 1, 2),
+    vocab AS (SELECT DISTINCT w FROM wc),
+    enc AS (
+      SELECT w,
+             len(string_split_regex(trim({_bpe_apply_sql(_BPE_SPACED_SQL)}),
+                 '\s+')) AS n_sym,
+             length(w) AS n_chars
+      FROM vocab
+    )
+    SELECT wc.source,
+           CAST(sum(wc.c) AS BIGINT) AS word_instances,
+           CAST(sum(wc.c * enc.n_chars) AS BIGINT) AS char_instances,
+           CAST(sum(wc.c * enc.n_sym) AS BIGINT) AS token_instances,
+           round(CAST(sum(wc.c * enc.n_sym) AS DOUBLE)
+                 / sum(wc.c * enc.n_chars), 4) AS tokens_per_char
+    FROM wc JOIN enc ON enc.w = wc.w
+    GROUP BY wc.source
+    """,
+)
+def bpe_encode_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE path: tokenize the corpus under a fixed ordered
+    merge table ({n} merges) -- the serving-side complement of
+    bpe_merge_step's training iteration, and the compression
+    measurement (tokens per char, per source) a tokenizer rollout
+    reports.  Each merge is a simultaneous left-to-right pairwise
+    replace over the space-separated symbol string, exactly BPE's
+    apply step.
+
+    Scale: the classic BPE working-set trick -- encoding runs on the
+    DISTINCT word table (vocabulary-sized, shuffles once on the
+    word), never per word instance; per-source totals come from the
+    (source, word) count partials joined to the encoded lengths.
+    Emitted ratios divide exact integer sums, so values are
+    bit-stable under any partitioning."""
+    words = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select(
+            "source",
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("w"),
+        )
+    )
+    wc = words.groupBy("source", "w").agg(F.count("*").alias("c"))
+    vocab = wc.select("w").distinct()
+    spaced = F.concat(
+        F.lit(" "),
+        F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")),
+        F.lit(" "),
+    )
+    enc_expr = spaced
+    for a, b in _BPE_MERGES:
+        enc_expr = F.replace(
+            enc_expr, F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
+        )
+    enc = vocab.select(
+        "w",
+        F.size(F.split(F.trim(enc_expr), r"\s+")).alias("n_sym"),
+        F.length("w").alias("n_chars"),
+    )
+    return (
+        wc.join(enc, "w")
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("word_instances"),
+            F.sum(F.col("c") * F.col("n_chars"))
+            .cast("bigint")
+            .alias("char_instances"),
+            F.sum(F.col("c") * F.col("n_sym"))
+            .cast("bigint")
+            .alias("token_instances"),
+            F.round(
+                F.sum(F.col("c") * F.col("n_sym")).cast("double")
+                / F.sum(F.col("c") * F.col("n_chars")),
+                4,
+            ).alias("tokens_per_char"),
+        )
+    )
+
+
+bpe_encode_fixed.__doc__ = bpe_encode_fixed.__doc__.format(
+    n=len(_BPE_MERGES)
+)

@@ -329,3 +329,101 @@ def test_neyman_allocates_more_to_higher_n_sd(spark):
     )
     allocs = [r.n_alloc for r in rows]
     assert allocs == sorted(allocs)
+
+
+# ---------------------------------------------------------------------------
+# chunk_documents
+# ---------------------------------------------------------------------------
+def test_chunking_covers_every_token_and_overlaps(spark):
+    from mvp_mini_etl_pipeline_1762840347_spark.plans.text import (
+        _CHUNK_S,
+        _CHUNK_W,
+    )
+
+    rows = _run(spark, "chunk_documents").collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    docs = {
+        r["doc_id"]: r["n"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select(
+            "doc_id",
+            F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+                "n"
+            ),
+        )
+        .collect()
+    }
+    import math
+
+    for doc_id, chunks in per_doc.items():
+        n = docs[doc_id]
+        chunks.sort(key=lambda r: r.chunk_idx)
+        # chunk count = ceil(n / stride); indices contiguous from 0
+        assert len(chunks) == math.ceil(n / _CHUNK_S)
+        assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+        # every chunk full-width except possibly the tail ones
+        for i, c in enumerate(chunks):
+            start = i * _CHUNK_S
+            assert c.n_tokens == min(_CHUNK_W, n - start)
+        # coverage: last chunk reaches the last token
+        assert (len(chunks) - 1) * _CHUNK_S + chunks[-1].n_tokens == n
+
+
+# ---------------------------------------------------------------------------
+# bpe_encode_fixed + events_m4_downsample
+# ---------------------------------------------------------------------------
+def test_bpe_encode_known_words():
+    """Direct semantics on known words: 'the' collapses to one
+    symbol via t+h -> th, th+e -> the; 'there' -> the|re; merge order
+    matters ('at' never fires inside 'that' once 'th' consumed the
+    't')."""
+    from mvp_mini_etl_pipeline_1762840347_spark.plans.text import (
+        _BPE_MERGES,
+    )
+
+    def encode(w):
+        s = " " + " ".join(w) + " "
+        for a, b in _BPE_MERGES:
+            s = s.replace(f" {a} {b} ", f" {a}{b} ")
+        return s.split()
+
+    assert encode("the") == ["the"]
+    assert encode("there") == ["the", "re"]
+    assert encode("that") == ["th", "at"]
+    assert encode("xyz") == ["x", "y", "z"]
+
+
+def test_bpe_encode_totals_conserve(spark):
+    """char_instances must equal the corpus's total word-character
+    count, and tokens <= chars (merges only shrink)."""
+    rows = _run(spark, "bpe_encode_fixed").collect()
+    total_chars = sum(r.char_instances for r in rows)
+    expect = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(F.length(F.trim("text")) > 0)
+        .select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("w")
+        )
+        .agg(F.sum(F.length("w")))
+        .first()[0]
+    )
+    assert total_chars == expect
+    for r in rows:
+        assert r.token_instances <= r.char_instances
+        assert r.word_instances <= r.token_instances
+
+
+def test_m4_keeps_envelope_of_raw_points(spark):
+    """Per bucket: v_min <= v_first, v_last <= v_max, and the bucket
+    row count conservation holds against the raw table."""
+    rows = _run(spark, "events_m4_downsample").collect()
+    assert sum(r.n_points for r in rows) == spark.read.parquet(
+        f"{SF}/events.parquet"
+    ).count()
+    for r in rows:
+        assert r.v_min <= min(r.v_first, r.v_last) + 1e-9
+        assert r.v_max >= max(r.v_first, r.v_last) - 1e-9
