@@ -1031,3 +1031,115 @@ def hygiene_stream(docs: DataFrame) -> DataFrame:
     from ..plans.scrub import hygiene_frame
 
     return hygiene_frame(docs)
+
+
+# ---------------------------------------------------------------------------
+# Streaming M4 downsample maintenance (dashboard continuous aggregate)
+# ---------------------------------------------------------------------------
+def m4_state(events: DataFrame) -> DataFrame:
+    """Mergeable M4 state per 6-hour pixel bucket: count, min, max,
+    and the first/last points carried WITH their sortable
+    (epoch_us, event_id) keys -- the keys are what make the state
+    algebraic (two states merge by comparing keys; the rendered
+    first/last drop the keys).  Batch twin of the rendered form:
+    plans/events.py::events_m4_downsample."""
+    key = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        events.select(
+            F.window("ts", "6 hours").start.alias("bucket"),
+            "value",
+            key.alias("k"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.min("value").alias("v_min"),
+            F.max("value").alias("v_max"),
+            F.min("k").alias("first_key"),
+            F.min_by("value", F.col("k")).alias("v_first"),
+            F.max("k").alias("last_key"),
+            F.max_by("value", F.col("k")).alias("v_last"),
+        )
+    )
+
+
+def m4_merge_step(
+    spark: SparkSession, batch_df: DataFrame, batch_id: int, path: str
+) -> bool:
+    """One M4-state merge micro-batch: count adds, min/max fold, and
+    first/last resolve by comparing the carried keys -- all algebraic,
+    so merge order never matters and backfill equals live.  Replay
+    guard / staged swap live in exactly_once_table_merge."""
+
+    def _merge(target: DataFrame | None) -> DataFrame:
+        delta = m4_state(batch_df)
+        if target is None:
+            return delta
+        t = target.select(
+            F.col("bucket").alias("t_bucket"),
+            *[
+                F.col(c).alias(f"t_{c}")
+                for c in (
+                    "n_points", "v_min", "v_max",
+                    "first_key", "v_first", "last_key", "v_last",
+                )
+            ],
+        )
+        d_first = F.col("t_first_key").isNull() | (
+            F.col("first_key").isNotNull()
+            & (F.col("first_key") < F.col("t_first_key"))
+        )
+        d_last = F.col("t_last_key").isNull() | (
+            F.col("last_key").isNotNull()
+            & (F.col("last_key") > F.col("t_last_key"))
+        )
+        return (
+            delta.join(t, delta.bucket == t.t_bucket, "full_outer")
+            .select(
+                F.coalesce(delta.bucket, t.t_bucket).alias("bucket"),
+                (
+                    F.coalesce(F.col("n_points"), F.lit(0))
+                    + F.coalesce(F.col("t_n_points"), F.lit(0))
+                ).alias("n_points"),
+                F.least("v_min", "t_v_min").alias("v_min"),
+                F.greatest("v_max", "t_v_max").alias("v_max"),
+                F.when(d_first, F.col("first_key"))
+                .otherwise(F.col("t_first_key"))
+                .alias("first_key"),
+                F.when(d_first, F.col("v_first"))
+                .otherwise(F.col("t_v_first"))
+                .alias("v_first"),
+                F.when(d_last, F.col("last_key"))
+                .otherwise(F.col("t_last_key"))
+                .alias("last_key"),
+                F.when(d_last, F.col("v_last"))
+                .otherwise(F.col("t_v_last"))
+                .alias("v_last"),
+            )
+        )
+
+    return exactly_once_table_merge(spark, path, batch_id, _merge)
+
+
+def m4_stream(
+    spark: SparkSession, events: DataFrame, path: str
+) -> StreamingQuery:
+    """Streaming twin of events_m4_downsample: the 4-points-per-pixel
+    dashboard table is maintained incrementally across micro-batches
+    (count/min/max/first/last are all algebraic, so this is a pure
+    state merge -- raw events are read once, ever), with the same
+    batch-id replay guard and staged-swap publish as every state
+    table here."""
+
+    def _step(batch_df: DataFrame, batch_id: int) -> None:
+        m4_merge_step(spark, batch_df, batch_id, path)
+
+    return (
+        events.writeStream.foreachBatch(_step)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", path + "_chk")
+        .start()
+    )

@@ -941,3 +941,44 @@ def test_hygiene_stream_matches_batch(spark, sf_dir, tmp_path_factory):
     )
     assert any(not v[4] for v in got.values()), "nothing rejected"
     assert any(v[4] for v in got.values()), "everything rejected"
+
+
+def test_m4_stream_merged_state_matches_batch_and_rendered_form(
+    spark, sf_dir, tmp_path_factory
+):
+    """Two-batch incremental M4 maintenance == one-shot state over
+    all events (backfill == live), the merged state renders exactly
+    events_m4_downsample's answer, and a replayed batch is a no-op."""
+    from mvp_mini_etl_pipeline_1762840347_spark.io import read_events
+    from mvp_mini_etl_pipeline_1762840347_spark.plans import QUERIES
+
+    path = str(tmp_path_factory.mktemp("m4") / "state")
+    ev = read_events(spark, sf_dir)
+    b0 = ev.filter(F.col("event_id") % 2 == 0)
+    b1 = ev.filter(F.col("event_id") % 2 == 1)
+    assert jobs.m4_merge_step(spark, b0, 0, path) is True
+    assert jobs.m4_merge_step(spark, b0, 0, path) is False  # replay no-op
+    assert jobs.m4_merge_step(spark, b1, 1, path) is True
+
+    def state_map(df):
+        return {
+            str(r["bucket"]): (
+                r["n_points"],
+                round(r["v_min"], 4),
+                round(r["v_max"], 4),
+                round(r["v_first"], 4),
+                round(r["v_last"], 4),
+            )
+            for r in df.collect()
+        }
+
+    merged = state_map(spark.read.parquet(path))
+    oneshot = state_map(jobs.m4_state(ev))
+    assert merged == oneshot
+    rendered = {
+        str(r["bucket"]): (
+            r["n_points"], r["v_min"], r["v_max"], r["v_first"], r["v_last"]
+        )
+        for r in QUERIES["events_m4_downsample"](spark, sf_dir).collect()
+    }
+    assert merged == rendered
