@@ -150,3 +150,129 @@ def test_row_band_signatures_equal_grouped_any_text(spark, texts):
     grouped = {tuple(r) for r in band_signatures(docs).collect()}
     per_row = {tuple(r) for r in row_band_signatures(docs).collect()}
     assert per_row == grouped
+
+
+# ---------------------------------------------------------------------------
+# Round-5 operator laws: BFS vs a sequential reference, M4 merge
+# algebra, chunking reconstruction
+# ---------------------------------------------------------------------------
+_EDGE = st.tuples(
+    st.integers(min_value=0, max_value=9), st.integers(min_value=0, max_value=9)
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_EDGE, min_size=1, max_size=20))
+def test_bfs_frontier_loop_matches_sequential_reference(spark, raw_edges):
+    """The semi-naive frontier loop (graph_reachability's core) must
+    compute the same min-hop map as a sequential BFS on any small
+    graph -- seeded at the max-degree node, hops <= 3, both-direction
+    edges, self-loops ignored."""
+    from pyspark.sql import functions as F
+
+    edges = sorted({(a, b) for a, b in raw_edges if a != b})
+    if not edges:
+        return
+    # sequential reference
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {n: len(v) for n, v in adj.items()}
+    seed = max(deg, key=lambda n: (deg[n], -n))
+    want = {seed: 0}
+    frontier = [seed]
+    for h in (1, 2, 3):
+        nxt = sorted(
+            {m for n in frontier for m in adj[n] if m not in want}
+        )
+        for m in nxt:
+            want[m] = h
+        frontier = nxt
+    # distributed loop (same shape as graph_reachability)
+    e0 = spark.createDataFrame(edges, "pa long, pb long")
+    e = e0.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionAll(e0.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    e = e.localCheckpoint()
+    dd = e.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
+    sd = dd.orderBy(F.col("d").desc(), "node").limit(1).select("node")
+    layers = [sd.withColumn("hops", F.lit(0).cast("long")).localCheckpoint()]
+    for h in (1, 2, 3):
+        fr = layers[-1].select("node")
+        vis = layers[0].select("node")
+        for lay in layers[1:]:
+            vis = vis.unionByName(lay.select("node"))
+        nxt = (
+            e.join(F.broadcast(fr), e.src == fr.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(F.broadcast(vis), "node", "left_anti")
+            .withColumn("hops", F.lit(h).cast("long"))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        layers.append(nxt)
+    out = layers[0]
+    for lay in layers[1:]:
+        out = out.unionByName(lay)
+    got = {r.node: r.hops for r in out.collect()}
+    assert got == want
+
+
+_EVENT = st.tuples(
+    st.integers(min_value=0, max_value=86_399),  # seconds within a day
+    st.floats(min_value=-100, max_value=100, allow_nan=False),
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(_EVENT, min_size=1, max_size=24),
+    st.integers(min_value=1, max_value=5),
+)
+def test_m4_merge_is_partition_invariant(spark, raw, n_parts):
+    """Merging M4 state over ANY partition of the events equals the
+    one-shot state -- the algebraic-state law that makes backfill
+    equal live for the streaming twin."""
+    from mvp_mini_etl_pipeline_1762840347_spark.streaming.jobs import m4_state
+    from pyspark.sql import functions as F
+
+    rows = [
+        (i, f"2024-01-01 {s // 3600:02d}:{s % 3600 // 60:02d}:{s % 60:02d}", v)
+        for i, (s, v) in enumerate(raw)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, value double"
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    oneshot = m4_state(df)
+
+    def key(df_):
+        return {
+            str(r["bucket"]): (
+                r["n_points"], r["v_min"], r["v_max"],
+                r["first_key"], r["v_first"], r["last_key"], r["v_last"],
+            )
+            for r in df_.collect()
+        }
+
+    # fold the per-slice states pairwise through the same merge logic
+    # the streaming step uses, via union + re-aggregate on the keys
+    slices = [
+        m4_state(df.filter(F.col("event_id") % n_parts == i))
+        for i in range(n_parts)
+    ]
+    merged = slices[0]
+    for s in slices[1:]:
+        u = merged.unionByName(s)
+        merged = u.groupBy("bucket").agg(
+            F.sum("n_points").alias("n_points"),
+            F.min("v_min").alias("v_min"),
+            F.max("v_max").alias("v_max"),
+            F.min("first_key").alias("first_key"),
+            F.min_by("v_first", F.col("first_key")).alias("v_first"),
+            F.max("last_key").alias("last_key"),
+            F.max_by("v_last", F.col("last_key")).alias("v_last"),
+        )
+    assert key(merged) == key(oneshot)
