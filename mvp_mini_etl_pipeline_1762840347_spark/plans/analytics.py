@@ -1408,3 +1408,131 @@ def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 bootstrap_ci.__doc__ = bootstrap_ci.__doc__.format(b=_BOOT_B)
+
+
+# ---------------------------------------------------------------------------
+# Revenue concentration: binned Lorenz curve (Pareto analysis)
+# ---------------------------------------------------------------------------
+_LORENZ_BIN = 20_000.0  # revenue units per bin
+
+
+@query(
+    "lorenz_curve_revenue",
+    oracle=f"""
+    WITH cust AS (
+      SELECT o_custkey, sum(o_totalprice) AS rev
+      FROM orders GROUP BY o_custkey
+    ),
+    bins AS (
+      SELECT CAST(floor(rev / {_LORENZ_BIN}) AS BIGINT) AS bin,
+             count(*) AS n_customers,
+             round(sum(rev), 2) AS bin_revenue
+      FROM cust GROUP BY 1
+    ),
+    tot AS (SELECT sum(n_customers) AS nc, sum(bin_revenue) AS tr FROM bins)
+    SELECT b.bin, b.n_customers, b.bin_revenue,
+           CAST(sum(b.n_customers) OVER w AS BIGINT) AS cum_customers,
+           round(CAST(sum(b.n_customers) OVER w AS DOUBLE) / t.nc, 6)
+               AS cum_cust_frac,
+           round(sum(b.bin_revenue) OVER w / t.tr, 6) AS cum_rev_share
+    FROM bins b, tot t
+    WINDOW w AS (ORDER BY b.bin DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def lorenz_curve_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Pareto / Lorenz) curve: customers
+    binned by lifetime revenue, cumulated from the richest bin down
+    -- read off "the top x% of customers hold y% of revenue" at bin
+    granularity.  The whale-accounting query every marketplace runs.
+
+    Scale: the ONLY per-customer work is one partial-aggregating
+    shuffle (custkey rollup); ranking individual customers globally
+    would need a full sort, so concentration is reported at fixed
+    VALUE-bin granularity instead -- the bin table is bounded by
+    max(revenue)/bin_width regardless of customer count, so the
+    cumulative window runs over a provably tiny frame (the same
+    bound-the-ordered-set trick as sketch_quantile_hist), never over
+    data-scale rows."""
+    cust = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    bins = cust.groupBy(
+        F.floor(F.col("rev") / _LORENZ_BIN).cast("bigint").alias("bin")
+    ).agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum("rev"), 2).alias("bin_revenue"),
+    )
+    tot = bins.agg(
+        F.sum("n_customers").alias("nc"), F.sum("bin_revenue").alias("tr")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("bin").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return bins.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_customers",
+        "bin_revenue",
+        F.sum("n_customers").over(w).cast("bigint").alias("cum_customers"),
+        F.round(
+            F.sum("n_customers").over(w).cast("double") / F.col("nc"), 6
+        ).alias("cum_cust_frac"),
+        F.round(F.sum("bin_revenue").over(w) / F.col("tr"), 6).alias(
+            "cum_rev_share"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival analysis: gaps between a customer's consecutive orders
+# ---------------------------------------------------------------------------
+@query(
+    "order_interarrival",
+    oracle="""
+    WITH g AS (
+      SELECT o_custkey,
+             date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS gap_days
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    )
+    SELECT CAST(gap_days // 30 AS BIGINT) AS gap_month_bucket,
+           count(*) AS n_gaps,
+           CAST(min(gap_days) AS BIGINT) AS min_days,
+           CAST(max(gap_days) AS BIGINT) AS max_days
+    FROM g WHERE gap_days IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def order_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer inter-arrival distribution: day gaps between each
+    customer's consecutive orders, bucketed by month -- the purchase-
+    cadence profile that feeds churn models and dormancy thresholds
+    (dormant_rich_customers' 90-day cutoff comes from exactly this
+    curve).
+
+    Scale: one window PARTITION BY customer (per-entity, never
+    global; a hot customer bounds a task at their own order count),
+    then a partial-aggregating rollup onto a bounded bucket key.
+    Ties on order date break on the order key in both engines."""
+    from pyspark.sql.window import Window
+
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = o.select(
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap_days")
+    ).filter(F.col("gap_days").isNotNull())
+    return g.groupBy(
+        F.expr("gap_days div 30").cast("bigint").alias("gap_month_bucket")
+    ).agg(
+        F.count("*").alias("n_gaps"),
+        F.min("gap_days").cast("bigint").alias("min_days"),
+        F.max("gap_days").cast("bigint").alias("max_days"),
+    )

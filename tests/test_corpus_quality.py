@@ -427,3 +427,39 @@ def test_m4_keeps_envelope_of_raw_points(spark):
     for r in rows:
         assert r.v_min <= min(r.v_first, r.v_last) + 1e-9
         assert r.v_max >= max(r.v_first, r.v_last) - 1e-9
+
+
+# ---------------------------------------------------------------------------
+# lorenz_curve_revenue + order_interarrival
+# ---------------------------------------------------------------------------
+def test_lorenz_curve_monotone_and_terminal(spark):
+    rows = sorted(
+        _run(spark, "lorenz_curve_revenue").collect(), key=lambda r: -r.bin
+    )
+    prev_c, prev_s = 0, 0.0
+    for r in rows:
+        assert r.cum_customers >= prev_c and r.cum_rev_share >= prev_s - 1e-9
+        # richer bins hold disproportionate revenue: share >= cust frac
+        assert r.cum_rev_share >= r.cum_cust_frac - 1e-6
+        prev_c, prev_s = r.cum_customers, r.cum_rev_share
+    assert abs(rows[-1].cum_cust_frac - 1.0) < 1e-9
+    assert abs(rows[-1].cum_rev_share - 1.0) < 1e-9
+
+
+def test_interarrival_gap_count_conserves(spark):
+    """Each customer with k orders contributes exactly k-1 gaps."""
+    from mvp_mini_etl_pipeline_1762840347_spark.io import read_table
+
+    rows = _run(spark, "order_interarrival").collect()
+    got = sum(r.n_gaps for r in rows)
+    per_cust = (
+        read_table(spark, SF, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("k"))
+        .agg(F.sum(F.col("k") - 1))
+        .first()[0]
+    )
+    assert got == per_cust
+    for r in rows:
+        assert 30 * r.gap_month_bucket <= r.min_days <= r.max_days
+        assert r.max_days < 30 * (r.gap_month_bucket + 1)
