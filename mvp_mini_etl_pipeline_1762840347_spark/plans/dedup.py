@@ -1128,3 +1128,105 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 dedup_lsh_recall.__doc__ = dedup_lsh_recall.__doc__.format(j=_RECALL_J)
+
+
+# ---------------------------------------------------------------------------
+# EXACT similarity join via prefix filtering (PPJoin-family)
+# ---------------------------------------------------------------------------
+_PREFIX_J = 0.5  # Jaccard threshold
+
+
+@query(
+    "dedup_prefix_filter_join",
+    oracle=rf"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) AS jaccard
+    FROM common JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= {_PREFIX_J!r}
+    """,
+)
+def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT similarity join (every pair with Jaccard >= {t}, no
+    sketch, no false negatives) made tractable by PREFIX FILTERING
+    (Chaudhuri et al. / PPJoin): order each document's shingles by
+    ascending global document frequency (rarest first, ties on the
+    shingle) and keep only the first m - ceil(t*m) + 1 as its
+    PREFIX; any pair with J >= t provably shares a prefix shingle
+    (if the first common shingle in that order sat outside A's
+    prefix, A would carry ceil(t*m)-1 >= |A-and-B| earlier
+    non-common shingles -- contradiction), so the candidate join runs
+    on prefixes only and rare shingles, never on hot full postings.
+    The ORACLE is the brute-force all-shared-shingle join: equal
+    output IS the losslessness proof, re-checked on every run.
+
+    Scale: document-frequency ranking is one shuffle on the shingle;
+    the per-doc prefix cut is a per-entity window; the candidate join
+    touches |prefix| rows per doc with the rarest (least skewed)
+    keys by construction; verification counts common shingles only
+    for candidate pairs.  This is the exact-join complement of the
+    MinHash-LSH family (which trades recall for candidate count --
+    dedup_lsh_recall measures exactly that trade)."""
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir)
+    sh = _shingles(docs).localCheckpoint()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    wd = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn("rn", F.row_number().over(wd))
+        .join(sizes, "doc_id")
+        # prefix length m - ceil(t*m) + 1 in exact integer form
+        .filter(
+            F.col("rn")
+            <= F.col("n") - F.floor((F.col("n") + 1) / 2) + 1
+        )
+        .select("doc_id", "shingle")
+    )
+    rb = ranked.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingle").alias("sh_b")
+    )
+    cand = (
+        ranked.join(rb, ranked.shingle == rb.sh_b)
+        .filter(F.col("doc_id") < F.col("doc_b"))
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+    )
+    # verify candidates only: count common shingles per candidate pair
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(
+        F.col("doc_id").alias("db2"), F.col("shingle").alias("sh2")
+    )
+    common = (
+        cand.join(sa, "doc_a")
+        .join(
+            sb,
+            (F.col("doc_b") == F.col("db2"))
+            & (F.col("shingle") == F.col("sh2")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        common.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(jac >= F.lit(_PREFIX_J))
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+dedup_prefix_filter_join.__doc__ = dedup_prefix_filter_join.__doc__.format(
+    t=_PREFIX_J
+)

