@@ -1699,3 +1699,158 @@ def sketch_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 sketch_hll_sliding.__doc__ = sketch_hll_sliding.__doc__.format(
     d=_HLL_SLIDE_DAYS, m=_HLL_M
 )
+
+
+# ---------------------------------------------------------------------------
+# HLL x CUBE: one pass of registers serves the whole grouping lattice
+# ---------------------------------------------------------------------------
+_HLL_CUBE_SQL = rf"""
+    WITH h AS (
+      SELECT o_orderstatus AS s, o_orderpriority AS p,
+             {_h60_sql("CAST(o_custkey AS VARCHAR)")} AS h
+      FROM orders
+    ),
+    regs AS (
+      SELECT s, p, h % {_HLL_M} AS bucket,
+             max(CASE WHEN h // {_HLL_M} = 0 THEN {_HLL_WBITS + 1}
+                      ELSE {_HLL_WBITS + 1} - length(bin(h // {_HLL_M}))
+                 END) AS m_j
+      FROM h GROUP BY 1, 2, 3
+    ),
+    cells AS (
+      SELECT CASE WHEN m.i IN (0, 1) THEN r.s ELSE 'ALL' END AS cell_s,
+             CASE WHEN m.i IN (0, 2) THEN r.p ELSE 'ALL' END AS cell_p,
+             r.bucket, max(r.m_j) AS m_j
+      FROM regs r, UNNEST([0, 1, 2, 3]) AS m(i)
+      GROUP BY 1, 2, 3
+    ),
+    mm AS (
+      SELECT cell_s, cell_p, max(m_j) AS m_max, count(*) AS n_buckets
+      FROM cells GROUP BY 1, 2
+    ),
+    denom AS (
+      SELECT c.cell_s, c.cell_p, mm.n_buckets, mm.m_max,
+             (sum(1::BIGINT << (mm.m_max - c.m_j))::BIGINT
+              + ({_HLL_M} - mm.n_buckets) * (1::BIGINT << mm.m_max)
+             )::BIGINT AS sum_scaled
+      FROM cells c JOIN mm ON mm.cell_s = c.cell_s AND mm.cell_p = c.cell_p
+      GROUP BY 1, 2, 3, 4
+    ),
+    est AS (
+      SELECT cell_s, cell_p, n_buckets, m_max, sum_scaled,
+             CASE WHEN CAST({_HLL_ALPHA!r} AS DOUBLE) * {_HLL_M * _HLL_M}.0
+                       * power(2.0, m_max) / sum_scaled <= 2.5 * {_HLL_M}
+                       AND n_buckets < {_HLL_M}
+                  THEN {_HLL_M}.0 * ln({_HLL_M}.0 / ({_HLL_M} - n_buckets))
+                  ELSE CAST({_HLL_ALPHA!r} AS DOUBLE) * {_HLL_M * _HLL_M}.0
+                       * power(2.0, m_max) / sum_scaled
+             END AS est
+      FROM denom
+    ),
+    exact AS (
+      SELECT CASE WHEN m.i IN (0, 1) THEN d.s ELSE 'ALL' END AS cell_s,
+             CASE WHEN m.i IN (0, 2) THEN d.p ELSE 'ALL' END AS cell_p,
+             count(DISTINCT d.k) AS exact_distinct
+      FROM (SELECT DISTINCT o_orderstatus AS s, o_orderpriority AS p,
+                   o_custkey AS k FROM orders) d,
+           UNNEST([0, 1, 2, 3]) AS m(i)
+      GROUP BY 1, 2
+    )
+    SELECT e.cell_s, e.cell_p, e.n_buckets, e.m_max, e.sum_scaled,
+           x.exact_distinct, round(e.est, 2) AS est_distinct,
+           round(100.0 * (e.est / x.exact_distinct - 1.0), 2)
+               AS rel_err_pct
+    FROM est e JOIN exact x
+      ON x.cell_s = e.cell_s AND x.cell_p = e.cell_p
+"""
+
+
+@query("sketch_hll_cube", oracle=_HLL_CUBE_SQL)
+def sketch_hll_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customers for EVERY cell of the (status x priority)
+    grouping lattice -- cube, both rollups, and grand total -- from
+    ONE pass of HLL registers: the finest-grain register table fans
+    out to its 4 lattice cells and coarser cells merge by register
+    max, so the raw fact is hashed exactly once however many cells
+    the cube has.  This is why mergeable sketches, not exact
+    count-distincts, power OLAP cubes and continuous aggregates
+    (an exact DISTINCT cannot be rolled up; register states can).
+
+    Scale: register build is the usual <= {m}-rows-per-group partial
+    max; the lattice fan-out multiplies REGISTERS (bounded), never
+    facts; the exact count-distinct rides along per cell as the
+    accuracy yardstick.  Estimator arithmetic is the integer-exact
+    scaled-denominator form shared by the whole HLL family."""
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("s"),
+        F.col("o_orderpriority").alias("p"),
+        "o_custkey",
+    )
+    h = _h60(F.col("o_custkey").cast("string"))
+    w = F.expr(f"h div {_HLL_M}")
+    rho = F.when(w == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+        F.lit(_HLL_WBITS + 1) - F.length(F.bin(w))
+    )
+    regs = (
+        o.select("s", "p", h.alias("h"))
+        .select("s", "p", (F.col("h") % _HLL_M).alias("bucket"), rho.alias("rho"))
+        .groupBy("s", "p", "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    mode = F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("i")
+    cell_s = F.when(F.col("i").isin(0, 1), F.col("s")).otherwise(F.lit("ALL"))
+    cell_p = F.when(F.col("i").isin(0, 2), F.col("p")).otherwise(F.lit("ALL"))
+    cells = (
+        regs.select("s", "p", "bucket", "m_j", mode)
+        .select(
+            cell_s.alias("cell_s"), cell_p.alias("cell_p"), "bucket", "m_j"
+        )
+        .groupBy("cell_s", "cell_p", "bucket")
+        .agg(F.max("m_j").alias("m_j"))
+    )
+    mm = cells.groupBy("cell_s", "cell_p").agg(
+        F.max("m_j").alias("m_max"), F.count("*").alias("n_buckets")
+    )
+    denom = (
+        cells.join(F.broadcast(mm), ["cell_s", "cell_p"])
+        .groupBy("cell_s", "cell_p", "n_buckets", "m_max")
+        .agg(
+            (
+                F.sum(F.expr("shiftleft(cast(1 as bigint), m_max - m_j)"))
+                + (F.lit(_HLL_M) - F.col("n_buckets"))
+                * F.expr("shiftleft(cast(1 as bigint), m_max)")
+            ).cast("bigint").alias("sum_scaled")
+        )
+    )
+    raw_est = (
+        F.lit(_HLL_ALPHA)
+        * F.lit(float(_HLL_M * _HLL_M))
+        * F.pow(F.lit(2.0), F.col("m_max"))
+        / F.col("sum_scaled")
+    )
+    est = F.when(
+        (raw_est <= F.lit(2.5 * _HLL_M)) & (F.col("n_buckets") < _HLL_M),
+        F.lit(float(_HLL_M))
+        * F.log(F.lit(float(_HLL_M)) / (F.lit(_HLL_M) - F.col("n_buckets"))),
+    ).otherwise(raw_est)
+    exact = (
+        o.distinct()
+        .select("s", "p", "o_custkey", mode)
+        .select(
+            cell_s.alias("cell_s"), cell_p.alias("cell_p"), "o_custkey"
+        )
+        .groupBy("cell_s", "cell_p")
+        .agg(F.countDistinct("o_custkey").alias("exact_distinct"))
+    )
+    return denom.join(exact, ["cell_s", "cell_p"]).select(
+        "cell_s",
+        "cell_p",
+        "n_buckets",
+        "m_max",
+        "sum_scaled",
+        "exact_distinct",
+        F.round(est, 2).alias("est_distinct"),
+        F.round(
+            F.lit(100.0) * (est / F.col("exact_distinct") - 1.0), 2
+        ).alias("rel_err_pct"),
+    )

@@ -304,3 +304,23 @@ def test_hll_sliding_estimate_sane_and_registers_bounded(spark):
         # HLL with m=256 has ~6.5% std err; 3-day windows at sf0.001
         # hold a few hundred users -- allow a generous 5-sigma band
         assert abs(r["rel_err_pct"]) < 35.0, r
+
+
+def test_hll_cube_lattice_consistency(spark):
+    """The grand-total cell's registers are the max over all finest
+    cells, so its estimate must equal sketch_hll_distinct's global
+    estimate (same hash, same space); exact columns obey lattice
+    monotonicity (a rollup cell's distinct >= any child's)."""
+    from mvp_mini_etl_pipeline_1762840347_spark.plans import QUERIES
+
+    rows = QUERIES["sketch_hll_cube"](spark, SF).collect()
+    cells = {(r.cell_s, r.cell_p): r for r in rows}
+    grand = cells[("ALL", "ALL")]
+    glob = QUERIES["sketch_hll_distinct"](spark, SF).first()
+    assert grand.est_distinct == glob.est_distinct
+    assert grand.sum_scaled == glob.sum_scaled
+    for (s, p), r in cells.items():
+        if s != "ALL":
+            assert r.exact_distinct <= cells[("ALL", p)].exact_distinct
+        if p != "ALL":
+            assert r.exact_distinct <= cells[(s, "ALL")].exact_distinct
