@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import read_table
+from ..io import read_events, read_table
 from .registry import query
 
 _CUT = "1999-01-01"
@@ -1536,3 +1536,148 @@ def order_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("gap_days").cast("bigint").alias("min_days"),
         F.max("gap_days").cast("bigint").alias("max_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier retention curve (right-censored survival analysis)
+# ---------------------------------------------------------------------------
+_KM_CENSOR_MIN = 60  # sessions ending in the stream's last hour are censored
+
+
+@query(
+    "retention_kaplan_meier",
+    oracle=f"""
+    WITH t AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 3600000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM t
+    ),
+    life AS (
+      SELECT epoch_us(max(ts)) // 60000000 - epoch_us(min(ts)) // 60000000
+                 AS dur,
+             CASE WHEN max(ts) >= (SELECT max(ts) FROM events)
+                                  - INTERVAL {{_KM_CENSOR_MIN}} MINUTES
+                  THEN 1 ELSE 0 END AS censored
+      FROM s GROUP BY user_id, session_id
+    ),
+    durs AS (
+      SELECT dur, count(*) AS n_dur,
+             sum(1 - censored) AS d
+      FROM life GROUP BY dur
+    ),
+    at_risk AS (
+      SELECT dur, d,
+             sum(n_dur) OVER (ORDER BY dur DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS n
+      FROM durs
+    )
+    SELECT CAST(dur AS BIGINT) AS minute, CAST(d AS BIGINT) AS n_ended,
+           CAST(n AS BIGINT) AS n_at_risk,
+           round(CASE WHEN max(CASE WHEN d = n THEN 1 ELSE 0 END) OVER w = 1
+                      THEN 0.0
+                      ELSE exp(sum(CASE WHEN d < n
+                                        THEN ln(1.0 - CAST(d AS DOUBLE) / n)
+                                   END) OVER w)
+                 END, 4) AS survival
+    FROM at_risk WHERE d > 0
+    WINDOW w AS (ORDER BY dur
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """.replace("{_KM_CENSOR_MIN}", str(_KM_CENSOR_MIN)),
+)
+def retention_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of SESSION duration with RIGHT
+    CENSORING: a session's lifetime is minutes from first to last
+    event; sessions still running into the stream's final
+    {c} minutes are censored (they keep informing the at-risk
+    denominator without counting as an ended session) -- the
+    estimator product S(t) = prod(1 - d_t/n_t), the statistically
+    correct duration curve under an incomplete observation window
+    (naive "share longer than t" is biased short near the window
+    edge).
+
+    Scale: sessionization is Spark's native session_window (one
+    shuffle keyed by user); ended/at-risk counts collapse onto the
+    DURATION-minute key (bounded by the max session length, NOT by
+    session count), so the at-risk reverse cumsum and the running
+    product -- stated as exp of a running sum of logs, identically in
+    both engines -- run over a provably tiny ordered set."""
+    from pyspark.sql.window import Window
+
+    e = read_events(spark, sf_dir)
+    bound = e.agg(F.max("ts").alias("maxts"))
+    life = (
+        e.groupBy(F.session_window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.min("ts").alias("st"), F.max("ts").alias("en"))
+        .crossJoin(F.broadcast(bound))
+        .select(
+            (
+                F.floor(F.unix_micros("en") / 60_000_000)
+                - F.floor(F.unix_micros("st") / 60_000_000)
+            ).alias("dur"),
+            F.when(
+                F.col("en")
+                >= F.col("maxts") - F.expr(f"INTERVAL {_KM_CENSOR_MIN} MINUTES"),
+                1,
+            )
+            .otherwise(0)
+            .alias("censored"),
+        )
+    )
+    durs = life.groupBy("dur").agg(
+        F.count("*").alias("n_dur"),
+        F.sum(F.lit(1) - F.col("censored")).alias("d"),
+    )
+    w_rev = Window.orderBy(F.col("dur").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    at_risk = durs.select(
+        "dur", "d", F.sum("n_dur").over(w_rev).alias("n")
+    )
+    w_fwd = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        at_risk.select(
+            F.col("dur").cast("bigint").alias("minute"),
+            F.col("d").cast("bigint").alias("n_ended"),
+            F.col("n").cast("bigint").alias("n_at_risk"),
+            # the final duration has d == n (factor 0): carry an
+            # explicit zero flag instead of ln(0)
+            F.round(
+                F.when(
+                    F.max(
+                        F.when(F.col("d") == F.col("n"), 1).otherwise(0)
+                    ).over(w_fwd)
+                    == 1,
+                    F.lit(0.0),
+                ).otherwise(
+                    F.exp(
+                        F.sum(
+                            F.when(
+                                F.col("d") < F.col("n"),
+                                F.log(
+                                    F.lit(1.0)
+                                    - F.col("d").cast("double") / F.col("n")
+                                ),
+                            )
+                        ).over(w_fwd)
+                    )
+                ),
+                4,
+            ).alias("survival"),
+        )
+        .filter(F.col("n_ended") > 0)
+    )
+
+
+retention_kaplan_meier.__doc__ = retention_kaplan_meier.__doc__.format(
+    c=_KM_CENSOR_MIN
+)

@@ -512,3 +512,25 @@ def test_prefix_filter_is_selective_yet_lossless(spark):
     }
     assert out == truth, "prefix filter lost or fabricated a pair"
     assert len(truth) <= full_pairs
+
+
+# ---------------------------------------------------------------------------
+# retention_kaplan_meier
+# ---------------------------------------------------------------------------
+def test_kaplan_meier_curve_laws(spark):
+    rows = sorted(
+        _run(spark, "retention_kaplan_meier").collect(),
+        key=lambda r: r.minute,
+    )
+    assert rows, "curve must be non-empty"
+    prev_s, prev_n = 1.0, None
+    for r in rows:
+        assert 0.0 <= r.survival <= prev_s + 1e-9, "S(t) non-increasing"
+        assert 0 < r.n_ended <= r.n_at_risk
+        if prev_n is not None:
+            assert r.n_at_risk <= prev_n, "at-risk set shrinks with t"
+        prev_s, prev_n = r.survival, r.n_at_risk
+    first = rows[0]
+    assert abs(
+        first.survival - round(1.0 - first.n_ended / first.n_at_risk, 4)
+    ) <= 1e-9
