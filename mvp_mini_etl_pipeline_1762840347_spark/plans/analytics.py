@@ -1681,3 +1681,194 @@ def retention_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
 retention_kaplan_meier.__doc__ = retention_kaplan_meier.__doc__.format(
     c=_KM_CENSOR_MIN
 )
+
+
+# ---------------------------------------------------------------------------
+# A/B test analysis: two-proportion z-test over hash-assigned arms
+# ---------------------------------------------------------------------------
+@query(
+    "ab_test_zscore",
+    oracle="""
+    WITH arms AS (
+      SELECT user_id,
+             CASE WHEN ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                       )::BIGINT % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+             max(CASE WHEN event_type = 'purchase' AND value > 150.0
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY 1
+    ),
+    s AS (
+      SELECT arm, count(*) AS n, sum(converted) AS conv
+      FROM arms GROUP BY arm
+    ),
+    wide AS (
+      SELECT max(CASE WHEN arm = 'A' THEN n END) AS n_a,
+             max(CASE WHEN arm = 'A' THEN conv END) AS c_a,
+             max(CASE WHEN arm = 'B' THEN n END) AS n_b,
+             max(CASE WHEN arm = 'B' THEN conv END) AS c_b
+      FROM s
+    )
+    SELECT n_a, CAST(c_a AS BIGINT) AS c_a, n_b, CAST(c_b AS BIGINT) AS c_b,
+           round(CAST(c_a AS DOUBLE) / n_a, 6) AS rate_a,
+           round(CAST(c_b AS DOUBLE) / n_b, 6) AS rate_b,
+           round((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+                 / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 4) AS z_score,
+           CASE WHEN abs((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+                 / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b))) >= 1.96
+                THEN 1 ELSE 0 END AS significant_95
+    FROM wide
+    """,
+)
+def ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment readout: users hash-assigned to two arms (the same
+    deterministic assignment discipline as sample_hash_split -- no
+    RNG, so retries/backfills cannot move a user between arms),
+    per-user conversion = any high-value purchase (> 150), and the pooled
+    two-proportion z-test with the 1.96 two-sided significance gate
+    -- the statistics every experimentation platform computes.
+
+    Scale: one per-user aggregate (conversion collapses map-side),
+    one 2-row arm rollup, then driver-scale arithmetic: the z-score
+    is written as one expression over exact integer counts, so both
+    engines evaluate bit-identical IEEE operations in the same
+    order."""
+    e = read_events(spark, sf_dir)
+    from .sketches import _h60
+
+    arms = (
+        e.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") > 150.0),
+                    1,
+                ).otherwise(0)
+            ).alias("converted")
+        )
+        .select(
+            F.when(
+                _h60(F.col("user_id").cast("string")) % 2 == 0, "A"
+            ).otherwise("B").alias("arm"),
+            "converted",
+        )
+    )
+    s = arms.groupBy("arm").agg(
+        F.count("*").alias("n"), F.sum("converted").alias("conv")
+    )
+    wide = s.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == "A", F.col("conv"))).alias("c_a"),
+        F.max(F.when(F.col("arm") == "B", F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == "B", F.col("conv"))).alias("c_b"),
+    )
+    ra = F.col("c_a").cast("double") / F.col("n_a")
+    rb = F.col("c_b").cast("double") / F.col("n_b")
+    pool = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (ra - rb) / F.sqrt(
+        pool
+        * (F.lit(1.0) - pool)
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    return wide.select(
+        "n_a",
+        F.col("c_a").cast("bigint").alias("c_a"),
+        "n_b",
+        F.col("c_b").cast("bigint").alias("c_b"),
+        F.round(ra, 6).alias("rate_a"),
+        F.round(rb, 6).alias("rate_b"),
+        F.round(z, 4).alias("z_score"),
+        F.when(F.abs(z) >= 1.96, 1).otherwise(0).alias("significant_95"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection over the daily event-value series
+# ---------------------------------------------------------------------------
+_CUSUM_K = 0.5  # slack, in global-stddev units
+_CUSUM_H = 4.0  # decision threshold, in global-stddev units
+
+
+@query(
+    "cusum_changepoint",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, round(avg(value), 6) AS v
+      FROM events GROUP BY 1
+    ),
+    stats AS (
+      SELECT round(avg(v), 6) AS mu, round(stddev_pop(v), 6) AS sd
+      FROM daily
+    ),
+    z AS (
+      SELECT day, v, (v - mu) / sd AS zv FROM daily, stats
+    ),
+    rec0 AS (
+      SELECT day, v,
+             sum(zv - {_CUSUM_K}) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_run
+      FROM z
+    ),
+    rec AS (
+      SELECT day, v,
+             greatest(0.0, s_run - min(least(0.0, s_run)) OVER (
+               ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cusum_hi
+      FROM rec0
+    )
+    SELECT CAST(day AS VARCHAR) AS day, round(v, 4) AS daily_avg,
+           round(cusum_hi, 4) AS cusum_hi,
+           CASE WHEN cusum_hi > {_CUSUM_H} THEN 1 ELSE 0 END AS alarm
+    FROM rec
+    """,
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM control chart over the daily mean event value: the
+    one-sided upper cumulative sum C_t = max(0, C_(t-1) + z_t - k),
+    alarming when C_t exceeds h -- the classic sequential
+    change-point detector (Page 1954) behind drift monitors.
+
+    The recursive max(0, ...) scan is rewritten as a WINDOW-ALGEBRA
+    identity: C_t = S_t - min(0, S_1..S_t) where S is the plain
+    running sum of (z - k) -- the reset-at-zero recursion equals
+    subtracting the running minimum of the prefix sums (both engines
+    state the identical two-window form; the same rewrite family as
+    events_ewma's band self-join).  All windows run over the DAILY
+    series (bounded by the calendar, not event volume); raw events
+    collapse to one row per day in the first partial-aggregating
+    shuffle."""
+    from pyspark.sql.window import Window
+
+    e = read_events(spark, sf_dir)
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.round(F.avg("value"), 6).alias("v")
+    )
+    stats = daily.agg(
+        F.round(F.avg("v"), 6).alias("mu"),
+        F.round(F.stddev_pop("v"), 6).alias("sd"),
+    )
+    z = daily.crossJoin(F.broadcast(stats)).select(
+        "day", "v", ((F.col("v") - F.col("mu")) / F.col("sd")).alias("zv")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s_run = F.sum(F.col("zv") - F.lit(_CUSUM_K)).over(w)
+    rec = z.select("day", "v", s_run.alias("s_run"))
+    cusum = F.greatest(
+        F.lit(0.0),
+        F.col("s_run")
+        - F.min(F.least(F.lit(0.0), F.col("s_run"))).over(w),
+    )
+    return rec.select(
+        F.col("day").cast("string").alias("day"),
+        F.round("v", 4).alias("daily_avg"),
+        F.round(cusum, 4).alias("cusum_hi"),
+        F.when(cusum > _CUSUM_H, 1).otherwise(0).alias("alarm"),
+    )

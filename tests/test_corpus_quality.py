@@ -534,3 +534,52 @@ def test_kaplan_meier_curve_laws(spark):
     assert abs(
         first.survival - round(1.0 - first.n_ended / first.n_at_risk, 4)
     ) <= 1e-9
+
+
+# ---------------------------------------------------------------------------
+# ab_test_zscore + cusum_changepoint
+# ---------------------------------------------------------------------------
+def test_ab_test_arms_partition_users_and_z_math(spark):
+    import math
+
+    from mvp_mini_etl_pipeline_1762840347_spark.io import read_events
+
+    r = _run(spark, "ab_test_zscore").first()
+    n_users = read_events(spark, SF).select("user_id").distinct().count()
+    assert r.n_a + r.n_b == n_users
+    assert 0 <= r.c_a <= r.n_a and 0 <= r.c_b <= r.n_b
+    pool = (r.c_a + r.c_b) / (r.n_a + r.n_b)
+    z = (r.c_a / r.n_a - r.c_b / r.n_b) / math.sqrt(
+        pool * (1 - pool) * (1 / r.n_a + 1 / r.n_b)
+    )
+    assert abs(r.z_score - round(z, 4)) < 1e-9
+    assert r.significant_95 == (1 if abs(z) >= 1.96 else 0)
+
+
+def test_cusum_matches_sequential_recursion(spark):
+    """The window-algebra form (S_t - min prefix) must equal the
+    textbook reset-at-zero recursion replayed sequentially."""
+    rows = sorted(
+        _run(spark, "cusum_changepoint").collect(), key=lambda r: r.day
+    )
+    from mvp_mini_etl_pipeline_1762840347_spark.io import read_events
+    from mvp_mini_etl_pipeline_1762840347_spark.plans.analytics import (
+        _CUSUM_H,
+        _CUSUM_K,
+    )
+
+    daily = {
+        str(r["day"]): r["v"]
+        for r in read_events(spark, SF)
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.round(F.avg("value"), 6).alias("v"))
+        .collect()
+    }
+    vs = [daily[r.day] for r in rows]
+    mu = round(sum(vs) / len(vs), 6)
+    sd = round((sum((v - mu) ** 2 for v in vs) / len(vs)) ** 0.5, 6)
+    c = 0.0
+    for r, v in zip(rows, vs):
+        c = max(0.0, c + (v - mu) / sd - _CUSUM_K)
+        assert abs(r.cusum_hi - round(c, 4)) < 1e-6, r.day
+        assert r.alarm == (1 if c > _CUSUM_H else 0)
