@@ -1872,3 +1872,83 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cusum, 4).alias("cusum_hi"),
         F.when(cusum > _CUSUM_H, 1).otherwise(0).alias("alarm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square test of independence (status x priority)
+# ---------------------------------------------------------------------------
+@query(
+    "chi_square_independence",
+    oracle="""
+    WITH obs AS (
+      SELECT o_orderstatus AS s, o_orderpriority AS p, count(*) AS o
+      FROM orders GROUP BY 1, 2
+    ),
+    rows_ AS (SELECT s, sum(o) AS rs FROM obs GROUP BY s),
+    cols_ AS (SELECT p, sum(o) AS cs FROM obs GROUP BY p),
+    tot AS (SELECT sum(o) AS n FROM obs),
+    cells AS (
+      SELECT o.s, o.p, o.o,
+             CAST(r.rs AS DOUBLE) * c.cs / t.n AS e
+      FROM obs o JOIN rows_ r ON r.s = o.s
+                 JOIN cols_ c ON c.p = o.p
+                 CROSS JOIN tot t
+    )
+    SELECT CAST((SELECT count(*) FROM rows_) AS BIGINT) AS n_rows,
+           CAST((SELECT count(*) FROM cols_) AS BIGINT) AS n_cols,
+           CAST(((SELECT count(*) FROM rows_) - 1)
+                * ((SELECT count(*) FROM cols_) - 1) AS BIGINT) AS dof,
+           round(sum((o - e) * (o - e) / e), 4) AS chi2
+    FROM cells
+    """,
+)
+def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between order status
+    and priority: observed cell counts vs the products-of-marginals
+    expectation, sum (O-E)^2/E with (r-1)(c-1) degrees of freedom --
+    the categorical-association readout behind every segmentation
+    sanity check ("does priority mix differ by status?").
+
+    Scale: one partial-aggregating shuffle builds the contingency
+    cells; marginals derive from the already-tiny cell table; the
+    statistic is one fold over r x c rows.  Expected counts are a
+    single double expression over exact integers, evaluated in the
+    same order by both engines."""
+    obs = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderstatus").alias("s"),
+            F.col("o_orderpriority").alias("p"),
+        )
+        .agg(F.count("*").alias("o"))
+        .localCheckpoint()
+    )
+    rows_ = obs.groupBy("s").agg(F.sum("o").alias("rs"))
+    cols_ = obs.groupBy("p").agg(F.sum("o").alias("cs"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    cells = (
+        obs.join(F.broadcast(rows_), "s")
+        .join(F.broadcast(cols_), "p")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "o",
+            (
+                F.col("rs").cast("double") * F.col("cs") / F.col("n")
+            ).alias("e"),
+        )
+    )
+    nr = rows_.count()
+    nc = cols_.count()
+    return cells.agg(
+        F.lit(nr).cast("bigint").alias("n_rows"),
+        F.lit(nc).cast("bigint").alias("n_cols"),
+        F.lit((nr - 1) * (nc - 1)).cast("bigint").alias("dof"),
+        F.round(
+            F.sum(
+                (F.col("o") - F.col("e"))
+                * (F.col("o") - F.col("e"))
+                / F.col("e")
+            ),
+            4,
+        ).alias("chi2"),
+    )

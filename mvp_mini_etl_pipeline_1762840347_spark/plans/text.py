@@ -1406,3 +1406,97 @@ def bpe_encode_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 bpe_encode_fixed.__doc__ = bpe_encode_fixed.__doc__.format(
     n=len(_BPE_MERGES)
 )
+
+
+# ---------------------------------------------------------------------------
+# Zipf's-law fit over the corpus token distribution
+# ---------------------------------------------------------------------------
+_ZIPF_K = 128  # fit over the top-K tokens
+
+
+@query(
+    "text_zipf_slope",
+    oracle=rf"""
+    WITH wc AS (
+      SELECT tok, count(*) AS c FROM (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        FROM documents
+      ) GROUP BY tok
+    ),
+    top AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS r
+      FROM wc ORDER BY c DESC, tok LIMIT {_ZIPF_K}
+    ),
+    pts AS (SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+            FROM top),
+    m AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_points,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
+               AS zipf_slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+                 4) AS intercept
+    FROM m
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law diagnostic: OLS slope of log(frequency) on
+    log(rank) over the corpus's top-{k} tokens -- natural language
+    sits near -1; a slope far from it flags synthetic, templated, or
+    boilerplate-heavy corpora (a standard pre-training corpus-health
+    check alongside entropy and repetition).
+
+    Scale: token counts are one partial-aggregating shuffle; the
+    rank/fit runs entirely on the top-{k} rows (TakeOrdered, ties on
+    the token string), so nothing past the first aggregate scales
+    with the corpus.  The closed-form OLS is stated as one expression
+    over the {k}-row sums, identical in both engines."""
+    from pyspark.sql.window import Window
+
+    wc = (
+        read_table(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    top = (
+        wc.orderBy(F.col("c").desc(), "tok")
+        .limit(_ZIPF_K)
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.orderBy(F.col("c").desc(), "tok")
+            ),
+        )
+    )
+    pts = top.select(
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    m = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_points"),
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4).alias(
+            "intercept"
+        ),
+    )
+
+
+text_zipf_slope.__doc__ = text_zipf_slope.__doc__.format(k=_ZIPF_K)

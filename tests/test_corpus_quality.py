@@ -583,3 +583,52 @@ def test_cusum_matches_sequential_recursion(spark):
         c = max(0.0, c + (v - mu) / sd - _CUSUM_K)
         assert abs(r.cusum_hi - round(c, 4)) < 1e-6, r.day
         assert r.alarm == (1 if c > _CUSUM_H else 0)
+
+
+# ---------------------------------------------------------------------------
+# chi_square_independence + text_zipf_slope
+# ---------------------------------------------------------------------------
+def test_chi_square_matches_pure_python(spark):
+    from mvp_mini_etl_pipeline_1762840347_spark.io import read_table
+
+    r = _run(spark, "chi_square_independence").first()
+    obs = {}
+    for row in (
+        read_table(spark, SF, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .count()
+        .collect()
+    ):
+        obs[(row[0], row[1])] = row[2]
+    rows = sorted({k[0] for k in obs})
+    cols = sorted({k[1] for k in obs})
+    n = sum(obs.values())
+    chi2 = 0.0
+    for (s, p), o in obs.items():
+        rs = sum(v for k, v in obs.items() if k[0] == s)
+        cs = sum(v for k, v in obs.items() if k[1] == p)
+        e = rs * cs / n
+        chi2 += (o - e) ** 2 / e
+    assert r.n_rows == len(rows) and r.n_cols == len(cols)
+    assert r.dof == (len(rows) - 1) * (len(cols) - 1)
+    assert abs(r.chi2 - round(chi2, 4)) < 1e-6
+
+
+def test_zipf_slope_negative_and_fit_reasonable(spark):
+    r = _run(spark, "text_zipf_slope").first()
+    from mvp_mini_etl_pipeline_1762840347_spark.plans.text import _ZIPF_K
+
+    n_vocab = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("tok")
+        )
+        .select("tok")
+        .distinct()
+        .count()
+    )
+    assert r.n_points == min(_ZIPF_K, n_vocab)
+    assert r.zipf_slope < 0, "frequency must fall with rank"
+    assert r.intercept > 0
