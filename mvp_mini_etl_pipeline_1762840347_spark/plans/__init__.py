@@ -16,3 +16,4 @@ from . import sketches  # noqa: F401,E402
 from . import packing  # noqa: F401,E402
 from . import warehouse  # noqa: F401,E402
 from . import scrub  # noqa: F401,E402
+from . import evaluation  # noqa: F401,E402

@@ -1952,3 +1952,77 @@ def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("chi2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation of the daily revenue series (ACF diagnostics)
+# ---------------------------------------------------------------------------
+_ACF_MAX_LAG = 7
+
+
+@query(
+    "revenue_autocorrelation",
+    oracle=f"""
+    WITH daily AS (
+      SELECT o_orderdate AS d, sum(o_totalprice) AS rev
+      FROM orders GROUP BY 1
+    ),
+    lagged AS (
+      SELECT rev,
+             {', '.join(f'lag(rev, {i}) OVER (ORDER BY d) AS rev_l{i}' for i in range(1, 8))}
+      FROM daily
+    )
+    {' UNION ALL '.join(
+        f"SELECT {i} AS lag_d, round(corr(rev, rev_l{i}), 6) AS acf, "
+        f"count(rev_l{i}) AS n_pairs FROM lagged"
+        for i in range(1, 8)
+    )}
+    """,
+)
+def revenue_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the daily-revenue series at lags
+    1..{maxlag} -- the seasonality/momentum diagnostic run before any
+    forecasting model (weekly cadence shows up as a lag-7 spike).
+
+    The data-sized work is one groupBy(day); every window and corr
+    then runs on the AGGREGATED series (one row per day -- thousands
+    of rows at any corpus size, since the calendar does not grow with
+    the data).  Lags come from {maxlag} lag() columns over the day
+    order, stacked to (lag, x, x_lag) pairs with one explode, then a
+    per-lag corr() aggregate; pairs with no lag-partner drop out via
+    corr's null handling, matching the per-arm counts in the oracle's
+    unioned form."""
+    from pyspark.sql.window import Window
+
+    o = read_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    w = Window.partitionBy().orderBy("d")
+    lagged = daily.select(
+        "rev",
+        *[F.lag("rev", i).over(w).alias(f"rev_l{i}") for i in range(1, _ACF_MAX_LAG + 1)],
+    )
+    stacked = lagged.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("lag_d"),
+                        F.col("rev").alias("x"),
+                        F.col(f"rev_l{i}").alias("x_lag"),
+                    )
+                    for i in range(1, _ACF_MAX_LAG + 1)
+                ]
+            )
+        ).alias("t")
+    ).select("t.lag_d", "t.x", "t.x_lag")
+    return stacked.groupBy("lag_d").agg(
+        F.round(F.corr("x", "x_lag"), 6).alias("acf"),
+        F.count("x_lag").alias("n_pairs"),
+    )
+
+
+revenue_autocorrelation.__doc__ = revenue_autocorrelation.__doc__.format(
+    maxlag=_ACF_MAX_LAG
+)

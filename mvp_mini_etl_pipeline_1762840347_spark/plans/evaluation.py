@@ -1,0 +1,201 @@
+"""Model-evaluation queries: cross-validation and ranking metrics
+computed as distributed aggregations.
+
+The engine's ML story (regression_price_qty, kmeans, quality
+classifier) produces models; a pipeline that TRAINS on the corpus
+also has to EVALUATE on it, at the same scale.  Both queries here
+keep the data-sized work to a single grouped aggregation and push
+every per-model / per-threshold computation onto the tiny aggregated
+frame -- the only shape that survives 100 TB:
+
+* k-fold cross-validation never rescans per fold: one pass collects
+  per-fold SUFFICIENT STATISTICS, and the train-side moments of every
+  fold are the ALGEBRAIC COMPLEMENT (global minus fold) -- k models
+  and k held-out errors from one scan, because OLS and MSE are both
+  functions of (n, Sx, Sy, Sxx, Sxy, Syy) alone.
+* AUC never sorts rows globally: scores are grouped to their distinct
+  values first (bounded domain), and the rank-sum identity runs over
+  the distinct-value frame with tie-correction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import read_table
+from .registry import query
+
+_N_FOLDS = 5
+
+
+@query(
+    "crossval_regression",
+    oracle=f"""
+    WITH stats AS (
+      SELECT l_orderkey % {_N_FOLDS} AS fold,
+             count(*)                   AS n,
+             sum(l_quantity)            AS sx,
+             sum(l_extendedprice)       AS sy,
+             sum(l_quantity * l_quantity)          AS sxx,
+             sum(l_quantity * l_extendedprice)     AS sxy,
+             sum(l_extendedprice * l_extendedprice) AS syy
+      FROM lineitem GROUP BY 1
+    ),
+    folds AS (
+      SELECT fold, n, sx, sy, sxx, sxy, syy,
+             sum(n)   OVER () - n   AS tn,
+             sum(sx)  OVER () - sx  AS tsx,
+             sum(sy)  OVER () - sy  AS tsy,
+             sum(sxx) OVER () - sxx AS tsxx,
+             sum(sxy) OVER () - sxy AS tsxy
+      FROM stats
+    ),
+    fitted AS (
+      SELECT fold, n, sx, sy, sxx, sxy, syy,
+             (tn * tsxy - tsx * tsy) / (tn * tsxx - tsx * tsx) AS slope,
+             (tsy - (tn * tsxy - tsx * tsy) / (tn * tsxx - tsx * tsx) * tsx)
+               / tn AS icept
+      FROM folds
+    )
+    SELECT fold, n AS n_test,
+           round(slope, 4) AS slope,
+           round(icept, 4) AS intercept,
+           round(sqrt((syy - 2 * icept * sy - 2 * slope * sxy
+                       + n * icept * icept + 2 * slope * icept * sx
+                       + slope * slope * sxx) / n), 2) AS test_rmse
+    FROM fitted
+    """,
+)
+def crossval_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{k}-fold cross-validated OLS (price ~ quantity) from ONE scan.
+
+    Fold assignment is a deterministic key hash (orderkey mod {k}).
+    The single pass aggregates per-fold sufficient statistics
+    (n, Sx, Sy, Sxx, Sxy, Syy) -- constant state, map-side combined.
+    Each fold's TRAINING moments are then the complement
+    (global - fold), taken with window sums over the {k}-row frame,
+    and the held-out RMSE expands algebraically:
+
+        sum((y - a - b*x)^2) = Syy - 2a*Sy - 2b*Sxy
+                               + n*a^2 + 2ab*Sx + b^2*Sxx
+
+    so neither the k models nor the k test errors ever touch the fact
+    table again.  The naive form (k train scans + k eval scans) reads
+    the data 2k times; this reads it once, which is the difference
+    between feasible and not at corpus scale."""
+    li = read_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    stats = li.groupBy(
+        (F.col("l_orderkey") % _N_FOLDS).alias("fold")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(y * y).alias("syy"),
+    )
+    # complement (train-side) moments over the k-row aggregated frame;
+    # the unpartitioned window is over exactly k rows, never data.
+    w = Window.partitionBy()
+    folds = stats.select(
+        "*",
+        (F.sum("n").over(w) - F.col("n")).alias("tn"),
+        (F.sum("sx").over(w) - F.col("sx")).alias("tsx"),
+        (F.sum("sy").over(w) - F.col("sy")).alias("tsy"),
+        (F.sum("sxx").over(w) - F.col("sxx")).alias("tsxx"),
+        (F.sum("sxy").over(w) - F.col("sxy")).alias("tsxy"),
+    )
+    slope = (F.col("tn") * F.col("tsxy") - F.col("tsx") * F.col("tsy")) / (
+        F.col("tn") * F.col("tsxx") - F.col("tsx") * F.col("tsx")
+    )
+    fitted = folds.select(
+        "fold", "n", "sx", "sy", "sxx", "sxy", "syy",
+        slope.alias("slope"),
+        ((F.col("tsy") - slope * F.col("tsx")) / F.col("tn")).alias("icept"),
+    )
+    a, b = F.col("icept"), F.col("slope")
+    mse = (
+        F.col("syy")
+        - 2 * a * F.col("sy")
+        - 2 * b * F.col("sxy")
+        + F.col("n") * a * a
+        + 2 * a * b * F.col("sx")
+        + b * b * F.col("sxx")
+    ) / F.col("n")
+    return fitted.select(
+        "fold",
+        F.col("n").alias("n_test"),
+        F.round("slope", 4).alias("slope"),
+        F.round("icept", 4).alias("intercept"),
+        F.round(F.sqrt(mse), 2).alias("test_rmse"),
+    )
+
+
+crossval_regression.__doc__ = crossval_regression.__doc__.format(k=_N_FOLDS)
+
+
+@query(
+    "classifier_auc",
+    oracle="""
+    WITH scored AS (
+      SELECT n_chars AS score,
+             count(*) FILTER (WHERE lang = 'en')  AS p,
+             count(*) FILTER (WHERE lang <> 'en') AS q
+      FROM documents GROUP BY 1
+    ),
+    ranked AS (
+      SELECT p, q,
+             coalesce(sum(q) OVER (ORDER BY score
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS cum_neg_below
+      FROM scored
+    )
+    SELECT round(sum(p * (cum_neg_below + q / 2.0))
+                 / (sum(p) * sum(q)), 6) AS auc,
+           sum(p) AS n_pos, sum(q) AS n_neg
+    FROM ranked
+    """,
+)
+def classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of a score column against a binary label via the
+    rank-sum (Mann-Whitney) identity, tie-corrected -- here document
+    length scoring English-ness, i.e. "how discriminative is this
+    feature", the readout every quality-classifier iteration needs.
+
+    AUC = P(score_pos > score_neg) + P(equal)/2.  Instead of ranking
+    rows globally (a total sort of the corpus), rows are first grouped
+    to DISTINCT score values -- one shuffle of O(|score domain|) rows,
+    the same reduction a histogram makes -- and the identity runs on
+    the distinct-value frame:
+
+        AUC = sum_s  p_s * (cum_neg_below(s) + q_s/2)  / (P*N)
+
+    where the q_s/2 term is the standard average-rank tie correction.
+    The one unpartitioned window orders score VALUES, not rows, so
+    the plan holds when the corpus is 10^9 documents but the score
+    domain is thousands."""
+    d = read_table(spark, sf_dir, "documents")
+    is_pos = F.col("lang") == "en"
+    scored = d.groupBy(F.col("n_chars").alias("score")).agg(
+        F.count(F.when(is_pos, 1)).alias("p"),
+        F.count(F.when(~is_pos, 1)).alias("q"),
+    )
+    w = (
+        Window.partitionBy()
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = scored.select(
+        "p", "q", F.coalesce(F.sum("q").over(w), F.lit(0)).alias("cum_neg_below")
+    )
+    return ranked.agg(
+        F.round(
+            F.sum(F.col("p") * (F.col("cum_neg_below") + F.col("q") / 2.0))
+            / (F.sum("p") * F.sum("q")),
+            6,
+        ).alias("auc"),
+        F.sum("p").alias("n_pos"),
+        F.sum("q").alias("n_neg"),
+    )

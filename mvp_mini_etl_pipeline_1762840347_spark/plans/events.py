@@ -1304,3 +1304,123 @@ def events_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v_first",
         "v_last",
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch attribution with exponential time decay
+# ---------------------------------------------------------------------------
+# Rebase timestamps to the corpus epoch so exp(ts/tau) stays finite:
+# exp(epoch_seconds/86400) overflows, exp(days_since_base) does not.
+_ATTR_BASE = "2024-01-01"
+_ATTR_WINDOW_S = 7 * 86400  # lookback
+
+
+@query(
+    "attribution_time_decay",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_type,
+             CAST(epoch(ts) - epoch(TIMESTAMP '{_ATTR_BASE}') AS BIGINT)
+               AS sec
+      FROM events
+    ),
+    scanned AS (
+      SELECT user_id, event_type, sec,
+             sum(CASE WHEN event_type = 'click' THEN exp(sec / 86400.0) END)
+               OVER (PARTITION BY user_id ORDER BY sec
+                     RANGE BETWEEN {_ATTR_WINDOW_S} PRECEDING
+                           AND CURRENT ROW) AS s_click,
+             sum(CASE WHEN event_type = 'view' THEN exp(sec / 86400.0) END)
+               OVER (PARTITION BY user_id ORDER BY sec
+                     RANGE BETWEEN {_ATTR_WINDOW_S} PRECEDING
+                           AND CURRENT ROW) AS s_view
+      FROM e
+    ),
+    purchases AS (
+      SELECT coalesce(s_click, 0) AS s_click, coalesce(s_view, 0) AS s_view
+      FROM scanned WHERE event_type = 'purchase'
+        AND coalesce(s_click, 0) + coalesce(s_view, 0) > 0
+    )
+    SELECT t.touch_type,
+           round(sum(CASE t.touch_type WHEN 'click' THEN s_click
+                     ELSE s_view END / (s_click + s_view)), 4) AS total_credit,
+           count(*) FILTER (WHERE CASE t.touch_type WHEN 'click' THEN s_click
+                                  ELSE s_view END > 0) AS n_purchases
+    FROM purchases, (VALUES ('click'), ('view')) AS t(touch_type)
+    GROUP BY t.touch_type
+    """,
+)
+def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution with exponential time decay: every
+    purchase splits one unit of credit across the clicks and views
+    that preceded it within a 7-day lookback, each touch weighted
+    exp(-age/tau) with tau = 1 day, then credit totals roll up per
+    touch type (the marketing-mix readout last-touch attribution --
+    events_attribution -- cannot give).
+
+    The decisive trick is that the decayed sum FACTORS:
+
+        sum_t exp(-(T - t)/tau)  =  exp(-T/tau) * sum_t exp(t/tau)
+
+    so the per-purchase touch mass is an ordinary windowed SUM of
+    exp(t/tau) over a [7d PRECEDING, CURRENT] range frame partitioned
+    by user -- no purchase x touch self-join ever materializes (the
+    naive range join is |purchases| x |touches-in-window| rows).  In
+    the normalized share the exp(-T/tau) factor cancels entirely.
+    The purchase row itself and other purchases contribute NULL to
+    the touch sums, so no self-attribution; timestamps are rebased to
+    the corpus epoch so exp() stays in range.  One shuffle on
+    user_id, output two rows."""
+    e = read_events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        (
+            F.unix_timestamp(F.col("ts"))
+            - F.unix_timestamp(F.lit(_ATTR_BASE).cast("timestamp"))
+        ).alias("sec"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-_ATTR_WINDOW_S, 0)
+    )
+    decayed = F.exp(F.col("sec") / 86400.0)
+    scanned = e.select(
+        "event_type",
+        F.sum(F.when(F.col("event_type") == "click", decayed)).over(w).alias(
+            "s_click"
+        ),
+        F.sum(F.when(F.col("event_type") == "view", decayed)).over(w).alias(
+            "s_view"
+        ),
+    )
+    purchases = (
+        scanned.filter(F.col("event_type") == "purchase")
+        .select(
+            F.coalesce("s_click", F.lit(0.0)).alias("s_click"),
+            F.coalesce("s_view", F.lit(0.0)).alias("s_view"),
+        )
+        .filter(F.col("s_click") + F.col("s_view") > 0)
+    )
+    per_type = purchases.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("click").alias("touch_type"),
+                    (F.col("s_click") / (F.col("s_click") + F.col("s_view"))).alias(
+                        "credit"
+                    ),
+                ),
+                F.struct(
+                    F.lit("view").alias("touch_type"),
+                    (F.col("s_view") / (F.col("s_click") + F.col("s_view"))).alias(
+                        "credit"
+                    ),
+                ),
+            )
+        ).alias("t")
+    ).select("t.touch_type", "t.credit")
+    return per_type.groupBy("touch_type").agg(
+        F.round(F.sum("credit"), 4).alias("total_credit"),
+        F.count(F.when(F.col("credit") > 0, 1)).alias("n_purchases"),
+    )

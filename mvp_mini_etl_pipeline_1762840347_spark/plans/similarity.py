@@ -1348,3 +1348,73 @@ def pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 pq_adc_search.__doc__ = pq_adc_search.__doc__.format(
     subs=_PQ_SUBS, codes=_PQ_CODES, din=_JL_IN, k=_ADC_K
 )
+
+
+# ---------------------------------------------------------------------------
+# Int8 affine quantization (per-dimension calibration + reconstruction error)
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_int8_quant",
+    oracle="""
+    WITH flat AS (
+      SELECT generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    calib AS (
+      SELECT dim, min(v) AS mn, max(v) AS mx,
+             (max(v) - min(v)) / 255.0 AS scale
+      FROM flat GROUP BY dim
+    )
+    SELECT f.dim,
+           round(c.mn, 6) AS mn,
+           round(c.mx, 6) AS mx,
+           round(avg(pow(f.v - (c.mn + round((f.v - c.mn) / c.scale)
+                                * c.scale), 2)) * 1e6, 4) AS mse_x1e6
+    FROM flat f JOIN calib c USING (dim)
+    GROUP BY f.dim, c.mn, c.mx
+    ORDER BY f.dim
+    """,
+)
+def embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension affine int8 quantization of the embedding table:
+    calibrate (min, max) per dimension, quantize each value to the
+    256-level grid q = round((v - min)/scale), and report the
+    round-trip reconstruction MSE per dimension -- the 4x-compression
+    step a 100-TB vector corpus runs before ANN serving, plus the
+    error audit that decides whether int8 is safe for the recall
+    target.
+
+    Two passes by construction: calibration is a tiny grouped
+    aggregate (one row per dimension -- broadcast back), and the
+    quantize+error pass re-reads the vectors once.  In production the
+    calibration pass runs on a small sample (min/max stabilize fast),
+    making the first scan sample-sized; the error formula is per-row
+    arithmetic on the JVM side either way (posexplode + built-ins, no
+    UDF).  Dimensions are 1-based to match SQL array subscripts."""
+    v = read_table(spark, sf_dir, "embeddings").select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "v"
+        )
+    ).select((F.col("pos") + 1).alias("dim"), "v")
+    calib = v.groupBy("dim").agg(
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+        ((F.max("v") - F.min("v")) / 255.0).alias("scale"),
+    )
+    dq = F.col("mn") + F.round((F.col("v") - F.col("mn")) / F.col("scale")) * F.col(
+        "scale"
+    )
+    return (
+        v.join(F.broadcast(calib), "dim")
+        .groupBy("dim", "mn", "mx")
+        .agg(
+            F.round(F.avg(F.pow(F.col("v") - dq, 2)) * 1e6, 4).alias("mse_x1e6")
+        )
+        .select(
+            "dim",
+            F.round("mn", 6).alias("mn"),
+            F.round("mx", 6).alias("mx"),
+            "mse_x1e6",
+        )
+    )

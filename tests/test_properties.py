@@ -170,7 +170,11 @@ def test_bfs_frontier_loop_matches_sequential_reference(spark, raw_edges):
     edges, self-loops ignored."""
     from pyspark.sql import functions as F
 
-    edges = sorted({(a, b) for a, b in raw_edges if a != b})
+    # canonicalize to the _cop_edges contract the loop consumes:
+    # distinct undirected pairs with pa < pb (no reciprocal
+    # duplicates -- (1,2) and (2,1) are the same co-purchase edge,
+    # and double-counting them would skew the seed's degree)
+    edges = sorted({(min(a, b), max(a, b)) for a, b in raw_edges if a != b})
     if not edges:
         return
     # sequential reference
