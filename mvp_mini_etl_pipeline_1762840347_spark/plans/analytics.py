@@ -2026,3 +2026,64 @@ def revenue_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
 revenue_autocorrelation.__doc__ = revenue_autocorrelation.__doc__.format(
     maxlag=_ACF_MAX_LAG
 )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal decomposition of the daily revenue series (trend + weekly effect)
+# ---------------------------------------------------------------------------
+@query(
+    "revenue_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS rev
+      FROM orders GROUP BY 1
+    ),
+    trended AS (
+      SELECT d, rev,
+             avg(rev) OVER (ORDER BY d
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend,
+             count(*) OVER (ORDER BY d
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS span
+      FROM daily
+    )
+    SELECT (d - DATE '1970-01-01') % 7 AS dow,
+           round(avg(rev - trend), 2) AS dow_effect,
+           round(stddev_pop(rev - trend), 2) AS dow_sd,
+           count(*) AS n_days
+    FROM trended WHERE span = 7
+    GROUP BY 1
+    """,
+)
+def revenue_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of the daily revenue series:
+    trend = centered 7-day moving average, weekly seasonal effect =
+    mean detrended revenue per day-of-week (with its spread) -- the
+    companion to revenue_autocorrelation that turns "there is a lag-7
+    spike" into "Mondays run +X above trend".
+
+    The data-sized work is one groupBy(day); the moving average and
+    the detrending run on the AGGREGATED one-row-per-day series
+    (calendar-sized, not data-sized), and edge days without a full
+    7-day window are excluded (span = 7) so the trend is never a
+    partial average.  Day-of-week is computed as epoch-days mod 7 --
+    engine-neutral, immune to locale/week-start conventions."""
+    from pyspark.sql.window import Window
+
+    o = read_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    w = Window.partitionBy().orderBy("d").rowsBetween(-3, 3)
+    trended = daily.select(
+        "d",
+        "rev",
+        F.avg("rev").over(w).alias("trend"),
+        F.count("*").over(w).alias("span"),
+    ).filter(F.col("span") == 7)
+    return trended.groupBy(
+        (F.datediff(F.col("d"), F.lit("1970-01-01")) % 7).alias("dow")
+    ).agg(
+        F.round(F.avg(F.col("rev") - F.col("trend")), 2).alias("dow_effect"),
+        F.round(F.stddev_pop(F.col("rev") - F.col("trend")), 2).alias("dow_sd"),
+        F.count("*").alias("n_days"),
+    )

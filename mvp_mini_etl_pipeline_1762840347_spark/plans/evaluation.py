@@ -199,3 +199,61 @@ def classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("p").alias("n_pos"),
         F.sum("q").alias("n_neg"),
     )
+
+
+_CAL_BINS = 10
+
+
+@query(
+    "classifier_calibration",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT min(n_chars) AS mn, max(n_chars) AS mx FROM documents
+    ),
+    binned AS (
+      SELECT least({_CAL_BINS - 1},
+                   ((n_chars - b.mn) * {_CAL_BINS}) // (b.mx - b.mn + 1))
+               AS bin,
+             CAST(lang = 'en' AS INT) AS pos, n_chars
+      FROM documents, bounds b
+    )
+    SELECT bin, count(*) AS n,
+           round(sum(pos) * 1.0 / count(*), 6) AS pos_frac,
+           round(avg(n_chars), 2) AS avg_score
+    FROM binned GROUP BY bin
+    """,
+)
+def classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table for a score column: {b} equal-width score
+    bins, each reporting its observed positive rate -- the companion
+    readout to classifier_auc (AUC says the ranking is good;
+    calibration says whether the score MEANS anything as a rate).
+
+    Scale shape: bin bounds come from a 1-row global min/max aggregate
+    cross-joined (broadcast) back into the scan, and binning is pure
+    INTEGER arithmetic -- (score-mn)*{b} integer-div (mx-mn+1) -- so
+    both engines compute bit-identical bins and the per-bin rates are
+    ratios of exact integers (no float summation order anywhere).
+    One data-sized shuffle: the {b}-row groupBy."""
+    d = read_table(spark, sf_dir, "documents")
+    bounds = d.agg(
+        F.min("n_chars").alias("mn"), F.max("n_chars").alias("mx")
+    )
+    binned = d.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.lit(_CAL_BINS - 1),
+            F.expr(f"(n_chars - mn) * {_CAL_BINS} div (mx - mn + 1)"),
+        ).alias("bin"),
+        (F.col("lang") == "en").cast("int").alias("pos"),
+        "n_chars",
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("pos") * 1.0 / F.count("*"), 6).alias("pos_frac"),
+        F.round(F.avg("n_chars"), 2).alias("avg_score"),
+    )
+
+
+classifier_calibration.__doc__ = classifier_calibration.__doc__.format(
+    b=_CAL_BINS
+)

@@ -849,3 +849,85 @@ def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("max_version"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bitmap index: build word-packed bitmaps per predicate, intersect by AND
+# ---------------------------------------------------------------------------
+_BM_WORD = 32  # bits per word; 1<<31 stays inside signed BIGINT in both engines
+
+
+@query(
+    "bitmap_index_intersect",
+    oracle=f"""
+    WITH ids AS (
+      SELECT l_orderkey * 8 + l_linenumber AS rowid,
+             (l_returnflag = 'R') AS pa,
+             (l_shipdate >= TIMESTAMP '1998-01-01') AS pb
+      FROM lineitem
+    ),
+    words AS (
+      SELECT rowid // {_BM_WORD} AS word,
+             bit_or(CASE WHEN pa THEN CAST(1 AS BIGINT) << (rowid % {_BM_WORD})
+                         ELSE 0 END) AS bm_a,
+             bit_or(CASE WHEN pb THEN CAST(1 AS BIGINT) << (rowid % {_BM_WORD})
+                         ELSE 0 END) AS bm_b
+      FROM ids GROUP BY 1
+    )
+    SELECT count(*) AS n_words,
+           CAST(sum(bit_count(bm_a)) AS BIGINT)        AS n_a,
+           CAST(sum(bit_count(bm_b)) AS BIGINT)        AS n_b,
+           CAST(sum(bit_count(bm_a & bm_b)) AS BIGINT) AS n_and,
+           CAST(sum(bit_count(bm_a | bm_b)) AS BIGINT) AS n_or,
+           (SELECT count(*) FROM ids WHERE pa AND pb)  AS exact_and
+    FROM words
+    """,
+)
+def bitmap_index_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap secondary index, built and intersected in SQL: each
+    predicate becomes a word-packed bitmap over a dense synthetic
+    rowid (orderkey*8+linenumber -- unique, since linenumber <= 7),
+    {w} bits per word via bit_or of shifted ones, and predicate
+    combination is then BITWISE arithmetic on the word table --
+    AND/OR/popcount -- never a rescan of the fact table.  The n_and
+    popcount provably equals the direct count (exact_and rides along
+    as its own witness), which is the bitmap-index contract every
+    warehouse relies on for multi-predicate selectivity.
+
+    Scale: the bitmap build is one groupBy(word) with constant
+    per-group state (two machine words) and map-side combine; the
+    word table is |rows|/{w} entries of 16 bytes -- the structure a
+    second, third, n-th predicate intersects against for the cost of
+    a popcount scan, amortizing the fact-table read across every
+    future predicate combination.  Words stay inside signed BIGINT
+    ({w}-bit payload) because DuckDB raises on 1<<63 overflow."""
+    li = read_table(spark, sf_dir, "lineitem")
+    ids = li.select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("rowid"),
+        (F.col("l_returnflag") == "R").alias("pa"),
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp")).alias(
+            "pb"
+        ),
+    )
+    # F.shiftleft only takes a literal shift; the per-row shift needs expr
+    bit = F.expr(f"shiftleft(cast(1 as bigint), cast(rowid % {_BM_WORD} as int))")
+    words = ids.groupBy(
+        F.floor(F.col("rowid") / _BM_WORD).alias("word")
+    ).agg(
+        F.bit_or(F.when(F.col("pa"), bit).otherwise(F.lit(0))).alias("bm_a"),
+        F.bit_or(F.when(F.col("pb"), bit).otherwise(F.lit(0))).alias("bm_b"),
+    )
+    exact = ids.filter(F.col("pa") & F.col("pb")).agg(
+        F.count("*").alias("exact_and")
+    )
+    return words.agg(
+        F.count("*").alias("n_words"),
+        F.sum(F.bit_count("bm_a")).alias("n_a"),
+        F.sum(F.bit_count("bm_b")).alias("n_b"),
+        F.sum(F.bit_count(F.col("bm_a").bitwiseAND(F.col("bm_b")))).alias(
+            "n_and"
+        ),
+        F.sum(F.bit_count(F.col("bm_a").bitwiseOR(F.col("bm_b")))).alias(
+            "n_or"
+        ),
+    ).crossJoin(F.broadcast(exact))
