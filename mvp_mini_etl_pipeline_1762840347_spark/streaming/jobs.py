@@ -1143,3 +1143,93 @@ def m4_stream(
         .option("checkpointLocation", path + "_chk")
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming bitmap index maintenance (word-ORed predicate bitmaps)
+# ---------------------------------------------------------------------------
+_BM_WORD = 32  # payload bits per word; 1<<31 stays inside signed BIGINT
+
+
+def bitmap_state(events: DataFrame) -> DataFrame:
+    """Mergeable bitmap-index state over events: per {w}-bit word of
+    the event_id space, one packed bitmap per indexed predicate
+    (purchase-typed; high-value).  Batch twin of the build inside
+    plans/warehouse.py::bitmap_index_intersect -- and the reason a
+    bitmap index suits streaming maintenance at all: bitmap words
+    from disjoint row sets merge by plain bitwise OR, the same
+    algebraic-state discipline as every snapshot table here."""
+    bit = F.expr(
+        f"shiftleft(cast(1 as bigint), cast(event_id % {_BM_WORD} as int))"
+    )
+    return (
+        events.select(
+            F.floor(F.col("event_id") / _BM_WORD).alias("word"),
+            F.when(F.col("event_type") == "purchase", bit)
+            .otherwise(F.lit(0))
+            .alias("bit_a"),
+            F.when(F.col("value") > 100.0, bit).otherwise(F.lit(0)).alias(
+                "bit_b"
+            ),
+        )
+        .groupBy("word")
+        .agg(
+            F.bit_or("bit_a").alias("bm_a"),
+            F.bit_or("bit_b").alias("bm_b"),
+        )
+    )
+
+
+bitmap_state.__doc__ = bitmap_state.__doc__.format(w=_BM_WORD)
+
+
+def bitmap_merge_step(
+    spark: SparkSession, batch_df: DataFrame, batch_id: int, path: str
+) -> bool:
+    """One bitmap-index micro-batch: the batch's word bitmaps OR into
+    the persisted index (full-outer on word, bitwise OR, missing side
+    = 0).  OR is idempotent per bit and commutative/associative per
+    word, so merge order never matters; the batch-id replay guard and
+    staged swap live in exactly_once_table_merge."""
+
+    def _merge(target: DataFrame | None) -> DataFrame:
+        delta = bitmap_state(batch_df)
+        if target is None:
+            return delta
+        t = target.select(
+            F.col("word").alias("t_word"),
+            F.col("bm_a").alias("t_bm_a"),
+            F.col("bm_b").alias("t_bm_b"),
+        )
+        z = F.lit(0).cast("bigint")
+        return delta.join(t, delta.word == t.t_word, "full_outer").select(
+            F.coalesce(delta.word, t.t_word).alias("word"),
+            F.coalesce(F.col("bm_a"), z)
+            .bitwiseOR(F.coalesce(F.col("t_bm_a"), z))
+            .alias("bm_a"),
+            F.coalesce(F.col("bm_b"), z)
+            .bitwiseOR(F.coalesce(F.col("t_bm_b"), z))
+            .alias("bm_b"),
+        )
+
+    return exactly_once_table_merge(spark, path, batch_id, _merge)
+
+
+def bitmap_index_stream(
+    spark: SparkSession, events: DataFrame, path: str
+) -> StreamingQuery:
+    """Streaming twin of bitmap_index_intersect's build phase: the
+    predicate bitmap index is maintained incrementally across
+    micro-batches, so multi-predicate counts (popcount of AND/OR over
+    the word table) stay queryable without ever rescanning the event
+    history -- raw events are read once, ever."""
+
+    def _step(batch_df: DataFrame, batch_id: int) -> None:
+        bitmap_merge_step(spark, batch_df, batch_id, path)
+
+    return (
+        events.writeStream.foreachBatch(_step)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", path + "_chk")
+        .start()
+    )

@@ -982,3 +982,42 @@ def test_m4_stream_merged_state_matches_batch_and_rendered_form(
         for r in QUERIES["events_m4_downsample"](spark, sf_dir).collect()
     }
     assert merged == rendered
+
+
+def test_bitmap_stream_merged_index_matches_oneshot_and_direct_counts(
+    spark, sf_dir, tmp_path_factory
+):
+    """Two-batch incremental bitmap-index maintenance == one-shot
+    build over all events (OR-merge is order-free), popcount of the
+    merged AND equals the direct predicate count, and a replayed
+    batch is a no-op."""
+    from mvp_mini_etl_pipeline_1762840347_spark.io import read_events
+
+    path = str(tmp_path_factory.mktemp("bm") / "index")
+    ev = read_events(spark, sf_dir)
+    b0 = ev.filter(F.col("event_id") % 2 == 0)
+    b1 = ev.filter(F.col("event_id") % 2 == 1)
+    assert jobs.bitmap_merge_step(spark, b0, 0, path) is True
+    assert jobs.bitmap_merge_step(spark, b0, 0, path) is False  # replay
+    assert jobs.bitmap_merge_step(spark, b1, 1, path) is True
+
+    def index_map(df):
+        return {r["word"]: (r["bm_a"], r["bm_b"]) for r in df.collect()}
+
+    merged = index_map(spark.read.parquet(path))
+    oneshot = index_map(jobs.bitmap_state(ev))
+    assert merged == oneshot
+
+    n_and = (
+        spark.read.parquet(path)
+        .agg(
+            F.sum(
+                F.bit_count(F.col("bm_a").bitwiseAND(F.col("bm_b")))
+            ).alias("n")
+        )
+        .first()["n"]
+    )
+    direct = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 100.0)
+    ).count()
+    assert n_and == direct
