@@ -439,3 +439,109 @@ def hygiene_frame(docs: DataFrame) -> DataFrame:
             (F.col("score") >= _QC_THRESH) & ~F.col("has_pii")
         ).alias("admit"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit: equivalence-class size profile over quasi-identifiers
+# ---------------------------------------------------------------------------
+@query(
+    "k_anonymity_audit",
+    oracle="""
+    WITH classes AS (
+      SELECT count(*) AS class_size
+      FROM customer
+      GROUP BY c_nationkey, c_mktsegment, CAST(floor(c_acctbal / 1000) AS BIGINT)
+    )
+    SELECT class_size,
+           count(*) AS n_classes,
+           CAST(class_size * count(*) AS BIGINT) AS n_rows
+    FROM classes GROUP BY class_size
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity profile of a quasi-identifier tuple (nation,
+    market segment, account-balance band): how many equivalence
+    classes exist at each size, and how many ROWS sit in them -- the
+    re-identification risk audit run before any dataset release
+    (rows in classes of size < k are linkable; the histogram is the
+    whole risk curve, so the k=5 or k=10 policy threshold is a
+    read-off, not a re-run).
+
+    Two cascaded integer-exact aggregations -- QI-tuple grain, then
+    class-size grain -- both partial-aggregated and map-side
+    combined; output is bounded by the largest class size.  The
+    continuous attribute enters the QI only through a coarse
+    deterministic band (floor/1000), the generalization step
+    k-anonymization itself would take."""
+    c = read_table(spark, sf_dir, "customer")
+    classes = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+    ).agg(F.count("*").alias("class_size"))
+    return classes.groupBy("class_size").agg(
+        F.count("*").alias("n_classes"),
+        (F.col("class_size") * F.count("*")).cast("bigint").alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private release: deterministic Laplace noise on counts
+# ---------------------------------------------------------------------------
+_DP_EPS = 0.5
+
+
+@query(
+    "dp_noisy_counts",
+    oracle=f"""
+    WITH g AS (
+      SELECT c_mktsegment AS segment, count(*) AS n_true,
+             ('0x' || substring(md5(c_mktsegment), 1, 15))::BIGINT
+               / 1152921504606846976.0 AS u01
+      FROM customer GROUP BY c_mktsegment
+    )
+    SELECT segment, n_true,
+           round(n_true + (CASE WHEN u01 >= 0.5 THEN -1.0 ELSE 1.0 END)
+                 * (1.0 / {_DP_EPS})
+                 * ln(1.0 - 2.0 * abs(u01 - 0.5)), 2) AS n_noisy,
+           {_DP_EPS} AS epsilon
+    FROM g
+    """,
+)
+def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release: per-segment counts plus
+    Laplace(1/epsilon) noise, epsilon = {eps} -- the mechanism every
+    privacy-bounded aggregate release uses (count sensitivity 1 =>
+    Laplace scale 1/epsilon).
+
+    The noise is DETERMINISTIC by construction: the uniform draw is
+    an md5 hash of the group key mapped to [0,1) (the engine's
+    standard portable-hash idiom), pushed through the inverse Laplace
+    CDF -- so both engines derive bit-identical noise, the release is
+    reproducible across reruns (a real property DP deployments want:
+    re-releasing the same statistic must NOT spend fresh budget or
+    average the noise away), and the oracle can state the mechanism
+    exactly.  True counts ride along for the audit view; a production
+    release would project them out.  One integer-exact aggregation;
+    noise arithmetic is per-GROUP, on the tiny aggregated frame."""
+    c = read_table(spark, sf_dir, "customer")
+    g = c.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").alias("n_true")
+    )
+    u01 = F.conv(F.substring(F.md5(F.col("segment")), 1, 15), 16, 10).cast(
+        "double"
+    ) / F.lit(float(1 << 60))
+    noise = (
+        F.when(u01 >= 0.5, F.lit(-1.0)).otherwise(F.lit(1.0))
+        * (1.0 / _DP_EPS)
+        * F.log(1.0 - 2.0 * F.abs(u01 - F.lit(0.5)))
+    )
+    return g.select(
+        "segment",
+        "n_true",
+        F.round(F.col("n_true") + noise, 2).alias("n_noisy"),
+        F.lit(_DP_EPS).alias("epsilon"),
+    )
+
+
+dp_noisy_counts.__doc__ = dp_noisy_counts.__doc__.format(eps=_DP_EPS)
