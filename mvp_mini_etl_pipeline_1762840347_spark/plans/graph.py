@@ -653,3 +653,96 @@ def graph_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 graph_reachability.__doc__ = graph_reachability.__doc__.format(k=_BFS_HOPS)
+
+
+# ---------------------------------------------------------------------------
+# Community detection: synchronous majority-label propagation (2 rounds)
+# ---------------------------------------------------------------------------
+_LPA_ROUNDS = 2
+
+
+def _lpa_round_sql(prev: str, out: str) -> str:
+    """One synchronous LPA round in DuckDB SQL: each node adopts the
+    most frequent label among its neighbors (tie -> smallest label)."""
+    return f"""
+    {out}c AS (
+      SELECT e.src AS node, {prev}.label, count(*) AS c
+      FROM e JOIN {prev} ON {prev}.node = e.dst GROUP BY 1, 2
+    ),
+    {out} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY c DESC, label) AS rn
+        FROM {out}c
+      ) WHERE rn = 1
+    )"""
+
+
+@query(
+    "graph_communities_lpa",
+    oracle=f"""
+    WITH e0 AS ({_COP_EDGES_SQL}),
+    e AS (
+      SELECT pa AS src, pb AS dst FROM e0
+      UNION ALL SELECT pb, pa FROM e0
+    ),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+    {_lpa_round_sql('l0', 'l1')},
+    {_lpa_round_sql('l1', 'l2')},
+    sizes AS (SELECT label, count(*) AS community_size FROM l2 GROUP BY label)
+    SELECT community_size, count(*) AS n_communities
+    FROM sizes GROUP BY community_size
+    """,
+)
+def graph_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the part co-purchase graph by
+    SYNCHRONOUS majority-label propagation ({r} rounds): every node
+    starts as its own label and each round adopts the most frequent
+    label among its neighbors (tie -> smallest) -- the density-seeking
+    complement to connected components (CC merges anything touching;
+    LPA splits a connected blob into locally-dense communities).
+    Output is the community-size histogram after round {r}.
+
+    Scale shape: one round = one equi-join of the edge list against
+    the current O(|V|) label map plus a (node, label) count -- all
+    shuffle-partitioned on node/label keys, no windows over raw data
+    (the per-node argmax runs on the (node, label) aggregate, whose
+    size is bounded by the degree sum = |E|).  The argmax itself is a
+    struct-min (count negated, then label), so tie-breaks are
+    deterministic in both engines and the whole round is
+    partial-aggregated.  Rounds are a fixed unrolled count -- the
+    oracle states the identical two rounds as chained CTEs -- and the
+    edge list materializes once (localCheckpoint) like the other
+    iterative loops; synchronous update (read round k, write k+1)
+    keeps the result schedule-independent, which asynchronous LPA is
+    not."""
+    e = _cop_edges(spark, sf_dir)
+    edges = (
+        e.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionAll(e.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+        .localCheckpoint()
+    )
+    labels = edges.select(
+        F.col("src").alias("node"), F.col("src").alias("label")
+    ).distinct()
+    for _ in range(_LPA_ROUNDS):
+        nbr = edges.join(
+            labels.withColumnRenamed("node", "dst_node"),
+            edges.dst == F.col("dst_node"),
+        ).select(F.col("src").alias("node"), "label")
+        counts = nbr.groupBy("node", "label").agg(F.count("*").alias("c"))
+        labels = counts.groupBy("node").agg(
+            F.min(
+                F.struct((-F.col("c")).alias("nc"), F.col("label").alias("l"))
+            ).alias("w")
+        ).select("node", F.col("w.l").alias("label"))
+    sizes = labels.groupBy("label").agg(F.count("*").alias("community_size"))
+    return sizes.groupBy("community_size").agg(
+        F.count("*").alias("n_communities")
+    )
+
+
+graph_communities_lpa.__doc__ = graph_communities_lpa.__doc__.format(
+    r=_LPA_ROUNDS
+)

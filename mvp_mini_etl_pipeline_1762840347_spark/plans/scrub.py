@@ -545,3 +545,68 @@ def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 dp_noisy_counts.__doc__ = dp_noisy_counts.__doc__.format(eps=_DP_EPS)
+
+
+# ---------------------------------------------------------------------------
+# Corpus release manifest: per-source accounting + order-free fingerprint
+# ---------------------------------------------------------------------------
+@query(
+    "release_manifest",
+    oracle=r"""
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(len(string_split_regex(lower(text), '\s+'))) AS BIGINT)
+             AS n_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           min(doc_id) AS min_doc_id,
+           max(doc_id) AS max_doc_id,
+           bit_xor(('0x' || substring(
+               md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15))::BIGINT)
+             AS content_fingerprint
+    FROM documents GROUP BY source
+    """,
+)
+def release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source release manifest for the corpus: document/token/char
+    tallies, doc-id range, and a CONTENT FINGERPRINT -- the artifact a
+    dataset release ships so a consumer can verify they materialized
+    exactly the published bytes (and a rebuild can prove it changed
+    nothing).
+
+    The fingerprint is the XOR of per-document md5-derived 60-bit
+    hashes keyed by (doc_id, text).  XOR is commutative, associative,
+    and self-inverse, which buys exactly the properties a distributed
+    manifest needs: the aggregate is partition-order independent (any
+    shuffle layout yields the same value), map-side combinable, and
+    incrementally maintainable -- adding or deleting a document is
+    one XOR against the published fingerprint, no rescan.  All other
+    columns are integer-exact aggregates; one shuffle of
+    O(|sources|) rows."""
+    d = read_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        d.select(
+            "source",
+            "doc_id",
+            "n_chars",
+            F.size(F.split(F.lower(F.col("text")), r"\s+")).alias("n_tokens"),
+            h.alias("h"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.expr("bit_xor(h)").alias("content_fingerprint"),
+        )
+    )
