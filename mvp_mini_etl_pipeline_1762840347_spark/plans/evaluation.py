@@ -257,3 +257,102 @@ def classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 classifier_calibration.__doc__ = classifier_calibration.__doc__.format(
     b=_CAL_BINS
 )
+
+
+@query(
+    "score_quantile_normalize",
+    oracle="""
+    WITH t AS (
+      SELECT source, n_chars AS score FROM documents
+    ),
+    src_marg AS (
+      SELECT source, score, count(*) AS cnt FROM t GROUP BY 1, 2
+    ),
+    src_cdf AS (
+      SELECT source, score, cnt,
+             (sum(cnt) OVER (PARTITION BY source ORDER BY score)
+              - cnt / 2.0)
+             / sum(cnt) OVER (PARTITION BY source) AS pr
+      FROM src_marg
+    ),
+    glob_marg AS (
+      SELECT score, count(*) AS gcnt FROM t GROUP BY 1
+    ),
+    glob_cdf AS (
+      SELECT score AS gscore,
+             (sum(gcnt) OVER (ORDER BY score)) * 1.0
+             / sum(gcnt) OVER () AS gcdf
+      FROM glob_marg
+    ),
+    mapped AS (
+      SELECT s.source, s.score, s.cnt,
+             min(g.gscore) AS norm_score
+      FROM src_cdf s JOIN glob_cdf g ON g.gcdf >= s.pr
+      GROUP BY 1, 2, 3
+    )
+    SELECT source,
+           CAST(sum(cnt) AS BIGINT) AS n_docs,
+           round(sum(score * cnt) * 1.0 / sum(cnt), 4) AS mean_raw,
+           round(sum(norm_score * cnt) * 1.0 / sum(cnt), 4) AS mean_norm,
+           min(norm_score) AS min_norm, max(norm_score) AS max_norm
+    FROM mapped GROUP BY source
+    """,
+)
+def score_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of a per-document score ACROSS sources:
+    each source's score distribution maps onto the pooled global
+    distribution through its own midpoint CDF and the global inverse
+    CDF -- the harmonization step a multi-source curation pipeline
+    runs so "quality 0.8" means the same thing whether the document
+    came from web crawl or curated text (raw score scales differ per
+    source; normalized ones are comparable by construction, visible
+    here as per-source means pulled toward the pooled mean).
+
+    Scale shape: everything happens on DISTINCT-VALUE frames (the
+    same reduction classifier_auc uses).  Per-source and global
+    marginals are two grouped counts; CDFs are windows over score
+    VALUES (domain-bounded, partitioned by source or tiny); the
+    inverse-CDF lookup joins value frames against each other --
+    |distinct scores| x |sources| at worst, independent of corpus
+    row count.  All compared quantities are ratios of exact integers
+    (counts and integer scores), so both engines agree to the bit
+    before rounding."""
+    d = read_table(spark, sf_dir, "documents")
+    t = d.select("source", F.col("n_chars").alias("score"))
+    src_marg = t.groupBy("source", "score").agg(F.count("*").alias("cnt"))
+    w_cum = Window.partitionBy("source").orderBy("score")
+    w_all = Window.partitionBy("source")
+    src_cdf = src_marg.select(
+        "source",
+        "score",
+        "cnt",
+        (
+            (F.sum("cnt").over(w_cum) - F.col("cnt") / 2.0)
+            / F.sum("cnt").over(w_all)
+        ).alias("pr"),
+    )
+    glob_marg = t.groupBy("score").agg(F.count("*").alias("gcnt"))
+    gw_cum = Window.partitionBy().orderBy("score")
+    gw_all = Window.partitionBy()
+    glob_cdf = glob_marg.select(
+        F.col("score").alias("gscore"),
+        (
+            F.sum("gcnt").over(gw_cum) * 1.0 / F.sum("gcnt").over(gw_all)
+        ).alias("gcdf"),
+    )
+    mapped = (
+        src_cdf.join(F.broadcast(glob_cdf), F.col("gcdf") >= F.col("pr"))
+        .groupBy("source", "score", "cnt")
+        .agg(F.min("gscore").alias("norm_score"))
+    )
+    return mapped.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("n_docs"),
+        F.round(F.sum(F.col("score") * F.col("cnt")) * 1.0 / F.sum("cnt"), 4).alias(
+            "mean_raw"
+        ),
+        F.round(
+            F.sum(F.col("norm_score") * F.col("cnt")) * 1.0 / F.sum("cnt"), 4
+        ).alias("mean_norm"),
+        F.min("norm_score").alias("min_norm"),
+        F.max("norm_score").alias("max_norm"),
+    )
