@@ -1176,8 +1176,24 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_lsh_recall measures exactly that trade)."""
     from pyspark.sql.window import Window
 
-    docs = _docs(spark, sf_dir)
-    sh = _shingles(docs).localCheckpoint()
+    # the single-file local corpus shingles on one task otherwise;
+    # production multi-file inputs provide this parallelism natively
+    docs = _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    # shingle strings hash to 64-bit keys up front: every downstream
+    # shuffle (df count, rank, candidate join, verify arrays) moves
+    # 8-byte longs instead of ~25-byte strings.  The prefix theorem
+    # needs only a CONSISTENT global shingle order, so (df, hash)
+    # works as well as (df, string); the common-shingle counts are
+    # unchanged barring a 64-bit collision inside one document pair
+    # (~|shingles|^2 / 2^64 -- and the oracle's string-keyed
+    # brute-force re-checks equality on every run)
+    sh = (
+        _shingles(docs)
+        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
+        .localCheckpoint()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     wd = Window.partitionBy("doc_id").orderBy("df", "shingle")
@@ -1190,39 +1206,72 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn")
             <= F.col("n") - F.floor((F.col("n") + 1) / 2) + 1
         )
-        .select("doc_id", "shingle")
+        .select("doc_id", "shingle", "n")
     )
     rb = ranked.select(
-        F.col("doc_id").alias("doc_b"), F.col("shingle").alias("sh_b")
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingle").alias("sh_b"),
+        F.col("n").alias("nb"),
     )
+    # PPJoin length filter rides along: J >= t already implies
+    # t*max(na,nb) <= min(na,nb), so length-incompatible pairs drop
+    # before the distinct
     cand = (
         ranked.join(rb, ranked.shingle == rb.sh_b)
-        .filter(F.col("doc_id") < F.col("doc_b"))
+        .filter(
+            (F.col("doc_id") < F.col("doc_b"))
+            & (F.col("nb") * _PREFIX_J <= F.col("n"))
+            & (F.col("n") * _PREFIX_J <= F.col("nb"))
+        )
         .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        # explicit-N repartition on the PAIR key: distinct's required
+        # distribution is otherwise satisfied by the upstream doc_id
+        # exchange, which AQE coalesces to a handful of tasks on the
+        # skinny 16-byte pair rows -- but everything downstream of it
+        # (the distinct itself plus the array-intersect verify, whose
+        # per-row cost is ~100 element probes) then runs at that
+        # parallelism.  Spreading the pairs here engaged all cores
+        # and halved the query's warm wall time at sf0.1.
+        .repartition(
+            spark.sparkContext.defaultParallelism, "doc_a", "doc_b"
+        )
         .distinct()
     )
-    # verify candidates only: count common shingles per candidate pair
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh.select(
-        F.col("doc_id").alias("db2"), F.col("shingle").alias("sh2")
+    # verify candidates only: common-shingle counts via per-doc shingle
+    # ARRAYS + array_intersect, so each candidate pair is ONE row with
+    # two arrays (JVM-side set intersection) -- the join-then-regroup
+    # form exploded every pair by all of doc_a's shingles first (a
+    # |cand| x |shingles/doc| intermediate plus an extra shuffle to
+    # count it back down; this rewrite took the query 5.3 -> ~2 s at
+    # sf0.1).  Shingles are distinct per doc, so intersect size IS the
+    # common count.
+    arrs = sh.groupBy("doc_id").agg(
+        F.collect_list("shingle").alias("shs"), F.count("*").alias("n")
     )
-    common = (
-        cand.join(sa, "doc_a")
-        .join(
-            sb,
-            (F.col("doc_b") == F.col("db2"))
-            & (F.col("shingle") == F.col("sh2")),
+    aa = arrs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shs").alias("sh_a"),
+        F.col("n").alias("na"),
+    )
+    ab = arrs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shs").alias("sh_b2"),
+        F.col("n").alias("nb"),
+    )
+    scored = (
+        cand.join(aa, "doc_a")
+        .join(ab, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b2")).alias("c"),
+            "na",
+            "nb",
         )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("c"))
     )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
     return (
-        common.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .filter(jac >= F.lit(_PREFIX_J))
+        scored.filter(jac >= F.lit(_PREFIX_J))
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
 
