@@ -392,24 +392,41 @@ _COP_EDGES_SQL = f"""
 def _cop_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(pa, pb) undirected co-purchase edges, pa < pb.  The per-order
     pair fan-out is bounded by order size (small constant), so edge
-    generation is O(orders), never O(parts^2)."""
+    generation is O(orders), never O(parts^2).
+
+    Shape: per-order part sets are collected once (collect_set is
+    safe -- set size is bounded by lines-per-order, a single-digit
+    constant at any scale) and the a<b pairs expand JVM-side with
+    array higher-order functions.  One shuffle on orderkey + the pair
+    count; the earlier distinct + self-join form paid an extra
+    distinct shuffle and a join for the same rows.  The explicit
+    repartition spreads the single-file local corpus; on production
+    multi-file tables it coalesces to a no-op under AQE."""
     from ..io import read_table
 
     li = (
         read_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
+        .repartition(spark.sparkContext.defaultParallelism, "l_orderkey")
     )
-    b = li.select(
-        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("pb")
+    parts = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
+    pairs = parts.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ps"),
+                    lambda a, i: F.transform(
+                        F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
+                        lambda b: F.struct(a.alias("pa"), b.alias("pb")),
+                    ),
+                )
+            )
+        ).alias("e")
+    ).select("e.pa", "e.pb")
     return (
-        li.join(
-            b,
-            (F.col("l_orderkey") == F.col("o2"))
-            & (F.col("l_partkey") < F.col("pb")),
-        )
-        .groupBy(F.col("l_partkey").alias("pa"), "pb")
+        pairs.groupBy("pa", "pb")
         .agg(F.count("*").alias("sup"))
         .filter(F.col("sup") >= _COP_SUPPORT)
         .select("pa", "pb")

@@ -603,26 +603,46 @@ def frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     > cap orders) is the standard guard when one SKU appears in
     millions of baskets.
     """
+    # ONE lineitem scan: baskets (per-order distinct part sets,
+    # bounded by lines-per-order) materialize once and serve pair
+    # generation, per-part stats, and the order count.  Pairs expand
+    # JVM-side with array HOFs; because a basket holds each part
+    # once, every order contributes a pair/part at most once and the
+    # distinct-order counts collapse to plain counts.  The self-join
+    # form scanned the fact 4x (pair join sides + two stat branches).
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    l1 = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("a")
+    baskets = (
+        li.repartition(spark.sparkContext.defaultParallelism, "l_orderkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .localCheckpoint()
     )
-    l2 = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("b")
-    )
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ps"),
+                    lambda a, i: F.transform(
+                        F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
+                        lambda b: F.struct(a.alias("a"), b.alias("b")),
+                    ),
+                )
+            )
+        ).alias("e")
+    ).select("e.a", "e.b")
     pr = (
-        l1.join(l2, ["ok"])
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.countDistinct("ok").alias("support"))
+        pairs.groupBy("a", "b")
+        .agg(F.count("*").alias("support"))
         .filter(F.col("support") >= _FP_MIN_SUPPORT)
     )
-    pc = li.groupBy("l_partkey").agg(
-        F.countDistinct("l_orderkey").alias("cnt")
+    pc = (
+        baskets.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("cnt"))
     )
-    n = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    n = baskets.agg(F.count("*").alias("n_orders"))
     ca = pc.select(F.col("l_partkey").alias("a"), F.col("cnt").alias("cnt_a"))
     cb = pc.select(F.col("l_partkey").alias("b"), F.col("cnt").alias("cnt_b"))
     return (
