@@ -194,8 +194,17 @@ _MINHASH_PAIRS_SQL = rf"""
 
 def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate near-dup pairs (doc_a, doc_b, n_shared_bands) --
-    shared by the dedup query and the clustering operator."""
-    return _minhash_pairs_impl(_docs(spark, sf_dir))
+    shared by the dedup query and the clustering operator.
+
+    The corpus is spread before the shingle+minhash partial
+    aggregation: the single-file local table otherwise pins that map
+    stage (the whole signature computation) to ONE task.  Production
+    multi-file inputs provide the parallelism natively and the
+    repartition coalesces to a no-op under AQE."""
+    docs = _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return _minhash_pairs_impl(docs)
 
 
 @query("dedup_minhash_lsh", oracle=_MINHASH_PAIRS_SQL)
@@ -211,7 +220,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange carries one row per doc -- not the 8x-exploded
     (doc, seed, shingle) stream a naive implementation shuffles.
     Bands are then derived columns unpivoted with stack() (narrow)."""
-    return _minhash_pairs_impl(_docs(spark, sf_dir))
+    docs = _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return _minhash_pairs_impl(docs)
 
 
 def band_signatures(docs: DataFrame) -> DataFrame:
