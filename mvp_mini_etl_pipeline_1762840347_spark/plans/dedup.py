@@ -1091,11 +1091,21 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     held-out sample -- here the test corpus IS the sample.  Truth and
     candidates are both bucketed-join shaped; the final scorecard is
     three tiny counts."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     # Three consumers (sizes + both sides of the shared-shingle self
     # join) would each re-derive the regex-split/explode fan-out from
-    # the single-file scan; materialize the distinct shingle set once.
-    sh = _shingles(docs).localCheckpoint()
+    # the single-file scan; materialize the distinct shingle set once,
+    # with shingles hashed to 64-bit keys so the truth self-join
+    # shuffles 8-byte longs, not strings (collision odds across the
+    # distinct-shingle domain are ~|domain|^2/2^64; the oracle's
+    # string-keyed truth re-checks equality on every run).
+    sh = (
+        _shingles(docs)
+        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
+        .localCheckpoint()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     common = (
