@@ -1233,3 +1233,99 @@ def bitmap_index_stream(
         .option("checkpointLocation", path + "_chk")
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming ranking-metric maintenance (AUC over additive score marginals)
+# ---------------------------------------------------------------------------
+
+
+def auc_state(docs: DataFrame) -> DataFrame:
+    """Mergeable AUC state: per distinct score value, positive and
+    negative counts -- the sufficient statistic of the Mann-Whitney
+    rank-sum AUC (plans/evaluation.py::classifier_auc), additive
+    across any partition of the corpus, so micro-batches merge by
+    plain +.  Score/label here mirror the batch query (document
+    length scoring English-ness)."""
+    is_pos = F.col("lang") == "en"
+    return docs.groupBy(F.col("n_chars").alias("score")).agg(
+        F.count(F.when(is_pos, 1)).alias("p"),
+        F.count(F.when(~is_pos, 1)).alias("q"),
+    )
+
+
+def auc_merge_step(
+    spark: SparkSession, batch_df: DataFrame, batch_id: int, path: str
+) -> bool:
+    """One AUC-state micro-batch: the batch's (score, p, q) marginals
+    ADD into the persisted state (full-outer on score, missing side =
+    0) under the shared batch-id replay guard and staged swap."""
+
+    def _merge(target: DataFrame | None) -> DataFrame:
+        delta = auc_state(batch_df)
+        if target is None:
+            return delta
+        t = target.select(
+            F.col("score").alias("t_score"),
+            F.col("p").alias("t_p"),
+            F.col("q").alias("t_q"),
+        )
+        z = F.lit(0).cast("bigint")
+        return delta.join(t, delta.score == t.t_score, "full_outer").select(
+            F.coalesce(delta.score, t.t_score).alias("score"),
+            (F.coalesce(F.col("p"), z) + F.coalesce(F.col("t_p"), z)).alias(
+                "p"
+            ),
+            (F.coalesce(F.col("q"), z) + F.coalesce(F.col("t_q"), z)).alias(
+                "q"
+            ),
+        )
+
+    return exactly_once_table_merge(spark, path, batch_id, _merge)
+
+
+def auc_render(state: DataFrame) -> DataFrame:
+    """AUC scorecard from the maintained state -- the identical
+    tie-corrected rank-sum identity the batch query states, over the
+    distinct-score frame (value-domain-sized, not corpus-sized)."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy()
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = state.select(
+        "p",
+        "q",
+        F.coalesce(F.sum("q").over(w), F.lit(0)).alias("cum_neg_below"),
+    )
+    return ranked.agg(
+        F.round(
+            F.sum(F.col("p") * (F.col("cum_neg_below") + F.col("q") / 2.0))
+            / (F.sum("p") * F.sum("q")),
+            6,
+        ).alias("auc"),
+        F.sum("p").alias("n_pos"),
+        F.sum("q").alias("n_neg"),
+    )
+
+
+def auc_stream(
+    spark: SparkSession, docs: DataFrame, path: str
+) -> StreamingQuery:
+    """Streaming twin of classifier_auc: the per-score marginal table
+    is maintained incrementally (rank metrics look global, but their
+    sufficient statistic is an additive histogram), so the model
+    scorecard stays current without rescanning the corpus -- the
+    shape every continuously-evaluated quality classifier needs."""
+
+    def _step(batch_df: DataFrame, batch_id: int) -> None:
+        auc_merge_step(spark, batch_df, batch_id, path)
+
+    return (
+        docs.writeStream.foreachBatch(_step)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", path + "_chk")
+        .start()
+    )

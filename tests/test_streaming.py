@@ -1021,3 +1021,27 @@ def test_bitmap_stream_merged_index_matches_oneshot_and_direct_counts(
         (F.col("event_type") == "purchase") & (F.col("value") > 100.0)
     ).count()
     assert n_and == direct
+
+
+def test_auc_stream_merged_state_renders_batch_scorecard(
+    spark, sf_dir, tmp_path_factory
+):
+    """Two-batch incremental AUC maintenance == the batch
+    classifier_auc scorecard (additive marginals make the rank metric
+    incrementally maintainable), and a replayed batch is a no-op."""
+    from mvp_mini_etl_pipeline_1762840347_spark.io import read_table
+    from mvp_mini_etl_pipeline_1762840347_spark.plans import QUERIES
+
+    path = str(tmp_path_factory.mktemp("auc") / "state")
+    d = read_table(spark, sf_dir, "documents")
+    b0 = d.filter(F.col("doc_id") % 2 == 0)
+    b1 = d.filter(F.col("doc_id") % 2 == 1)
+    assert jobs.auc_merge_step(spark, b0, 0, path) is True
+    assert jobs.auc_merge_step(spark, b0, 0, path) is False  # replay
+    assert jobs.auc_merge_step(spark, b1, 1, path) is True
+
+    got = jobs.auc_render(spark.read.parquet(path)).first()
+    want = QUERIES["classifier_auc"](spark, sf_dir).first()
+    assert got["auc"] == want["auc"]
+    assert got["n_pos"] == want["n_pos"]
+    assert got["n_neg"] == want["n_neg"]
