@@ -1418,3 +1418,119 @@ def embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mse_x1e6",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-centroid similarity via integer-quantized vectors (exact arithmetic)
+# ---------------------------------------------------------------------------
+@query(
+    "centroid_similarity_int8",
+    oracle="""
+    WITH flat AS (
+      SELECT label, generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    calib AS (
+      SELECT dim, min(v) AS mn, (max(v) - min(v)) / 255.0 AS scale
+      FROM flat GROUP BY dim
+    ),
+    codes AS (
+      SELECT f.label, f.dim,
+             CAST(round((f.v - c.mn) / c.scale) AS BIGINT) AS q
+      FROM flat f JOIN calib c USING (dim)
+    ),
+    sums AS (
+      SELECT label, dim, sum(q) AS s FROM codes GROUP BY 1, 2
+    ),
+    dots AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             sum(a.s * b.s) AS dot
+      FROM sums a JOIN sums b ON a.dim = b.dim AND a.label <= b.label
+      GROUP BY 1, 2
+    ),
+    norms AS (
+      SELECT label_a AS label, dot AS self_dot FROM dots
+      WHERE label_a = label_b
+    )
+    SELECT d.label_a, d.label_b,
+           round(d.dot / (sqrt(na.self_dot) * sqrt(nb.self_dot)), 6)
+             AS centroid_cos
+    FROM dots d
+    JOIN norms na ON na.label = d.label_a
+    JOIN norms nb ON nb.label = d.label_b
+    WHERE d.label_a < d.label_b
+    """,
+)
+def centroid_similarity_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between label centroids -- the
+    drift/collapse diagnostic for a labeled embedding corpus (two
+    classes whose centroids converge are merging; a fine-tune that
+    pulls all centroids together is collapsing).
+
+    Exact-arithmetic discipline: raw float centroids are averages, so
+    their dot products diverge between engines in the last ulps.
+    Instead vectors pass through the int8 grid first
+    (embedding_int8_quant's calibration), and because
+    cos(mean_a, mean_b) = cos(sum_a, sum_b) -- the 1/n factors cancel
+    -- the whole computation runs on INTEGER per-label sum vectors:
+    dots and norms are exact BIGINT sums (bounded by
+    dims * (255 * n)^2), and the single final division happens on
+    bit-identical operands in both engines.
+
+    Scale: quantize pass + one groupBy(label, dim) -- the sum table
+    is |labels| x dims rows; the pairwise join is on that tiny frame,
+    never on vectors."""
+    flat = read_table(spark, sf_dir, "embeddings").select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "v"
+        ),
+    ).select("label", (F.col("pos") + 1).alias("dim"), "v")
+    calib = flat.groupBy("dim").agg(
+        F.min("v").alias("mn"),
+        ((F.max("v") - F.min("v")) / 255.0).alias("scale"),
+    )
+    codes = flat.join(F.broadcast(calib), "dim").select(
+        "label",
+        "dim",
+        F.round((F.col("v") - F.col("mn")) / F.col("scale"))
+        .cast("bigint")
+        .alias("q"),
+    )
+    sums = codes.groupBy("label", "dim").agg(F.sum("q").alias("s"))
+    b = sums.select(
+        F.col("label").alias("label_b"),
+        F.col("dim").alias("dim_b"),
+        F.col("s").alias("sb"),
+    )
+    dots = (
+        sums.join(
+            b,
+            (F.col("dim") == F.col("dim_b"))
+            & (F.col("label") <= F.col("label_b")),
+        )
+        .groupBy(F.col("label").alias("label_a"), "label_b")
+        .agg(F.sum(F.col("s") * F.col("sb")).alias("dot"))
+    )
+    norms = dots.filter(F.col("label_a") == F.col("label_b")).select(
+        F.col("label_a").alias("nl"), F.col("dot").alias("self_dot")
+    )
+    na = norms.select(
+        F.col("nl").alias("label_a"), F.col("self_dot").alias("sd_a")
+    )
+    nb = norms.select(
+        F.col("nl").alias("label_b"), F.col("self_dot").alias("sd_b")
+    )
+    return (
+        dots.filter(F.col("label_a") < F.col("label_b"))
+        .join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            F.round(
+                F.col("dot") / (F.sqrt("sd_a") * F.sqrt("sd_b")), 6
+            ).alias("centroid_cos"),
+        )
+    )

@@ -1500,3 +1500,67 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 text_zipf_slope.__doc__ = text_zipf_slope.__doc__.format(k=_ZIPF_K)
+
+
+# ---------------------------------------------------------------------------
+# Language-ID evaluation: confusion matrix of prediction vs label
+# ---------------------------------------------------------------------------
+@query(
+    "langid_confusion",
+    oracle=rf"""
+    WITH t AS (
+      SELECT lang,
+             CASE WHEN CAST(len(list_filter(
+                      string_split_regex(lower(text), '\s+'),
+                      x -> x IN ({_STOP_SQL}))) AS DOUBLE)
+                   / len(string_split_regex(lower(text), '\s+')) >= 0.05
+                  THEN 'en' ELSE 'unknown' END AS pred_lang
+      FROM documents
+      WHERE len(string_split_regex(lower(text), '\s+')) > 0
+    )
+    SELECT lang AS true_lang, pred_lang, count(*) AS n,
+           round(count(*) * 1.0
+                 / sum(count(*)) OVER (PARTITION BY lang), 4) AS row_frac
+    FROM t GROUP BY 1, 2
+    """,
+)
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the language-ID heuristic against the
+    labeled language, with per-true-class row fractions (recall on
+    the diagonal) -- the evaluation every classifier iteration reads
+    before touching the threshold, and the completion of the langid
+    story: text_langid makes the predictions, this query scores them.
+
+    One pass of the same HOF stopword-ratio predictor (no explode,
+    no shuffle until the tiny (true, pred) grid aggregate); the
+    row-normalizing window runs over the class-count frame (bounded
+    by |langs| x |preds|).  Fractions are ratios of exact counts --
+    engine-identical before rounding."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir)
+    staged = d.select(
+        "lang",
+        F.size(_toks(F.col("text"))).alias("n_tokens"),
+        F.size(
+            F.filter(_toks(F.col("text")), lambda x: x.isin(*STOPWORDS))
+        ).alias("n_stop"),
+    ).filter(F.col("n_tokens") > 0)
+    pred = staged.select(
+        "lang",
+        F.when(
+            F.col("n_stop").cast("double") / F.col("n_tokens") >= 0.05, "en"
+        )
+        .otherwise("unknown")
+        .alias("pred_lang"),
+    )
+    grid = pred.groupBy(
+        F.col("lang").alias("true_lang"), "pred_lang"
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("true_lang")
+    return grid.select(
+        "true_lang",
+        "pred_lang",
+        "n",
+        F.round(F.col("n") * 1.0 / F.sum("n").over(w), 4).alias("row_frac"),
+    )
