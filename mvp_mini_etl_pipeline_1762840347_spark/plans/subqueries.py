@@ -350,3 +350,84 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w.q").alias("best_qty"),
         "n_suppliers",
     )
+
+
+# ---------------------------------------------------------------------------
+# Q9-class profit rollup (nation x year), exact-integer summation
+# ---------------------------------------------------------------------------
+@query(
+    "profit_by_nation_year",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey, min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY 1
+    ),
+    terms AS (
+      SELECT n.n_name AS nation,
+             CAST(extract(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+             CAST(round((l.l_extendedprice * (1 - l.l_discount)
+                         - l.l_quantity * c.unit_cost) * 100) AS BIGINT)
+               AS amount_cents
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN cost c     ON c.l_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    )
+    SELECT nation, o_year,
+           round(sum(amount_cents) / 100.0, 2) AS profit,
+           count(*) AS n_lines
+    FROM terms GROUP BY 1, 2
+    """,
+)
+def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit by supplier nation and order year -- TPC-H Q9's shape
+    (revenue minus supply cost, rolled up by nation x year) with the
+    supply cost proxied by each part's best observed unit price
+    (min_cost_supplier's cost model; the testdata has no partsupp).
+
+    Float discipline, third pattern: a grouped SUM of float products
+    diverges between engines by summation order, and rounding the
+    group total cannot fix what the sum already scrambled.  Here each
+    ROW's amount -- arithmetic on bit-identical doubles, including
+    the min-derived unit cost -- is integerized to cents FIRST
+    (per-row round is engine-identical), and groups then sum exact
+    BIGINTs; the only float op after aggregation is one division on
+    identical operands.  SCALE.md documents the family.
+
+    Scale: the cost table is a per-part aggregate joined back
+    broadcast-or-shuffle by size; dimensions broadcast; one fact
+    shuffle on partkey (cost attach) and one grouped aggregation on
+    the 175-cell (nation, year) grid."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    s = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cost = li.groupBy("l_partkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+            "unit_cost"
+        )
+    )
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("l_quantity") * F.col("unit_cost")
+    )
+    terms = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cost, "l_partkey")
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            F.round(amount * 100).cast("bigint").alias("amount_cents"),
+        )
+    )
+    return terms.groupBy("nation", "o_year").agg(
+        F.round(F.sum("amount_cents") / 100.0, 2).alias("profit"),
+        F.count("*").alias("n_lines"),
+    )
