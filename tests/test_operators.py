@@ -338,3 +338,74 @@ def test_split_leakage_free_no_cluster_spans_splits(spark, sf_dir):
     # sanity: multi-doc clusters exist, so the invariant is non-vacuous
     multi = comp.groupBy("cluster_id").count().filter(F.col("count") > 1).count()
     assert multi > 0
+
+
+# ---------------------------------------------------------------------------
+# Multi-format dataset IO round-trips (operators/formats.py)
+# ---------------------------------------------------------------------------
+
+
+def test_formats_roundtrip_every_native_format(spark, sf_dir, tmp_path):
+    """customer survives a write->read round-trip value-identically in
+    every natively supported format; row formats get the writer's
+    schema back and reproduce exact types."""
+    import pytest as _pytest
+
+    from mvp_mini_etl_pipeline_1762840347_spark.io import read_table
+    from mvp_mini_etl_pipeline_1762840347_spark.operators import formats
+
+    df = read_table(spark, sf_dir, "customer")
+    want = sorted(map(tuple, df.collect()))
+    for fmt in formats.FORMATS:
+        path = str(tmp_path / f"rt_{fmt}")
+        formats.write_dataset(df, path, fmt)
+        back = formats.read_dataset(spark, path, fmt, schema=df.schema)
+        assert back.schema == df.schema, fmt
+        assert sorted(map(tuple, back.collect())) == want, fmt
+
+    with _pytest.raises(formats.UnsupportedFormat):
+        formats.write_dataset(df, str(tmp_path / "nope"), "avro")
+    with _pytest.raises(formats.UnsupportedFormat):
+        formats.read_dataset(spark, str(tmp_path / "nope"), "bogus")
+
+
+def test_formats_orc_pushdown_reaches_scan(spark, sf_dir, tmp_path):
+    """ORC keeps the parquet-class pushdown: a filter on the read
+    lands in the scan's PushedFilters (the reason the columnar pair
+    is the only acceptable at-scale choice)."""
+    from pyspark.sql import functions as F
+
+    from mvp_mini_etl_pipeline_1762840347_spark.io import read_table
+    from mvp_mini_etl_pipeline_1762840347_spark.operators import formats
+
+    path = str(tmp_path / "orc_push")
+    formats.write_dataset(
+        read_table(spark, sf_dir, "customer"), path, "orc"
+    )
+    scan = formats.read_dataset(spark, path, "orc").filter(
+        F.col("c_custkey") == 7
+    )
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "c_custkey" in plan
+
+
+def test_formats_nested_columns_survive_columnar_and_json(
+    spark, sf_dir, tmp_path
+):
+    """The embeddings table (array column) round-trips through
+    parquet/orc/json; csv correctly refuses nested data."""
+    from mvp_mini_etl_pipeline_1762840347_spark.io import read_table
+    from mvp_mini_etl_pipeline_1762840347_spark.operators import formats
+
+    df = read_table(spark, sf_dir, "embeddings")
+    want = df.count()
+    for fmt in ("parquet", "orc", "json"):
+        path = str(tmp_path / f"nested_{fmt}")
+        formats.write_dataset(df, path, fmt)
+        back = formats.read_dataset(spark, path, fmt, schema=df.schema)
+        assert back.count() == want, fmt
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        formats.write_dataset(df, str(tmp_path / "nested_csv"), "csv")
