@@ -84,11 +84,30 @@ _DRIVER_CHECKED: tuple[str, ...] = (
 )
 
 
+# Names that must land inside the driver's ~50-checks/round cap this
+# round, ahead of registry order: the two former hash-red rows (CAST
+# fix in tree, needs a green row to close them out) and the judge's
+# named round-5 asks.  Everything else unchecked follows in registry
+# order; ever-green names re-verify last.
+_PRIORITY: tuple[str, ...] = (
+    "pack_sequences", "running_corpus_tokens", "pack_sequences_shuffled",
+    "sketch_hll_merge", "multimodal_decode", "multimodal_resize",
+    "corpus_disposition", "dedup_incremental", "mv_partial_merge",
+)
+
+
 def _coverage_ordered(mapping: dict) -> dict:
-    """Never-driver-checked entries first (registry order), then the rest."""
-    unchecked = {k: v for k, v in mapping.items() if k not in _DRIVER_CHECKED}
-    checked = {k: v for k, v in mapping.items() if k in _DRIVER_CHECKED}
-    return {**unchecked, **checked}
+    """Priority names, then never-driver-checked (registry order), then rest."""
+    priority = {k: mapping[k] for k in _PRIORITY if k in mapping}
+    unchecked = {
+        k: v for k, v in mapping.items()
+        if k not in _DRIVER_CHECKED and k not in priority
+    }
+    checked = {
+        k: v for k, v in mapping.items()
+        if k in _DRIVER_CHECKED and k not in priority
+    }
+    return {**priority, **unchecked, **checked}
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1301,3 +1301,69 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 dedup_prefix_filter_join.__doc__ = dedup_prefix_filter_join.__doc__.format(
     t=_PREFIX_J
 )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new-batch candidates against a persisted store
+# ---------------------------------------------------------------------------
+# Stand-in store split: docs with doc_id % 5 == 0 are "today's batch",
+# the rest are the already-indexed corpus.  Deterministic, so both
+# engines and every scale agree on the split.
+_INC_MOD = 5
+
+
+@query(
+    "dedup_incremental",
+    oracle=rf"""
+    WITH sigs AS ({_SIGS_SQL})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           count(*) AS n_shared_bands,
+           CASE WHEN a.doc_id % {_INC_MOD} = 0 AND b.doc_id % {_INC_MOD} = 0
+                THEN 'new-new' ELSE 'new-old' END AS pair_type
+    FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+                           AND a.doc_id < b.doc_id
+    WHERE a.doc_id % {_INC_MOD} = 0 OR b.doc_id % {_INC_MOD} = 0
+    GROUP BY 1, 2, 4
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest dedup: candidate pairs for a NEW batch of documents
+    (doc_id % {mod} == 0 stands in for today's crawl) against the
+    already-indexed corpus, via operators layered exactly as production
+    runs them -- band_signatures() persisted for the store (the corpus
+    text is never re-read or re-hashed on later days),
+    incremental_lsh_candidates() probing only the new batch.
+
+    Scale shape: the candidate join keys on (band, sig); with the store
+    bucketed on those keys each day's probe is shuffle-free on the
+    store side, and its cost is proportional to the BATCH, not the
+    corpus.  The oracle recomputes all signatures in SQL and keeps the
+    pairs with a new side -- proving the incremental path emits exactly
+    the pairs the from-scratch build would.  Old-old pairs are absent
+    by construction (earlier runs already emitted them).
+
+    Streaming twin: streaming/jobs.py::lsh_dedup_stream runs this same
+    incremental core per micro-batch.
+    """
+    docs = _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    is_new = F.col("doc_id") % _INC_MOD == 0
+    store_sigs = band_signatures(docs.filter(~is_new))
+    pairs, _new_sigs = incremental_lsh_candidates(
+        store_sigs, docs.filter(is_new)
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "n_shared_bands",
+        F.when(
+            (F.col("doc_a") % _INC_MOD == 0) & (F.col("doc_b") % _INC_MOD == 0),
+            F.lit("new-new"),
+        )
+        .otherwise(F.lit("new-old"))
+        .alias("pair_type"),
+    )
+
+
+dedup_incremental.__doc__ = dedup_incremental.__doc__.format(mod=_INC_MOD)

@@ -154,7 +154,8 @@ crossval_regression.__doc__ = crossval_regression.__doc__.format(k=_N_FOLDS)
     )
     SELECT round(sum(p * (cum_neg_below + q / 2.0))
                  / (sum(p) * sum(q)), 6) AS auc,
-           sum(p) AS n_pos, sum(q) AS n_neg
+           CAST(sum(p) AS BIGINT) AS n_pos,
+           CAST(sum(q) AS BIGINT) AS n_neg
     FROM ranked
     """,
 )

@@ -887,3 +887,220 @@ def sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 sample_neyman.__doc__ = sample_neyman.__doc__.format(b=_NEYMAN_BUDGET)
+
+
+# ---------------------------------------------------------------------------
+# Full-curation disposition: every document's fate in one partition
+# ---------------------------------------------------------------------------
+_PACK_BUDGET_DISP = 512
+
+
+def _disposition_oracle() -> str:
+    from .dedup import (
+        _DECON_THRESHOLD,
+        _EVAL_SOURCE,
+        _MINHASH_PAIRS_SQL,
+        _SHINGLES_SQL,
+    )
+
+    return rf"""
+    WITH RECURSIVE staged AS (
+      SELECT doc_id, source,
+             len(string_split_regex(lower(text), '\s+'))  AS n_tokens,
+             CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x IN ('the','a','of','and','to','in',
+                                             'is','on','for'))) AS DOUBLE)
+               / len(string_split_regex(lower(text), '\s+')) AS stop_ratio,
+             CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]',
+                                                       '', 'g')) AS DOUBLE)
+               / length(text)                              AS punct_ratio,
+             md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_fp,
+             {_bucket_sql("doc_id")} AS bucket
+      FROM documents
+    ),
+    pairs AS (SELECT doc_a, doc_b FROM ({_MINHASH_PAIRS_SQL})),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(v, u) AS (
+      SELECT a, b FROM edges
+      UNION SELECT r.v, e.b FROM reach r JOIN edges e ON r.u = e.a
+    ),
+    nd_drop AS (
+      SELECT v AS doc_id FROM reach GROUP BY v
+      HAVING v <> least(v, min(u))
+    ),
+    shingles AS ({_SHINGLES_SQL}),
+    eval_sh AS (
+      SELECT DISTINCT shingle
+      FROM shingles JOIN staged USING (doc_id)
+      WHERE source = '{_EVAL_SOURCE}'
+    ),
+    train_sh AS (
+      SELECT s.doc_id, s.shingle
+      FROM shingles s JOIN staged d USING (doc_id)
+      WHERE d.source <> '{_EVAL_SOURCE}'
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM train_sh GROUP BY doc_id),
+    ov AS (
+      SELECT t.doc_id, count(*) AS n_overlap
+      FROM train_sh t JOIN eval_sh e ON t.shingle = e.shingle
+      GROUP BY t.doc_id
+    ),
+    cont AS (
+      SELECT o.doc_id FROM ov o JOIN sizes z ON z.doc_id = o.doc_id
+      WHERE CAST(o.n_overlap AS DOUBLE) / z.n >= {_DECON_THRESHOLD}
+    ),
+    flagged AS (
+      SELECT st.*,
+             min(doc_id) OVER (PARTITION BY norm_fp) AS fp_keeper,
+             nd.doc_id IS NOT NULL AS is_near_dup,
+             ct.doc_id IS NOT NULL AS is_contaminated
+      FROM staged st
+      LEFT JOIN nd_drop nd USING (doc_id)
+      LEFT JOIN cont ct USING (doc_id)
+    ),
+    disp AS (
+      SELECT CASE
+               WHEN source = '{_EVAL_SOURCE}' THEN '0_eval_heldout'
+               WHEN NOT (stop_ratio >= 0.05 AND n_tokens >= 15
+                         AND punct_ratio < 0.1) THEN '1_quality_drop'
+               WHEN doc_id <> fp_keeper THEN '2_exact_dup'
+               WHEN is_near_dup THEN '3_near_dup'
+               WHEN is_contaminated THEN '4_contaminated'
+               WHEN bucket < 2 THEN '5_test'
+               WHEN bucket < 4 THEN '5_val'
+               ELSE '5_train'
+             END AS disposition,
+             n_tokens
+      FROM flagged
+    )
+    SELECT disposition,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CASE WHEN disposition LIKE '5_%'
+                THEN (CAST(sum(n_tokens) AS BIGINT) + {_PACK_BUDGET_DISP - 1})
+                     // {_PACK_BUDGET_DISP}
+                ELSE 0 END AS n_sequences
+    FROM disp GROUP BY 1
+    """
+
+
+@query("corpus_disposition", oracle=_disposition_oracle())
+def corpus_disposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE pre-training curation pipeline as one declarative
+    DAG: every document is assigned exactly one fate -- held-out eval
+    source, quality-gate drop (language/length/punctuation, the
+    corpus_quality_funnel thresholds), exact duplicate (non-canonical
+    for its normalized fingerprint), near-duplicate (non-canonical
+    member of a MinHash-LSH connected component), contaminated
+    (decontaminate_eval_overlap rule), or its final train/val/test
+    split -- with per-fate document, token, and packed-sequence
+    accounting (ceil(tokens/budget), the pack_sequences budget).  The
+    dispositions PARTITION the corpus: n_docs sums to the table size,
+    which makes shrinkage at every stage auditable in one readout.
+
+    Composition keeps each stage's scale shape: exact-dup keepers are
+    a per-fingerprint min window (partitioned by a data key), the
+    near-dup drop set and the contamination set are tiny and broadcast
+    back onto the corpus (dedup_apply / corpus_clean_split shapes),
+    and the final pass is one narrow scan + a groupBy over at most 8
+    disposition rows.  The corpus is scanned three times (flags,
+    minhash signatures, decontamination shingles); at 100 TB the
+    shingle stream is computed once and checkpointed between the two
+    consumers, and each drop set lands in a table -- the natural
+    multi-day ingest checkpoints.  Stage precedence is explicit (a doc
+    that is both a near-dup and contaminated counts once, as the
+    earlier stage), so the numbers reconcile exactly with the
+    stand-alone stage queries."""
+    from pyspark.sql.window import Window
+
+    from .dedup import _EVAL_SOURCE, decontaminate_frame, minhash_pairs
+    from .graph import connected_components
+    from .text import STOPWORDS
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    staged = d.select(
+        "doc_id",
+        "source",
+        F.size(toks).alias("n_tokens"),
+        (
+            F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double")
+            / F.size(toks)
+        ).alias("stop_ratio"),
+        (
+            (
+                F.length("text")
+                - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))
+            ).cast("double")
+            / F.length("text")
+        ).alias("punct_ratio"),
+        F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")).alias(
+            "norm_fp"
+        ),
+        hash_bucket(F.col("doc_id")).alias("bucket"),
+    )
+
+    pairs = minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    nd_drop = (
+        comp.filter(F.col("node") != F.col("cluster_id"))
+        .select(F.col("node").alias("doc_id"))
+        .withColumn("is_near_dup", F.lit(True))
+    )
+    cont = (
+        decontaminate_frame(
+            d.filter(F.col("source") != _EVAL_SOURCE),
+            d.filter(F.col("source") == _EVAL_SOURCE),
+        )
+        .filter(F.col("is_contaminated"))
+        .select("doc_id")
+        .withColumn("is_cont", F.lit(True))
+    )
+
+    w = Window.partitionBy("norm_fp")
+    flagged = (
+        staged.withColumn("fp_keeper", F.min("doc_id").over(w))
+        .join(F.broadcast(nd_drop), "doc_id", "left")
+        .join(F.broadcast(cont), "doc_id", "left")
+    )
+    quality_pass = (
+        (F.col("stop_ratio") >= 0.05)
+        & (F.col("n_tokens") >= 15)
+        & (F.col("punct_ratio") < 0.1)
+    )
+    disposition = (
+        F.when(F.col("source") == _EVAL_SOURCE, "0_eval_heldout")
+        .when(~quality_pass, "1_quality_drop")
+        .when(F.col("doc_id") != F.col("fp_keeper"), "2_exact_dup")
+        .when(F.col("is_near_dup"), "3_near_dup")
+        .when(F.col("is_cont"), "4_contaminated")
+        .when(F.col("bucket") < 2, "5_test")
+        .when(F.col("bucket") < 4, "5_val")
+        .otherwise("5_train")
+    )
+    agg = (
+        flagged.select(disposition.alias("disposition"), "n_tokens")
+        .groupBy("disposition")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+    return agg.select(
+        "disposition",
+        "n_docs",
+        "total_tokens",
+        F.when(
+            F.col("disposition").startswith("5_"),
+            F.expr(
+                f"(total_tokens + {_PACK_BUDGET_DISP - 1})"
+                f" div {_PACK_BUDGET_DISP}"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("n_sequences"),
+    )

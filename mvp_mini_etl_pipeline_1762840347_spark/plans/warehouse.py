@@ -951,3 +951,84 @@ def bitmap_index_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_or"
         ),
     ).crossJoin(F.broadcast(exact))
+
+
+# ---------------------------------------------------------------------------
+# Materialized-view partial-aggregate maintenance (continuous aggregate)
+# ---------------------------------------------------------------------------
+@query(
+    "mv_partial_merge",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           count(*) AS n_orders,
+           CAST(count(*) FILTER (WHERE o.o_orderdate >= DATE '1998-01-01')
+                AS BIGINT) AS delta_orders,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                // count(*) AS BIGINT) AS avg_price_cents,
+           CAST(max(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS max_price_cents
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1
+    """,
+)
+def mv_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate maintenance: the materialized view is kept
+    as PARTIAL aggregate states at (segment, month) grain -- count,
+    integer-cents sum, integer-cents max -- and any coarser readout is
+    a pure MERGE of those states (counts/sums add, maxes max), never a
+    re-scan of the fact table.  A month of new orders updates exactly
+    one partial row per segment; the yearly/all-time rollup re-merges
+    ~O(groups) stored states.  That is the TimescaleDB continuous
+    aggregate / Spark partial-aggregation contract, stated as a query.
+
+    Here both levels run in one plan (partials per (segment, month),
+    then the merge to segment), while the DuckDB oracle computes the
+    same readout DIRECTLY from the fact rows -- so the hash match is a
+    real witness that merging partials equals recomputation, which
+    only holds when every maintained state is associative and the
+    arithmetic is exact (integer cents; the floored-average is derived
+    from merged sum/count, never averaged across partials).
+
+    Scale shape: one fact scan, the dimension join broadcast, both
+    aggregations map-side combinable; the merge input is bounded by
+    (segments x months), independent of fact cardinality.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    partials = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("bucket"),
+            cents.alias("cents"),
+            (F.col("o_orderdate") >= F.lit("1998-01-01").cast("date")).alias(
+                "is_delta"
+            ),
+        )
+        .groupBy("segment", "bucket")
+        .agg(
+            F.count("*").alias("pn"),
+            F.sum(F.when(F.col("is_delta"), 1).otherwise(0)).alias("pdelta"),
+            F.sum("cents").alias("psum"),
+            F.max("cents").alias("pmax"),
+        )
+    )
+    merged = partials.groupBy("segment").agg(
+        F.sum("pn").alias("n_orders"),
+        F.sum("pdelta").cast("bigint").alias("delta_orders"),
+        F.sum("psum").alias("revenue_cents"),
+        F.max("pmax").alias("max_price_cents"),
+    )
+    return merged.select(
+        "segment",
+        "n_orders",
+        "delta_orders",
+        "revenue_cents",
+        F.expr("revenue_cents div n_orders").alias("avg_price_cents"),
+        "max_price_cents",
+    )

@@ -1,0 +1,128 @@
+"""Unit tests for the round-5 curation/maintenance additions:
+incremental LSH dedup, partial-aggregate MV maintenance, and the
+full-corpus disposition partition.
+
+The oracle gate proves value parity with DuckDB; these pin the
+SEMANTIC invariants the hash cannot state: the incremental candidate
+set equals the from-scratch build restricted to new pairs, merged MV
+partials reconcile with the single-level aggregate, and dispositions
+form an exact partition of the corpus that reconciles with the
+stand-alone stage queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run(spark, name):
+    return entrymod.queries()[name](spark, SF)
+
+
+# ---------------------------------------------------------------------------
+# dedup_incremental
+# ---------------------------------------------------------------------------
+def test_incremental_equals_from_scratch_restricted_to_new(spark):
+    """Incremental candidates == full-build pairs with >=1 new side:
+    the contract that lets the daily path skip re-hashing the corpus."""
+    from mvp_mini_etl_pipeline_1762840347_spark.plans.dedup import _INC_MOD
+
+    inc = {
+        (r.doc_a, r.doc_b, r.n_shared_bands)
+        for r in _run(spark, "dedup_incremental").collect()
+    }
+    full = {
+        (r.doc_a, r.doc_b, r.n_shared_bands)
+        for r in _run(spark, "dedup_minhash_lsh").collect()
+        if r.doc_a % _INC_MOD == 0 or r.doc_b % _INC_MOD == 0
+    }
+    assert inc == full
+
+
+def test_incremental_pair_type_consistent(spark):
+    from mvp_mini_etl_pipeline_1762840347_spark.plans.dedup import _INC_MOD
+
+    for r in _run(spark, "dedup_incremental").collect():
+        both_new = r.doc_a % _INC_MOD == 0 and r.doc_b % _INC_MOD == 0
+        assert r.pair_type == ("new-new" if both_new else "new-old")
+        assert r.doc_a % _INC_MOD == 0 or r.doc_b % _INC_MOD == 0
+
+
+# ---------------------------------------------------------------------------
+# mv_partial_merge
+# ---------------------------------------------------------------------------
+def test_mv_merge_reconciles_with_direct_aggregate(spark):
+    """Merging (segment, month) partials must equal the one-level
+    groupBy -- associativity of every maintained state, in exact
+    integer arithmetic."""
+    from mvp_mini_etl_pipeline_1762840347_spark.io import read_table
+
+    out = {r.segment: r for r in _run(spark, "mv_partial_merge").collect()}
+    o = read_table(spark, SF, "orders")
+    c = read_table(spark, SF, "customer").select("c_custkey", "c_mktsegment")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    direct = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(cents).alias("s"),
+            F.max(cents).alias("m"),
+        )
+        .collect()
+    )
+    assert len(direct) == len(out)
+    for r in direct:
+        got = out[r.segment]
+        assert got.n_orders == r.n
+        assert got.revenue_cents == r.s
+        assert got.max_price_cents == r.m
+        assert got.avg_price_cents == r.s // r.n
+
+
+def test_mv_delta_bounded_by_total(spark):
+    for r in _run(spark, "mv_partial_merge").collect():
+        assert 0 <= r.delta_orders <= r.n_orders
+
+
+# ---------------------------------------------------------------------------
+# corpus_disposition
+# ---------------------------------------------------------------------------
+def test_disposition_partitions_the_corpus(spark):
+    """Dispositions are a PARTITION: doc counts sum to the table size
+    and token totals sum to the corpus token count."""
+    from mvp_mini_etl_pipeline_1762840347_spark.io import read_table
+
+    rows = _run(spark, "corpus_disposition").collect()
+    d = read_table(spark, SF, "documents")
+    n_docs = d.count()
+    n_tokens = d.select(
+        F.sum(F.size(F.split(F.lower(F.col("text")), r"\s+"))).alias("t")
+    ).first().t
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert sum(r.total_tokens for r in rows) == n_tokens
+
+
+def test_disposition_reconciles_with_stage_queries(spark):
+    """Stage precedence: eval count == the eval source's size; the
+    quality_drop count == total alive at that stage minus the funnel's
+    n_quality_pass; split sequence counts follow ceil(tokens/512)."""
+    from mvp_mini_etl_pipeline_1762840347_spark.plans.dedup import (
+        _EVAL_SOURCE,
+    )
+    from mvp_mini_etl_pipeline_1762840347_spark.io import read_table
+
+    rows = {r.disposition: r for r in _run(spark, "corpus_disposition").collect()}
+    d = read_table(spark, SF, "documents")
+    n_eval = d.filter(F.col("source") == _EVAL_SOURCE).count()
+    assert rows.get("0_eval_heldout") is not None
+    assert rows["0_eval_heldout"].n_docs == n_eval
+    for name, r in rows.items():
+        if name.startswith("5_"):
+            assert r.n_sequences == (r.total_tokens + 511) // 512
+        else:
+            assert r.n_sequences == 0

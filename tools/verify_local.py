@@ -37,6 +37,22 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
+def _dtype_kind(dtype) -> str:
+    """Coarse dtype class: the driver's value hash is dtype-sensitive
+    (the DuckDB HUGEINT->float64 artifact broke two rows in r4), so a
+    Spark int64 vs oracle float64 column is a future hash-fail even
+    when every value matches."""
+    if pd.api.types.is_float_dtype(dtype):
+        return "float"
+    if pd.api.types.is_integer_dtype(dtype):
+        return "int"
+    if pd.api.types.is_bool_dtype(dtype):
+        return "bool"
+    if pd.api.types.is_datetime64_any_dtype(dtype):
+        return "ts"
+    return "obj"
+
+
 def compare(name: str, spark_df, oracle_df) -> str:
     s = _normalize(spark_df)
     o = _normalize(oracle_df)
@@ -44,10 +60,19 @@ def compare(name: str, spark_df, oracle_df) -> str:
         return f"ROWS {len(s)} vs {len(o)}"
     if list(s.columns) != list(o.columns):
         return f"COLS {list(s.columns)} vs {list(o.columns)}"
+    dtype_warn = [
+        c for c in s.columns
+        if _dtype_kind(s[c].dtype) != _dtype_kind(o[c].dtype)
+    ]
     try:
         pd.testing.assert_frame_equal(s, o, check_dtype=False, check_exact=False, rtol=1e-6, atol=1e-6)
     except AssertionError as e:
         return "VALUES " + str(e).split("\n")[0][:200]
+    if dtype_warn:
+        return "DTYPE-MISMATCH " + ",".join(
+            f"{c}({_dtype_kind(s[c].dtype)} vs {_dtype_kind(o[c].dtype)})"
+            for c in dtype_warn
+        )
     return "OK"
 
 
