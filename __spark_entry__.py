@@ -93,6 +93,7 @@ _PRIORITY: tuple[str, ...] = (
     "pack_sequences", "running_corpus_tokens", "pack_sequences_shuffled",
     "sketch_hll_merge", "multimodal_decode", "multimodal_resize",
     "corpus_disposition", "dedup_incremental", "mv_partial_merge",
+    "multimodal_pixels",
 )
 
 

@@ -76,13 +76,17 @@ def fake_media_from_documents(documents: DataFrame) -> DataFrame:
 
 
 def decode_image(content: bytes) -> "object":
-    """Full PIXEL decode entry point -- NOT IMPLEMENTED in this
-    container (JPEG/PNG decompression needs an image library).
-    Header-level decode of uncompressed formats (BMP, WAV) IS real:
-    see parse_media_header below, which the multimodal_decode query
-    value-checks against the oracle."""
+    """Full PIXEL decode entry point.  PNG is REAL (stdlib zlib
+    inflate + filter reconstruction -- decode_png below, value-checked
+    by the multimodal_pixels oracle); BMP headers/pixels are real via
+    parse_media_header / resize_bmp_half.  JPEG decompression and
+    video demux still need codec libraries absent from this container
+    and raise rather than fabricate."""
+    if content is not None and content[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h, px = decode_png(content)
+        return {"width": w, "height": h, "pixels": px}
     raise NotImplementedError(
-        "pixel decoding requires an image library not present in this environment"
+        "JPEG/video decoding requires a codec library not present in this environment"
     )
 
 
@@ -372,3 +376,145 @@ def resize_media(media: DataFrame) -> DataFrame:
     return media.mapInPandas(
         op, schema="media_id long, kind string, content binary"
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL pixel-level codec, stdlib-only: PNG (zlib + struct).  Unlike the
+# BMP/WAV paths (headers + raw bytes), PNG requires genuine
+# decompression and per-scanline filter reconstruction -- the "needs a
+# codec library" step, implemented here from the public spec for the
+# subset stdlib can carry (8-bit grayscale, all five filter types).
+# JPEG/video stay honestly stubbed in decode_image.
+# ---------------------------------------------------------------------------
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_filter_line(f: int, line: bytes, prev: bytes) -> bytes:
+    """Apply PNG filter f to a raw scanline (encode direction),
+    grayscale so bpp == 1."""
+    out = bytearray(len(line))
+    for i, v in enumerate(line):
+        a = line[i - 1] if i else 0
+        b = prev[i]
+        c = prev[i - 1] if i else 0
+        if f == 0:
+            pred = 0
+        elif f == 1:
+            pred = a
+        elif f == 2:
+            pred = b
+        elif f == 3:
+            pred = (a + b) // 2
+        else:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+        out[i] = (v - pred) & 255
+    return bytes(out)
+
+
+def build_png(width: int, height: int, seed: int) -> bytes:
+    """A real 8-bit grayscale PNG: pixel(x, y) = (7x + 13y + seed)
+    mod 256, scanline y filtered with type y mod 5 -- every decoder
+    filter path is exercised and value-checked, since the oracle
+    states the closed-form pixel sums the decode must recover."""
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = bytearray()
+    prev = bytes(width)
+    for y in range(height):
+        line = bytes((7 * x + 13 * y + seed) % 256 for x in range(width))
+        f = y % 5
+        raw.append(f)
+        raw += _png_filter_line(f, line, prev)
+        prev = line
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(content: bytes) -> tuple[int, int, bytes]:
+    """REAL PNG decode: chunk walk with CRC verification, zlib
+    inflate, and per-scanline filter reconstruction (types 0-4).
+    Returns (width, height, row-major pixel bytes).  Supports the
+    8-bit grayscale non-interlaced subset; anything else raises
+    rather than fabricating pixels."""
+    import struct
+    import zlib
+
+    if content[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, idat, w, h = 8, b"", None, None
+    while pos + 12 <= len(content):
+        (length,) = struct.unpack_from(">I", content, pos)
+        tag = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", content, pos + 8 + length)
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {tag!r}")
+        if tag == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (depth, color, comp, filt, interlace) != (8, 0, 0, 0, 0):
+                raise NotImplementedError(
+                    "only 8-bit grayscale non-interlaced PNG supported"
+                )
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    raw = zlib.decompress(idat)
+    if len(raw) != h * (w + 1):
+        raise ValueError("decompressed size mismatch")
+    out = bytearray()
+    prev = bytearray(w)
+    p = 0
+    for _y in range(h):
+        f = raw[p]
+        p += 1
+        line = bytearray(raw[p : p + w])
+        p += w
+        if f == 1:
+            for i in range(1, w):
+                line[i] = (line[i] + line[i - 1]) & 255
+        elif f == 2:
+            for i in range(w):
+                line[i] = (line[i] + prev[i]) & 255
+        elif f == 3:
+            for i in range(w):
+                a = line[i - 1] if i else 0
+                line[i] = (line[i] + (a + prev[i]) // 2) & 255
+        elif f == 4:
+            for i in range(w):
+                a = line[i - 1] if i else 0
+                b = prev[i]
+                c = prev[i - 1] if i else 0
+                pr = a + b - c
+                pa, pb, pc = abs(pr - a), abs(pr - b), abs(pr - c)
+                pred = (
+                    a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                )
+                line[i] = (line[i] + pred) & 255
+        elif f != 0:
+            raise ValueError(f"unknown filter {f}")
+        out += line
+        prev = line
+    return w, h, bytes(out)

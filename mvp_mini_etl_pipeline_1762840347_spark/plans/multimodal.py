@@ -238,3 +238,82 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media_headers(resized).withColumnRenamed(
         "n_bytes", "n_bytes_out"
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL pixel decode (PNG: zlib inflate + filter reconstruction)
+# ---------------------------------------------------------------------------
+@query(
+    "multimodal_pixels",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 7 AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h, (7 * x.x + 13 * y.y + doc_id) % 256 AS v
+      FROM d, unnest(range(d.w)) AS x(x), unnest(range(d.h)) AS y(y)
+    )
+    SELECT doc_id AS media_id,
+           CAST(max(w) AS INTEGER) AS width,
+           CAST(max(h) AS INTEGER) AS height,
+           count(*) AS n_pixels,
+           CAST(sum(v) AS BIGINT) AS pixel_sum,
+           CAST(min(v) AS BIGINT) AS px_min,
+           CAST(max(v) AS BIGINT) AS px_max
+    FROM px GROUP BY doc_id
+    """,
+)
+def multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel-level image decode -- the codec step itself, not
+    just container headers: each document becomes a genuine 8-bit
+    grayscale PNG (deflate-compressed scanlines, filter type cycling
+    through all five per row), and the decode walks chunks, verifies
+    CRCs, zlib-inflates, reconstructs every filter type, and
+    aggregates the recovered pixels.  The oracle states the
+    closed-form pixel statistics from the generator formula
+    ((7x + 13y + doc_id) mod 256), so a wrong Paeth predictor, a
+    mis-ordered scanline, or an off-by-one stride changes pixel_sum
+    and fails the value hash.  This closes the ROADMAP 'pixel-level
+    multimodal decode' gap with zero new dependencies; JPEG stays
+    honestly stubbed in operators/multimodal.py::decode_image.
+
+    Scale: build -> decode -> per-image aggregate all happen inside
+    ONE Arrow-batched mapInPandas pass (pixels never leave the
+    worker, only 7 small columns per image do); embarrassingly
+    parallel, zero shuffles."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..operators.multimodal import build_png, decode_png
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                png = build_png(4 + i % 13, 4 + i % 7, i)
+                w, h, px = decode_png(png)
+                rows.append(
+                    (i, w, h, len(px), sum(px), min(px), max(px))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_pixels",
+                    "pixel_sum", "px_min", "px_max",
+                ],
+            )
+
+    return (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .mapInPandas(
+            op,
+            schema=(
+                "media_id long, width int, height int, n_pixels long, "
+                "pixel_sum long, px_min long, px_max long"
+            ),
+        )
+    )

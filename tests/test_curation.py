@@ -126,3 +126,53 @@ def test_disposition_reconciles_with_stage_queries(spark):
             assert r.n_sequences == (r.total_tokens + 511) // 512
         else:
             assert r.n_sequences == 0
+
+
+# ---------------------------------------------------------------------------
+# PNG codec (operators/multimodal.py)
+# ---------------------------------------------------------------------------
+def test_png_round_trip_all_filters():
+    from mvp_mini_etl_pipeline_1762840347_spark.operators.multimodal import (
+        build_png,
+        decode_png,
+    )
+
+    for seed in (0, 3, 77, 255, 4096):
+        w, h = 4 + seed % 13, 6  # h >= 5 exercises every filter type
+        dw, dh, px = decode_png(build_png(w, h, seed))
+        assert (dw, dh) == (w, h)
+        assert px == bytes(
+            (7 * x + 13 * y + seed) % 256 for y in range(h) for x in range(w)
+        )
+
+
+def test_png_decoder_rejects_corruption():
+    import pytest
+
+    from mvp_mini_etl_pipeline_1762840347_spark.operators.multimodal import (
+        build_png,
+        decode_png,
+    )
+
+    png = build_png(8, 8, 42)
+    with pytest.raises(ValueError):
+        decode_png(b"NOTAPNG" + png)
+    bad = bytearray(png)
+    bad[40] ^= 0xFF  # flip a byte inside IDAT -> CRC mismatch
+    with pytest.raises(ValueError):
+        decode_png(bytes(bad))
+
+
+def test_decode_image_routes_png_and_stubs_rest():
+    import pytest
+
+    from mvp_mini_etl_pipeline_1762840347_spark.operators.multimodal import (
+        build_png,
+        decode_image,
+    )
+
+    out = decode_image(build_png(5, 4, 9))
+    assert (out["width"], out["height"]) == (5, 4)
+    assert len(out["pixels"]) == 20
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
