@@ -2087,3 +2087,84 @@ def revenue_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_pop(F.col("rev") - F.col("trend")), 2).alias("dow_sd"),
         F.count("*").alias("n_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift monitor: PSI between two time periods
+# ---------------------------------------------------------------------------
+_PSI_BIN_W = 50_000  # fixed-width price bins (deterministic, data-free)
+_PSI_BINS = 10
+_PSI_CUTOFF = "1997-01-01"
+
+
+@query(
+    "drift_psi",
+    oracle=f"""
+    WITH binned AS (
+      SELECT least(CAST(floor(o_totalprice / {_PSI_BIN_W}) AS BIGINT),
+                   {_PSI_BINS - 1}) AS bin,
+             (o_orderdate < DATE '{_PSI_CUTOFF}') AS is_a
+      FROM orders
+    ),
+    counts AS (
+      SELECT bin,
+             count(*) FILTER (WHERE is_a)     AS n_a,
+             count(*) FILTER (WHERE NOT is_a) AS n_b
+      FROM binned GROUP BY bin
+    ),
+    tot AS (
+      SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM counts
+    )
+    SELECT bin,
+           CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           round(((n_a + 0.5) / (ta + {_PSI_BINS} * 0.5)
+                  - (n_b + 0.5) / (tb + {_PSI_BINS} * 0.5))
+                 * ln(((n_a + 0.5) / (ta + {_PSI_BINS} * 0.5))
+                      / ((n_b + 0.5) / (tb + {_PSI_BINS} * 0.5))), 6)
+             AS psi_contrib
+    FROM counts, tot
+    """,
+)
+def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two time periods of the
+    order-price distribution -- the standard ML-monitoring drift
+    readout ("has the feature distribution my model was trained on
+    shifted?").  Per fixed-width bin: period counts and the smoothed
+    PSI contribution (pa - pb) * ln(pa / pb); the total PSI is the sum
+    over bins (>0.2 conventionally flags actionable drift).  Bins are
+    a data-free fixed grid and the smoothing (+0.5 per bin) keeps
+    empty bins finite, so the statistic is deterministic and
+    mergeable: per-partition bin counts are partial-aggregable, and
+    day-over-day monitoring unions count states, never raw rows.
+
+    Scale shape: one fact scan, one {_PSI_BINS}-group aggregate (map-side
+    combine), the totals broadcast back as a 1-row frame -- the same
+    bounded-histogram discipline as histogram_totalprice /
+    winsorized_pricing_approx."""
+    o = read_table(spark, sf_dir, "orders")
+    binned = o.select(
+        F.least(
+            F.floor(F.col("o_totalprice") / _PSI_BIN_W).cast("bigint"),
+            F.lit(_PSI_BINS - 1),
+        ).alias("bin"),
+        (F.col("o_orderdate") < F.lit(_PSI_CUTOFF).cast("date")).alias(
+            "is_a"
+        ),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.count(F.when(F.col("is_a"), 1)).alias("n_a"),
+        F.count(F.when(~F.col("is_a"), 1)).alias("n_b"),
+    )
+    tot = counts.agg(
+        F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")
+    )
+    sm = _PSI_BINS * 0.5
+    pa = (F.col("n_a") + 0.5) / (F.col("ta") + sm)
+    pb = (F.col("n_b") + 0.5) / (F.col("tb") + sm)
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_contrib"),
+    )

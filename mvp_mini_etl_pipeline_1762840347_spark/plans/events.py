@@ -1424,3 +1424,85 @@ def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("credit"), 4).alias("total_credit"),
         F.count(F.when(F.col("credit") > 0, 1)).alias("n_purchases"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence pattern matching (MATCH_RECOGNIZE class)
+# ---------------------------------------------------------------------------
+_SEQ_PATTERN = "vc*p"  # view, any clicks, then purchase
+
+
+@query(
+    "events_pattern_match",
+    oracle=rf"""
+    WITH seqs AS (
+      SELECT user_id,
+             count(*) AS n_events,
+             string_agg(substring(event_type, 1, 1), ''
+                        ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           CAST(len(regexp_extract_all(seq, '{_SEQ_PATTERN}')) AS BIGINT)
+             AS n_matches,
+           CAST(coalesce(list_max(list_transform(
+                  regexp_extract_all(seq, '{_SEQ_PATTERN}'),
+                  x -> len(x))), 0) AS BIGINT) AS longest_match
+    FROM seqs
+    """,
+)
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-sequence pattern matching (the SQL MATCH_RECOGNIZE
+    capability class): each user's event history, ordered by event
+    time, is encoded one character per event (the five types have
+    distinct initials) and scanned for the funnel regex '{pat}'
+    (view, any clicks, then purchase), emitting per-user match count
+    and the longest matched episode.  Regex-over-encoded-sequence is
+    the classic engine rewrite for arbitrary event patterns --
+    alternation, repetition, and optionality come free from the regex
+    engine, where the conditional-aggregation funnel
+    (events_funnel) hand-builds one fixed pattern.
+
+    Scale shape: ONE shuffle on user_id; the per-entity sequence is
+    assembled with sort_array over (ts, event_id, char) structs --
+    JVM-side, no window, no UDF -- and its length is bounded by the
+    per-entity event count (at deploy scale the same query groups by
+    session_window so no string outgrows a session).  Both engines
+    run greedy leftmost non-overlapping matching, so counts agree
+    exactly."""
+    e = read_events(spark, sf_dir)
+    seqs = e.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "ts",
+                            "event_id",
+                            F.substring("event_type", 1, 1).alias("ch"),
+                        )
+                    )
+                ),
+                lambda s: s["ch"],
+            ),
+        ).alias("seq"),
+    )
+    matches = F.expr(f"regexp_extract_all(seq, '{_SEQ_PATTERN}', 0)")
+    return seqs.select(
+        "user_id",
+        "n_events",
+        F.size(matches).cast("bigint").alias("n_matches"),
+        F.coalesce(
+            F.array_max(F.transform(matches, lambda x: F.length(x))),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("longest_match"),
+    )
+
+
+events_pattern_match.__doc__ = events_pattern_match.__doc__.format(
+    pat=_SEQ_PATTERN
+)

@@ -176,3 +176,50 @@ def test_decode_image_routes_png_and_stubs_rest():
     assert len(out["pixels"]) == 20
     with pytest.raises(NotImplementedError):
         decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
+
+
+# ---------------------------------------------------------------------------
+# events_pattern_match
+# ---------------------------------------------------------------------------
+def test_pattern_match_agrees_with_python_re(spark):
+    """Cross-check the distributed regex scan against a sequential
+    reference: rebuild each user's encoded sequence in Python and run
+    the same pattern with the stdlib re module."""
+    import re as _re
+
+    from mvp_mini_etl_pipeline_1762840347_spark.io import read_events
+    from mvp_mini_etl_pipeline_1762840347_spark.plans.events import (
+        _SEQ_PATTERN,
+    )
+
+    out = {r.user_id: r for r in _run(spark, "events_pattern_match").collect()}
+    ev = (
+        read_events(spark, SF)
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    seqs = {}
+    for r in sorted(ev, key=lambda r: (r.ts, r.event_id)):
+        seqs.setdefault(r.user_id, []).append(r.event_type[0])
+    assert set(seqs) == set(out)
+    for uid, chars in seqs.items():
+        hits = _re.findall(_SEQ_PATTERN, "".join(chars))
+        assert out[uid].n_events == len(chars)
+        assert out[uid].n_matches == len(hits), uid
+        assert out[uid].longest_match == (max(map(len, hits)) if hits else 0)
+
+
+# ---------------------------------------------------------------------------
+# drift_psi
+# ---------------------------------------------------------------------------
+def test_psi_contributions_nonnegative_and_counts_partition(spark):
+    """(pa-pb)*ln(pa/pb) >= 0 for every bin (both factors share sign),
+    and the per-bin period counts partition the orders table."""
+    from mvp_mini_etl_pipeline_1762840347_spark.io import read_table
+
+    rows = _run(spark, "drift_psi").collect()
+    n_orders = read_table(spark, SF, "orders").count()
+    assert sum(r.n_a + r.n_b for r in rows) == n_orders
+    for r in rows:
+        assert r.psi_contrib >= 0.0, r
+    assert sum(r.psi_contrib for r in rows) >= 0.0
