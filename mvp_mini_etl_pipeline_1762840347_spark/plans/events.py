@@ -1506,3 +1506,68 @@ def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 events_pattern_match.__doc__ = events_pattern_match.__doc__.format(
     pat=_SEQ_PATTERN
 )
+
+
+# ---------------------------------------------------------------------------
+# Dead-letter quarantine: schema-on-read with corrupt-record routing
+# ---------------------------------------------------------------------------
+_DL_MOD = 47  # events with event_id % mod == 0 get a corrupted payload
+
+
+@query(
+    "events_dead_letter",
+    oracle=f"""
+    WITH fed AS (
+      SELECT event_type,
+             CASE WHEN event_id % {_DL_MOD} = 0
+                  THEN substring(props, 1, length(props) - 1)
+                  ELSE props END AS payload
+      FROM events
+    ),
+    parsed AS (
+      SELECT event_type,
+             CASE WHEN json_valid(payload)
+                  THEN CAST(payload ->> 'k' AS BIGINT) END AS k
+      FROM fed
+    )
+    SELECT event_type,
+           count(*) AS n_rows,
+           CAST(count(*) - count(k) AS BIGINT) AS n_quarantined,
+           CAST(sum(k) AS BIGINT) AS sum_k
+    FROM parsed GROUP BY event_type
+    """,
+)
+def events_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bad-record quarantine, the landing-zone robustness pattern: a
+    feed where ~1/{mod} of the JSON payloads are corrupt (last byte
+    truncated -- unbalanced JSON -- injected deterministically so
+    both engines see the same feed) is parsed schema-on-read; rows whose payload fails to parse
+    are ROUTED to the dead-letter side of the accounting instead of
+    poisoning the batch, and the parsed side proves it extracted real
+    values (sum of the payload field).  from_json's PERMISSIVE null
+    on malformed input is exactly the corrupt-record channel Spark's
+    JSON source exposes (columnNameOfCorruptRecord); at deploy the
+    quarantined rows land in a dead-letter table with their raw
+    bytes for replay, and the pipeline never aborts on one bad
+    producer.
+
+    Scale shape: one scan, parse + route + aggregate in a single
+    narrow pass, map-side combinable -- quarantining is a projection,
+    not a filter-and-rescan."""
+    e = read_events(spark, sf_dir)
+    payload = F.when(
+        F.col("event_id") % _DL_MOD == 0,
+        F.expr("substring(props, 1, length(props) - 1)"),
+    ).otherwise(F.col("props"))
+    parsed = e.select(
+        "event_type",
+        F.from_json(payload, "k BIGINT").alias("d"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        (F.count("*") - F.count("d.k")).alias("n_quarantined"),
+        F.sum("d.k").alias("sum_k"),
+    )
+
+
+events_dead_letter.__doc__ = events_dead_letter.__doc__.format(mod=_DL_MOD)

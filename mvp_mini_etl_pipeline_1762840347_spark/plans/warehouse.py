@@ -1032,3 +1032,81 @@ def mv_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("revenue_cents div n_orders").alias("avg_price_cents"),
         "max_price_cents",
     )
+
+
+# ---------------------------------------------------------------------------
+# Table-format time travel: versioned reads over snapshot commits
+# ---------------------------------------------------------------------------
+_TT_CUT1, _TT_CUT2 = "1996-01-01", "1997-01-01"
+
+
+@query(
+    "snapshot_time_travel",
+    oracle=f"""
+    WITH c AS (
+      SELECT o_orderdate,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT 0 AS version, count(*) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM c WHERE o_orderdate < DATE '{_TT_CUT1}'
+    UNION ALL
+    SELECT 1, count(*), CAST(sum(cents) AS BIGINT)
+    FROM c WHERE o_orderdate < DATE '{_TT_CUT2}'
+    UNION ALL
+    SELECT 2, count(*), CAST(sum(cents) AS BIGINT) FROM c
+    """,
+)
+def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over a transactional table, value-checked end to
+    end: the orders fact is ingested as three MERGE commits into a
+    SnapshotTable (pre-1996 load, then the 1996 delta, then the rest
+    -- each commit an immutable snapshot directory behind an
+    atomically-swapped pointer), and every historical VERSION is then
+    read back and aggregated.  The oracle recomputes what each
+    version MUST contain from the commit date ranges, so a merge that
+    drops/duplicates rows, a pointer pointing at the wrong snapshot,
+    or a non-isolated write fails the value hash.  This promotes the
+    table-format semantics (snapshot isolation, idempotent MERGE,
+    ``VERSION AS OF`` reads) from pytest-only coverage to a driver-
+    checked row; Delta/Iceberg mapping in operators/table_format.py.
+
+    Scale shape: each MERGE is the one-shuffle full-outer upsert on
+    the table key; version reads are plain parquet scans of immutable
+    snapshot directories (no reconstruction cost), exactly how
+    snapshot-based formats serve time travel at any scale.  The
+    rebuilt table lands in a per-run temp dir (the query is a pure
+    function of its inputs; re-running commits identical snapshots).
+    """
+    import tempfile
+
+    from ..operators.table_format import SnapshotTable
+
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    cut1, cut2 = (F.lit(c).cast("date") for c in (_TT_CUT1, _TT_CUT2))
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="ttravel-"))
+    t.commit(o.filter(F.col("o_orderdate") < cut1))
+    t.merge(
+        o.filter(
+            (F.col("o_orderdate") >= cut1) & (F.col("o_orderdate") < cut2)
+        ),
+        "o_orderkey",
+    )
+    t.merge(o.filter(F.col("o_orderdate") >= cut2), "o_orderkey")
+    versions = [
+        t.read_version(n).agg(
+            F.lit(n).cast("int").alias("version"),
+            F.count("*").alias("n_rows"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+        for n in (0, 1, 2)
+    ]
+    out = versions[0]
+    for v in versions[1:]:
+        out = out.unionByName(v)
+    return out

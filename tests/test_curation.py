@@ -223,3 +223,36 @@ def test_psi_contributions_nonnegative_and_counts_partition(spark):
     for r in rows:
         assert r.psi_contrib >= 0.0, r
     assert sum(r.psi_contrib for r in rows) >= 0.0
+
+
+# ---------------------------------------------------------------------------
+# snapshot_time_travel
+# ---------------------------------------------------------------------------
+def test_time_travel_versions_grow_to_full_table(spark):
+    from mvp_mini_etl_pipeline_1762840347_spark.io import read_table
+
+    rows = sorted(
+        _run(spark, "snapshot_time_travel").collect(), key=lambda r: r.version
+    )
+    assert [r.version for r in rows] == [0, 1, 2]
+    assert rows[0].n_rows <= rows[1].n_rows <= rows[2].n_rows
+    assert rows[2].n_rows == read_table(spark, SF, "orders").count()
+
+
+# ---------------------------------------------------------------------------
+# events_dead_letter
+# ---------------------------------------------------------------------------
+def test_dead_letter_quarantines_exactly_the_corrupted_rows(spark):
+    from mvp_mini_etl_pipeline_1762840347_spark.io import read_events
+    from mvp_mini_etl_pipeline_1762840347_spark.plans.events import _DL_MOD
+
+    out = {r.event_type: r for r in _run(spark, "events_dead_letter").collect()}
+    ev = read_events(spark, SF).select("event_id", "event_type").collect()
+    expect = {}
+    for r in ev:
+        n, q = expect.get(r.event_type, (0, 0))
+        expect[r.event_type] = (n + 1, q + (1 if r.event_id % _DL_MOD == 0 else 0))
+    assert set(expect) == set(out)
+    for et, (n, q) in expect.items():
+        assert out[et].n_rows == n
+        assert out[et].n_quarantined == q
