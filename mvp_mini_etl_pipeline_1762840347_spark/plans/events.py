@@ -1554,20 +1554,33 @@ def events_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one scan, parse + route + aggregate in a single
     narrow pass, map-side combinable -- quarantining is a projection,
     not a filter-and-rescan."""
-    e = read_events(spark, sf_dir)
-    payload = F.when(
-        F.col("event_id") % _DL_MOD == 0,
-        F.expr("substring(props, 1, length(props) - 1)"),
-    ).otherwise(F.col("props"))
-    parsed = e.select(
-        "event_type",
-        F.from_json(payload, "k BIGINT").alias("d"),
-    )
+    parsed = dead_letter_frame(read_events(spark, sf_dir))
     return parsed.groupBy("event_type").agg(
         F.count("*").alias("n_rows"),
-        (F.count("*") - F.count("d.k")).alias("n_quarantined"),
-        F.sum("d.k").alias("sum_k"),
+        (F.count("*") - F.count("k")).alias("n_quarantined"),
+        F.sum("k").alias("sum_k"),
     )
 
 
 events_dead_letter.__doc__ = events_dead_letter.__doc__.format(mod=_DL_MOD)
+
+
+def dead_letter_frame(events: DataFrame) -> DataFrame:
+    """Per-row parse-or-quarantine core shared by the batch accounting
+    query above and the streaming gate
+    (streaming/jobs.py::dead_letter_stream): corrupt the deterministic
+    1/mod slice (stand-in for a bad producer), parse schema-on-read,
+    and emit (event_id, event_type, quarantined, k).  Stateless narrow
+    projections only, so streaming output over any landing set equals
+    this frame over the same rows."""
+    payload = F.when(
+        F.col("event_id") % _DL_MOD == 0,
+        F.expr("substring(props, 1, length(props) - 1)"),
+    ).otherwise(F.col("props"))
+    d = F.from_json(payload, "k BIGINT")
+    return events.select(
+        "event_id",
+        "event_type",
+        d["k"].isNull().alias("quarantined"),
+        d["k"].alias("k"),
+    )

@@ -1329,3 +1329,17 @@ def auc_stream(
         .option("checkpointLocation", path + "_chk")
         .start()
     )
+
+
+def dead_letter_stream(events: DataFrame) -> DataFrame:
+    """Streaming bad-record quarantine: the parse-or-route gate
+    (plans/events.py::dead_letter_frame) applied at the landing edge
+    -- malformed payloads are flagged and carried, never aborting the
+    micro-batch.  Entirely stateless (append mode, no watermark, no
+    state store), so streaming output equals the batch frame over the
+    same rows (parity-tested).  At deploy the quarantined=true side
+    forks to a dead-letter table with raw bytes for replay; the gate
+    sits FIRST in the ingest DAG, like hygiene_stream for documents."""
+    from ..plans.events import dead_letter_frame
+
+    return dead_letter_frame(events)

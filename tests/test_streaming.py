@@ -1045,3 +1045,38 @@ def test_auc_stream_merged_state_renders_batch_scorecard(
     assert got["auc"] == want["auc"]
     assert got["n_pos"] == want["n_pos"]
     assert got["n_neg"] == want["n_neg"]
+
+
+def test_dead_letter_stream_matches_batch(spark, sf_dir, tmp_path_factory):
+    """The streaming quarantine gate is stateless, so its routed
+    output over a landing set must equal the batch dead_letter_frame
+    over the same rows -- including a nonzero quarantined slice (the
+    deterministic corrupt feed guarantees one)."""
+    from mvp_mini_etl_pipeline_1762840347_spark.io import read_events
+    from mvp_mini_etl_pipeline_1762840347_spark.plans.events import (
+        dead_letter_frame,
+    )
+
+    ev = read_events(spark, sf_dir)
+    landing = str(tmp_path_factory.mktemp("deadletter") / "landing")
+    ev.write.parquet(landing)
+
+    q = jobs.run_to_memory(
+        jobs.dead_letter_stream(jobs.stream_events(spark, landing)),
+        "dead_letter_out",
+    )
+    try:
+        got = {
+            r.event_id: (r.event_type, r.quarantined, r.k)
+            for r in spark.sql("SELECT * FROM dead_letter_out").collect()
+        }
+    finally:
+        q.stop()
+
+    want = {
+        r.event_id: (r.event_type, r.quarantined, r.k)
+        for r in dead_letter_frame(ev).collect()
+    }
+    assert got == want
+    assert any(v[1] for v in got.values()), "nothing quarantined"
+    assert any(not v[1] for v in got.values()), "everything quarantined"
