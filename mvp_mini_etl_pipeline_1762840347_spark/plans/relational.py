@@ -946,3 +946,43 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_items"),
         F.round(F.sum("rev"), 2).alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Raw ANSI-SQL surface: ONE text parsed by both engines
+# ---------------------------------------------------------------------------
+# The whole string is engine-portable (CASTs keep DuckDB's sum out of
+# HUGEINT); Spark parses it with Catalyst over registered temp views,
+# DuckDB over its parquet views -- the oracle IS the query text.
+_SQL_LINE_PRIORITY = """
+    SELECT l_returnflag AS returnflag,
+           count(*) AS n_lines,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= DATE '1995-06-01'
+      AND l_shipdate <  DATE '1996-06-01'
+    GROUP BY l_returnflag
+"""
+
+
+@query("sql_line_priority", oracle=_SQL_LINE_PRIORITY)
+def sql_line_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw ANSI-SQL text surface (TPC-H Q12 class, adapted to the
+    reduced lineitem schema): the IDENTICAL query string is handed to
+    Catalyst via spark.sql over registered temp views AND to DuckDB as
+    the oracle -- zero translation, proving a user can bring plain SQL
+    text to this engine and get the same answer a reference engine
+    gives.  Counts are integer-exact; the CASTs are portability
+    armor (DuckDB sums integers into HUGEINT otherwise).
+
+    Scale shape: Catalyst plans this text exactly like the DataFrame
+    twin queries -- filter pushed to the lineitem scan, the date range
+    prunable, one shuffle for the join and a map-side-combined
+    aggregate; SQL text gets the same optimizer, not a slower path."""
+    from ..io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_LINE_PRIORITY)
