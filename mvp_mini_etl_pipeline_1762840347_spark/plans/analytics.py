@@ -2156,10 +2156,47 @@ def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("is_a"), 1)).alias("n_a"),
         F.count(F.when(~F.col("is_a"), 1)).alias("n_b"),
     )
-    tot = counts.agg(
-        F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")
+    return psi_readout(counts, _PSI_BINS)
+
+
+# Mergeable drift state over the event stream (streaming twin support)
+_EPSI_BIN_W = 50
+_EPSI_BINS = 10
+_EPSI_CUTOFF = "2024-01-15"
+
+
+def drift_counts_frame(events: DataFrame) -> DataFrame:
+    """Mergeable PSI drift state over events: per fixed value-bin, the
+    reference-period (pre-cutoff) and live-period counts.  Purely
+    additive -- two states merge by summing counts -- which is what
+    lets the streaming twin (streaming/jobs.py::psi_drift_stream)
+    maintain it incrementally and what makes day-over-day monitoring a
+    union of count states, never a rescan."""
+    return (
+        events.select(
+            F.least(
+                F.floor(F.col("value") / _EPSI_BIN_W).cast("bigint"),
+                F.lit(_EPSI_BINS - 1),
+            ).alias("bin"),
+            (F.col("ts") < F.lit(_EPSI_CUTOFF).cast("timestamp")).alias(
+                "is_a"
+            ),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.when(F.col("is_a"), 1)).alias("n_a"),
+            F.count(F.when(~F.col("is_a"), 1)).alias("n_b"),
+        )
     )
-    sm = _PSI_BINS * 0.5
+
+
+def psi_readout(counts: DataFrame, n_bins: int) -> DataFrame:
+    """PSI contributions from a (bin, n_a, n_b) count state -- the
+    shared finalize step of the batch drift_psi query and the
+    streaming state table (smoothing +0.5 per bin keeps empty bins
+    finite; the 1-row totals frame broadcasts)."""
+    tot = counts.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"))
+    sm = n_bins * 0.5
     pa = (F.col("n_a") + 0.5) / (F.col("ta") + sm)
     pb = (F.col("n_b") + 0.5) / (F.col("tb") + sm)
     return counts.crossJoin(F.broadcast(tot)).select(

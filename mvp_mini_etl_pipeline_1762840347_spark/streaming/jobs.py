@@ -1343,3 +1343,68 @@ def dead_letter_stream(events: DataFrame) -> DataFrame:
     from ..plans.events import dead_letter_frame
 
     return dead_letter_frame(events)
+
+
+# ---------------------------------------------------------------------------
+# Streaming drift monitor: incremental PSI count-state maintenance
+# ---------------------------------------------------------------------------
+def psi_drift_merge_step(
+    spark: SparkSession, batch_df: DataFrame, batch_id: int, counts_path: str
+) -> bool:
+    """One exactly-once merge of a micro-batch into the PSI drift
+    count state (bin, n_a, n_b) -- purely additive, so the merge is
+    the same full-outer coalesce-sum as the hourly rollup, under the
+    shared replay-guarded staged-swap commit.  Exposed for direct
+    replay/crash testing; returns False on a replayed no-op."""
+    from ..plans.analytics import drift_counts_frame
+
+    def _merge(target: DataFrame | None) -> DataFrame:
+        delta = drift_counts_frame(batch_df)
+        if target is None:
+            return delta
+        t = target.select(
+            F.col("bin").alias("t_bin"),
+            F.col("n_a").alias("t_na"),
+            F.col("n_b").alias("t_nb"),
+        )
+        return (
+            delta.join(t, delta.bin == t.t_bin, "full_outer")
+            .select(
+                F.coalesce(delta.bin, t.t_bin).alias("bin"),
+                (
+                    F.coalesce(delta.n_a, F.lit(0))
+                    + F.coalesce(t.t_na, F.lit(0))
+                ).alias("n_a"),
+                (
+                    F.coalesce(delta.n_b, F.lit(0))
+                    + F.coalesce(t.t_nb, F.lit(0))
+                ).alias("n_b"),
+            )
+        )
+
+    return exactly_once_table_merge(spark, counts_path, batch_id, _merge)
+
+
+def psi_drift_stream(
+    spark: SparkSession, events: DataFrame, counts_path: str
+) -> StreamingQuery:
+    """Streaming distribution-drift monitor: the PSI count state
+    (plans/analytics.py::drift_counts_frame) maintained incrementally
+    across micro-batches -- each batch adds its per-bin period counts,
+    and the PSI readout (plans/analytics.py::psi_readout) is computed
+    from the tiny state table at any moment, never rescanning event
+    history.  The state is bounded by the bin count regardless of
+    stream volume, and additivity means cross-day / cross-partition
+    monitors union states.  Exactly-once via the shared batch-id
+    high-water mark; parity with the batch frame over the same rows
+    is pinned in tests."""
+
+    def _step(batch_df: DataFrame, batch_id: int) -> None:
+        psi_drift_merge_step(spark, batch_df, batch_id, counts_path)
+
+    return (
+        events.writeStream.foreachBatch(_step)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", counts_path + "_chk")
+        .start()
+    )

@@ -1080,3 +1080,71 @@ def test_dead_letter_stream_matches_batch(spark, sf_dir, tmp_path_factory):
     assert got == want
     assert any(v[1] for v in got.values()), "nothing quarantined"
     assert any(not v[1] for v in got.values()), "everything quarantined"
+
+
+def test_psi_drift_stream_matches_batch_state(spark, sf_dir, tmp_path_factory):
+    """The streaming PSI count state maintained across several
+    micro-batches must equal the batch drift_counts_frame over all
+    rows (additive states compose regardless of batching), the
+    readout must match, and a replayed batch id must be a no-op."""
+    import os
+
+    from mvp_mini_etl_pipeline_1762840347_spark.io import read_events
+    from mvp_mini_etl_pipeline_1762840347_spark.plans.analytics import (
+        _EPSI_BINS,
+        drift_counts_frame,
+        psi_readout,
+    )
+
+    base = tmp_path_factory.mktemp("psi_stream")
+    landing = str(base / "landing")
+    e = read_events(spark, sf_dir)
+    e.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        landing, mode="overwrite"
+    )
+    e.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        landing, mode="append"
+    )
+    counts_path = str(base / "counts")
+
+    ev = jobs.stream_events(spark, landing, max_files_per_trigger=1)
+    q = jobs.psi_drift_stream(spark, ev, counts_path)
+    q.awaitTermination(120)
+    n_batches = len(
+        [
+            f
+            for f in os.listdir(counts_path + "_chk/offsets")
+            if not f.startswith(".")
+        ]
+    )
+    assert n_batches >= 2, n_batches
+
+    state = spark.read.parquet(counts_path)
+    got = {r.bin: (r.n_a, r.n_b) for r in state.collect()}
+    want = {
+        r.bin: (r.n_a, r.n_b) for r in drift_counts_frame(e).collect()
+    }
+    assert got == want
+
+    got_psi = {
+        r.bin: r.psi_contrib
+        for r in psi_readout(
+            state.select("bin", "n_a", "n_b"), _EPSI_BINS
+        ).collect()
+    }
+    want_psi = {
+        r.bin: r.psi_contrib
+        for r in psi_readout(drift_counts_frame(e), _EPSI_BINS).collect()
+    }
+    assert got_psi == want_psi
+
+    # replaying the last committed batch id must not change the state
+    last_id = n_batches - 1
+    assert not jobs.psi_drift_merge_step(
+        spark, e.limit(50), last_id, counts_path
+    )
+    again = {
+        r.bin: (r.n_a, r.n_b)
+        for r in spark.read.parquet(counts_path).collect()
+    }
+    assert again == got
