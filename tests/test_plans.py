@@ -21,6 +21,7 @@ ARROW_ALLOWED = {
     "multimodal_features",
     "multimodal_decode",
     "multimodal_resize",
+    "multimodal_pixels",
 }
 
 
