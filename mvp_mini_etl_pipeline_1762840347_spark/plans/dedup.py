@@ -1367,3 +1367,126 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 dedup_incremental.__doc__ = dedup_incremental.__doc__.format(mod=_INC_MOD)
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring span rewrite (first-occurrence-wins duplicate removal)
+# ---------------------------------------------------------------------------
+_SPAN = 16  # tokens per non-overlapping span
+_OCC_STRIDE = 1_000_000  # occ_key = doc_id * stride + span_idx
+
+
+@query(
+    "dedup_span_rewrite",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
+    ),
+    spans AS (
+      SELECT doc_id, i AS span_idx,
+             array_to_string(t[(i-1)*{_SPAN} + 1 : least(len(t), i*{_SPAN})],
+                             ' ') AS span,
+             least({_SPAN}, len(t) - (i-1)*{_SPAN}) AS span_len,
+             doc_id * {_OCC_STRIDE} + i AS occ_key
+      FROM toks,
+           unnest(range(1, CAST(ceil(len(t) / {_SPAN}.0) AS BIGINT) + 1)) AS u(i)
+    ),
+    firsts AS (
+      SELECT span, min(occ_key) AS first_key
+      FROM spans WHERE span_len = {_SPAN} GROUP BY span
+    ),
+    marked AS (
+      SELECT s.doc_id, s.span_len,
+             (s.span_len < {_SPAN} OR s.occ_key = f.first_key) AS kept
+      FROM spans s LEFT JOIN firsts f USING (span)
+    )
+    SELECT doc_id,
+           count(*)                                                AS n_spans,
+           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)   AS n_kept,
+           CAST(sum(CASE WHEN kept THEN span_len ELSE 0 END)
+                AS BIGINT)                                         AS tokens_kept,
+           CAST(sum(CASE WHEN NOT kept THEN span_len ELSE 0 END)
+                AS BIGINT)                                         AS tokens_dropped
+    FROM marked GROUP BY doc_id
+    """,
+)
+def dedup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate REMOVAL, not just measurement: chunk
+    every document into non-overlapping {span}-token spans, and drop
+    every span whose exact text already occurred earlier in the corpus
+    (first occurrence wins, ordered by (doc_id, span_idx)).  This is
+    the curation *action* behind the "deduplicating training data"
+    recipe -- cross-document boilerplate is removed once globally --
+    where ``dup_span_fraction`` only scores it.  Trailing spans
+    shorter than {span} tokens never participate (a 1-token fragment
+    colliding across documents is noise, not boilerplate).
+
+    Emits the per-document rewrite ledger (spans kept/dropped, token
+    counts) -- the audit table a pipeline materializes alongside the
+    rewritten text.
+
+    Scale: explode to spans (O(corpus tokens) rows, narrow), ONE
+    partial-aggregating groupBy on span text for the first-occurrence
+    table, one shuffle join back on the same key, one per-doc
+    aggregate.  No pair enumeration, no windows over data-scale input;
+    the global "earliest occurrence" needs no sort because min() over
+    the integer occurrence key (doc_id * {stride} + span_idx) is the
+    order statistic.  Skewed span texts (empty/boilerplate) bucket to
+    one key and are handled by AQE skew split.  Semantics follow the
+    exact-substring dedup of Lee et al. (reference has no dedup beyond
+    the removed-rows metric, src/lib/users.js:68), restricted to
+    span-aligned matches so it stays a hash join, not a suffix array.
+    """
+    spans = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("toks"))
+        .select(
+            "doc_id",
+            F.size("toks").alias("n_toks"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.ceil(F.size("toks") / F.lit(_SPAN)).cast("int"),
+                    ),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("toks"), (i - 1) * _SPAN + 1, _SPAN)
+                    ),
+                )
+            ).alias("idx0", "span"),
+        )
+        .select(
+            "doc_id",
+            "span",
+            (F.col("idx0") + 1).alias("span_idx"),
+            F.least(
+                F.lit(_SPAN), F.col("n_toks") - F.col("idx0") * _SPAN
+            ).alias("span_len"),
+            (F.col("doc_id") * _OCC_STRIDE + F.col("idx0") + 1).alias("occ_key"),
+        )
+    )
+    firsts = (
+        spans.filter(F.col("span_len") == _SPAN)
+        .groupBy("span")
+        .agg(F.min("occ_key").alias("first_key"))
+    )
+    kept = (F.col("span_len") < _SPAN) | (F.col("occ_key") == F.col("first_key"))
+    return (
+        spans.join(firsts, "span", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.sum(F.when(kept, F.col("span_len")).otherwise(0))
+            .cast("bigint")
+            .alias("tokens_kept"),
+            F.sum(F.when(~kept, F.col("span_len")).otherwise(0))
+            .cast("bigint")
+            .alias("tokens_dropped"),
+        )
+    )
+
+
+dedup_span_rewrite.__doc__ = dedup_span_rewrite.__doc__.format(
+    span=_SPAN, stride=_OCC_STRIDE
+)

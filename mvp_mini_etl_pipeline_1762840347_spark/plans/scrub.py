@@ -610,3 +610,111 @@ def release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("bit_xor(h)").alias("content_fingerprint"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier detection (median / MAD, fully integer-exact)
+# ---------------------------------------------------------------------------
+_MAD_K = 2  # flag when |x - median| > K * MAD
+
+
+@query(
+    "outlier_mad",
+    oracle=rf"""
+    WITH stats AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT)
+               AS n_tokens,
+             CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents
+    ),
+    med AS (
+      SELECT CAST(2 * median(n_tokens) AS BIGINT) AS med2_t,
+             CAST(2 * median(n_chars)  AS BIGINT) AS med2_c
+      FROM stats
+    ),
+    dev AS (
+      SELECT s.doc_id, s.n_tokens, s.n_chars,
+             abs(2 * s.n_tokens - m.med2_t) AS d_t,
+             abs(2 * s.n_chars  - m.med2_c) AS d_c
+      FROM stats s, med m
+    ),
+    mad AS (
+      SELECT CAST(2 * median(d_t) AS BIGINT) AS mad4_t,
+             CAST(2 * median(d_c) AS BIGINT) AS mad4_c
+      FROM dev
+    )
+    SELECT doc_id, n_tokens, n_chars,
+           (2 * d.d_t > {_MAD_K} * mad4_t) AS tok_outlier,
+           (2 * d.d_c > {_MAD_K} * mad4_c) AS chars_outlier
+    FROM dev d, mad
+    WHERE 2 * d.d_t > {_MAD_K} * mad4_t OR 2 * d.d_c > {_MAD_K} * mad4_c
+    """,
+)
+def outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-document outlier detection with median / MAD (the
+    estimator a curation pipeline uses instead of mean / stddev,
+    because a heavy-tailed corpus drags the mean toward its own
+    outliers): flag documents whose token or character count deviates
+    from the corpus median by more than {k}x the median absolute
+    deviation.  Emits only the flagged rows -- the quarantine list.
+
+    Exactness: medians of integers live on a half-integer grid, so
+    the plan carries ``2*median`` and ``4*MAD`` as BIGINTs (the
+    midpoint interpolation both engines use makes ``2*median`` ==
+    ``x_k + x_{{k+1}}`` exactly) and the flag compares
+    ``2*d > K*mad4`` in pure integer arithmetic -- no float ever
+    crosses the engine boundary, per the repo's float-exactness rule.
+
+    Scale: one narrow stats projection, two 1-row percentile
+    aggregates broadcast back (no data-scale shuffle, no window).
+    At 100 TB swap ``percentile`` for ``approx_percentile`` (KLL
+    sketch, mergeable, one pass) -- same shape, bounded error; the
+    exact form is the correctness baseline, like
+    ``winsorized_pricing`` vs its approx twin.  The reference has no
+    statistics surface at all (its lib/metrics.js stops at counts,
+    src/lib/users.js:68); this is the robust-statistics layer a
+    training-data pipeline needs before length filtering.
+    """
+    stats = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.lower(F.col("text")), r"\s+"))
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    med = stats.agg(
+        (F.percentile("n_tokens", F.lit(0.5)) * 2)
+        .cast("bigint")
+        .alias("med2_t"),
+        (F.percentile("n_chars", F.lit(0.5)) * 2)
+        .cast("bigint")
+        .alias("med2_c"),
+    )
+    dev = stats.join(F.broadcast(med)).select(
+        "doc_id",
+        "n_tokens",
+        "n_chars",
+        F.abs(F.col("n_tokens") * 2 - F.col("med2_t")).alias("d_t"),
+        F.abs(F.col("n_chars") * 2 - F.col("med2_c")).alias("d_c"),
+    )
+    mad = dev.agg(
+        (F.percentile("d_t", F.lit(0.5)) * 2).cast("bigint").alias("mad4_t"),
+        (F.percentile("d_c", F.lit(0.5)) * 2).cast("bigint").alias("mad4_c"),
+    )
+    tok_out = F.col("d_t") * 2 > F.col("mad4_t") * _MAD_K
+    chars_out = F.col("d_c") * 2 > F.col("mad4_c") * _MAD_K
+    return (
+        dev.join(F.broadcast(mad))
+        .filter(tok_out | chars_out)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_chars",
+            tok_out.alias("tok_outlier"),
+            chars_out.alias("chars_outlier"),
+        )
+    )
+
+
+outlier_mad.__doc__ = outlier_mad.__doc__.format(k=_MAD_K)
