@@ -431,3 +431,75 @@ def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("amount_cents") / 100.0, 2).alias("profit"),
         F.count("*").alias("n_lines"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Important parts (Q11-class: HAVING against a global scalar aggregate)
+# ---------------------------------------------------------------------------
+@query(
+    "important_parts",
+    oracle="""
+    WITH pv AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS val_cents
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(val_cents) AS BIGINT) AS total_cents,
+             count(*) AS n_parts
+      FROM pv
+    )
+    SELECT l_partkey, val_cents,
+           round(val_cents / 100.0, 2) AS part_value
+    FROM pv, tot
+    WHERE val_cents * 2 * n_parts > 3 * total_cents
+    """,
+)
+def important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts carrying an outsized share of total discounted revenue
+    -- TPC-H Q11's shape (GROUP BY ... HAVING sum() > scalar subquery
+    over the same aggregate), the one decorrelation class the
+    registry lacked: the filter threshold is itself an aggregate of
+    the grouped result.  Q11's fixed fraction shrinks with scale
+    factor, so the threshold here is 1.5x the MEAN per-part value
+    (``val * 2n > 3 * total`` in exact BIGINT cents) -- selectivity
+    is scale-invariant and no float crosses the engine boundary.
+
+    Scale: ONE fact scan -- the per-part aggregate subtree feeding
+    both the grouped rows and the global total is byte-identical, so
+    Spark's ReuseExchange collapses the two branches onto a single
+    shuffle (pinned in tests/test_scale.py); the 1-row total then
+    broadcasts back.  This is the plan Q11 wants at 100 TB: the
+    scalar subquery costs one re-aggregation of the already-shuffled
+    group rows, never a second pass over lineitem.  (Reference has
+    no subquery surface, src/lib/launches.js:1.)"""
+    li = read_table(spark, sf_dir, "lineitem")
+    pv = (
+        li.select(
+            "l_partkey",
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            )
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum("cents").cast("bigint").alias("val_cents"))
+    )
+    tot = pv.agg(
+        F.sum("val_cents").cast("bigint").alias("total_cents"),
+        F.count("*").alias("n_parts"),
+    )
+    return (
+        pv.join(F.broadcast(tot))
+        .filter(
+            F.col("val_cents") * 2 * F.col("n_parts")
+            > 3 * F.col("total_cents")
+        )
+        .select(
+            "l_partkey",
+            "val_cents",
+            F.round(F.col("val_cents") / 100.0, 2).alias("part_value"),
+        )
+    )

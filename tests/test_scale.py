@@ -484,3 +484,19 @@ def test_sole_late_supplier_single_fact_scan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("lineitem.parquet") == 1, "fact table must be read once"
     assert plan.count("orders.parquet") == 1
+
+
+# ---------------------------------------------------------------------------
+# important_parts (Q11-class): the scalar-subquery threshold reuses
+# the per-part aggregate's exchange -- ONE lineitem scan at runtime,
+# never a second pass over the fact table for the global total
+# ---------------------------------------------------------------------------
+def test_important_parts_reuses_exchange(spark):
+    from mvp_mini_etl_pipeline_1762840347_spark import plans
+
+    df = plans.QUERIES["important_parts"](spark, SF)
+    df.collect()  # finalize the adaptive plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in final, "global total must reuse the group-by exchange"
+    assert final.count("lineitem.parquet") == 1, "fact table must be read once"
