@@ -1534,3 +1534,205 @@ def centroid_similarity_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid_cos"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Power-iteration step (dominant principal direction, integer-exact)
+# ---------------------------------------------------------------------------
+_POW_SCALE = 1000  # fixed-point grid for embedding components
+
+
+@query(
+    "embedding_power_iteration",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, p.pos AS dim,
+             CAST(round(embedding[p.pos]::DOUBLE * {_POW_SCALE}) AS BIGINT)
+               AS qv
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS pos) p
+    ),
+    s AS (
+      SELECT vec_id, CAST(sum(qv) AS BIGINT) AS rs FROM q GROUP BY 1
+    )
+    SELECT q.dim,
+           CAST(sum(q.qv * s.rs) AS BIGINT) AS v,
+           count(DISTINCT q.vec_id)         AS n_vectors
+    FROM q JOIN s USING (vec_id)
+    GROUP BY 1
+    """,
+)
+def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact power-iteration step toward the corpus's dominant
+    principal direction: v1 = X^T (X v0) with v0 = the all-ones
+    vector, i.e. each vector's component sum becomes its weight and
+    the weighted component sums per dimension are the unnormalized
+    next iterate.  This is the distributed mat-vec at the heart of
+    PCA / PageRank-style spectral methods, expressed without any
+    linear-algebra library.
+
+    Exactness: components are integerized to a fixed 1/{scale} grid
+    FIRST (round on bit-identical doubles is engine-identical), so
+    the whole step is BIGINT arithmetic -- the oracle can state it
+    without float-summation-order risk.  Magnitudes: |q| <= ~4e3,
+    row weight <= 64*4e3, per-term product <= ~1e9 -- a 100-TB corpus
+    of ~1e10 vectors stays inside int64 (~1e19 headroom).
+
+    Scale: one narrow pass computes row sums (aggregate over the
+    array, no explode), a posexplode fans out to (dim, term) rows,
+    and ONE 64-key grouped aggregation reduces map-side before a
+    64-row shuffle -- the classic distributed mat-vec: shuffle volume
+    is O(dims x partitions), never O(rows).  Further iterations
+    rebroadcast the 64-row iterate (kmeans_2iter's loop pattern).
+    (Reference has no numeric surface, lib/metrics.js:1.)"""
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * _POW_SCALE).cast("bigint"),
+    )
+    rows = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        q.alias("q"),
+        F.aggregate(q, F.lit(0).cast("bigint"), lambda a, x: a + x).alias(
+            "rs"
+        ),
+    )
+    return (
+        rows.select("vec_id", "rs", F.posexplode("q").alias("idx0", "qv"))
+        .groupBy((F.col("idx0") + 1).alias("dim"))
+        .agg(
+            F.sum(F.col("qv") * F.col("rs")).cast("bigint").alias("v"),
+            F.countDistinct("vec_id").alias("n_vectors"),
+        )
+    )
+
+
+embedding_power_iteration.__doc__ = embedding_power_iteration.__doc__.replace(
+    "{scale}", str(_POW_SCALE)
+)
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion (hybrid retrieval over two rankers)
+# ---------------------------------------------------------------------------
+_RRF_K = 60  # standard RRF damping constant
+_RRF_TOPK = 50  # per-ranker candidate cutoff
+_RRF_OUT = 20  # fused result size
+
+
+@query(
+    "similarity_rrf_fusion",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(round(x * {_POW_SCALE}) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    p AS (SELECT vec_id AS probe_id, q AS pq FROM v WHERE vec_id < 2),
+    scored AS (
+      SELECT p.probe_id, v.vec_id,
+             list_sum(list_transform(range(1, 65),
+                                     i -> v.q[i] * p.pq[i])) AS dot_int
+      FROM v JOIN p ON v.vec_id <> p.probe_id
+    ),
+    ranked AS (
+      SELECT probe_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY dot_int DESC, vec_id) AS rnk
+      FROM scored
+    ),
+    topk AS (SELECT * FROM ranked WHERE rnk <= {_RRF_TOPK}),
+    fused AS (
+      SELECT vec_id,
+             CAST(coalesce(max(CASE WHEN probe_id = 0 THEN rnk END), 0)
+                  AS BIGINT) AS rank_a,
+             CAST(coalesce(max(CASE WHEN probe_id = 1 THEN rnk END), 0)
+                  AS BIGINT) AS rank_b,
+             sum(CAST(1 AS DOUBLE) / ({_RRF_K} + rnk)) AS rrf
+      FROM topk GROUP BY 1
+    )
+    SELECT vec_id, rank_a, rank_b, round(rrf, 6) AS rrf_score
+    FROM fused ORDER BY rrf DESC, vec_id LIMIT {_RRF_OUT}
+    """,
+)
+def similarity_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-retrieval result merging by reciprocal-rank fusion: two
+    rankers (here: exact inner product against two probe vectors,
+    integer-exact on the 1/{scale} fixed-point grid) each nominate
+    their top-{topk}; every candidate scores sum(1 / ({k} + rank))
+    over the lists that contain it (rank 0 in the output marks
+    "absent from that list"), and the fused top-{out} is returned.
+    RRF is THE standard way to merge lexical (BM25) and dense (ANN)
+    retrieval without score calibration -- ranks are comparable when
+    raw scores are not.
+
+    Exactness: ranks derive from BIGINT dot products with vec_id
+    tie-break, so both engines rank identically; the only float is
+    1/(k+rank) on identical integer operands (IEEE addition of the
+    same two terms is order-free), rounded for display after the
+    ordered LIMIT.
+
+    Scale: the per-ranker cutoff is the point -- rank <= {topk} is a
+    WindowGroupLimit plan (per-partition pre-truncation before the
+    shuffle, same pin as sketch_kmv_by_group), the fusion aggregate
+    sees only ranker-count x {topk} rows, and the final LIMIT is a
+    TakeOrdered.  A 100-TB corpus never materializes a global sort;
+    each added ranker costs one scored pass + one bounded window.
+    (Reference has no retrieval surface, src/lib/launches.js:1.)"""
+    v = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * _POW_SCALE).cast("bigint"),
+        ).alias("q"),
+    )
+    p = v.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("probe_id"), F.col("q").alias("pq")
+    )
+    scored = v.join(
+        F.broadcast(p), F.col("vec_id") != F.col("probe_id")
+    ).select(
+        "probe_id",
+        "vec_id",
+        F.aggregate(
+            F.zip_with("q", "pq", lambda a, b: a * b),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("dot_int"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("dot_int").desc(), "vec_id"
+    )
+    topk = scored.select(
+        "probe_id", "vec_id", F.row_number().over(w).alias("rnk")
+    ).filter(F.col("rnk") <= _RRF_TOPK)
+    fused = topk.groupBy("vec_id").agg(
+        F.coalesce(
+            F.max(F.when(F.col("probe_id") == 0, F.col("rnk"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("rank_a"),
+        F.coalesce(
+            F.max(F.when(F.col("probe_id") == 1, F.col("rnk"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("rank_b"),
+        F.sum(F.lit(1.0) / (F.lit(_RRF_K) + F.col("rnk"))).alias("rrf"),
+    )
+    return (
+        fused.orderBy(F.col("rrf").desc(), "vec_id")
+        .limit(_RRF_OUT)
+        .select(
+            "vec_id",
+            "rank_a",
+            "rank_b",
+            F.round("rrf", 6).alias("rrf_score"),
+        )
+    )
+
+
+similarity_rrf_fusion.__doc__ = (
+    similarity_rrf_fusion.__doc__.replace("{scale}", str(_POW_SCALE))
+    .replace("{topk}", str(_RRF_TOPK))
+    .replace("{k}", str(_RRF_K))
+    .replace("{out}", str(_RRF_OUT))
+)
