@@ -1736,3 +1736,125 @@ similarity_rrf_fusion.__doc__ = (
     .replace("{k}", str(_RRF_K))
     .replace("{out}", str(_RRF_OUT))
 )
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center coreset (farthest-point traversal, integer-exact)
+# ---------------------------------------------------------------------------
+_KC_DIST = (
+    "CAST(list_sum(list_transform(range(1, 65), "
+    "i -> ({a}.q[i] - {b}.q[i]) * ({a}.q[i] - {b}.q[i]))) AS BIGINT)"
+)
+
+
+@query(
+    "coreset_kcenter",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(round(x * {_POW_SCALE}) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    c1 AS (SELECT vec_id, q FROM v WHERE vec_id = 0),
+    m1 AS (
+      SELECT v.vec_id, {_KC_DIST.format(a="v", b="c1")} AS d2
+      FROM v, c1 WHERE v.vec_id <> c1.vec_id
+    ),
+    c2 AS (
+      SELECT m1.vec_id, v.q, m1.d2 FROM m1 JOIN v USING (vec_id)
+      ORDER BY m1.d2 DESC, m1.vec_id LIMIT 1
+    ),
+    m2 AS (
+      SELECT m1.vec_id,
+             least(m1.d2, {_KC_DIST.format(a="v", b="c2")}) AS d2
+      FROM m1 JOIN v USING (vec_id), c2 WHERE m1.vec_id <> c2.vec_id
+    ),
+    c3 AS (
+      SELECT m2.vec_id, v.q, m2.d2 FROM m2 JOIN v USING (vec_id)
+      ORDER BY m2.d2 DESC, m2.vec_id LIMIT 1
+    ),
+    m3 AS (
+      SELECT m2.vec_id,
+             least(m2.d2, {_KC_DIST.format(a="v", b="c3")}) AS d2
+      FROM m2 JOIN v USING (vec_id), c3 WHERE m2.vec_id <> c3.vec_id
+    ),
+    c4 AS (SELECT vec_id, d2 FROM m3 ORDER BY d2 DESC, vec_id LIMIT 1)
+    SELECT CAST(1 AS BIGINT) AS step, CAST(0 AS BIGINT) AS vec_id,
+           CAST(0 AS BIGINT) AS d2_at_selection
+    UNION ALL SELECT 2, vec_id, d2 FROM c2
+    UNION ALL SELECT 3, vec_id, d2 FROM c3
+    UNION ALL SELECT 4, vec_id, d2 FROM c4
+    """,
+)
+def coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center selection (farthest-point traversal): seed with
+    vector 0, then repeatedly add the vector FARTHEST from the
+    selected set (max over candidates of min squared L2 to any
+    center, smallest vec_id on ties) until k=4 centers are chosen.
+    This is the classic 2-approximation coreset picker -- the
+    "maximally diverse subset" primitive behind diverse training-data
+    selection, seed picking for k-means++, and dataset visualization
+    anchors.  Output is the selection trace: each chosen vec_id with
+    its distance-to-set at selection time (the covering radius shrinks
+    monotonically down the trace).
+
+    Exactness: squared L2 on the 1/{_POW_SCALE} fixed-point grid is
+    pure BIGINT, so the argmax (struct-max with vec_id tie-break) is
+    engine-identical; the oracle chains one CTE pair per round.
+
+    Scale: each round is ONE narrow pass over the candidates -- the
+    running min-distance column is carried forward (localCheckpoint
+    truncates lineage, kmeans_converged's loop pattern) and updated
+    against just the newly added center (broadcast as a 64-int
+    literal), never recomputed against all k; the argmax is a
+    map-side-combinable max_by aggregate, no sort, no window.  Driver
+    traffic is one (id, d2) pair plus one 64-int vector per round.
+    (Reference has no selection surface, src/lib/users.js:1.)"""
+    v = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * _POW_SCALE).cast("bigint"),
+        ).alias("q"),
+    )
+
+    def dist_to(center_vals):
+        lit = F.array(*[F.lit(int(c)) for c in center_vals])
+        return F.aggregate(
+            F.zip_with("q", lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    seed_q = v.filter(F.col("vec_id") == 0).collect()[0]["q"]
+    cand = (
+        v.filter(F.col("vec_id") != 0)
+        .select("vec_id", "q", dist_to(seed_q).alias("d2"))
+        .localCheckpoint()
+    )
+    trace = [(1, 0, 0)]
+    for step in (2, 3, 4):
+        sel = cand.agg(
+            F.max_by(
+                F.struct("vec_id", "d2"),
+                F.struct(F.col("d2"), (-F.col("vec_id")).alias("nv")),
+            ).alias("s")
+        ).collect()[0]["s"]
+        trace.append((step, sel["vec_id"], sel["d2"]))
+        if step < 4:
+            sel_q = cand.filter(F.col("vec_id") == sel["vec_id"]).collect()[
+                0
+            ]["q"]
+            cand = (
+                cand.filter(F.col("vec_id") != sel["vec_id"])
+                .select(
+                    "vec_id",
+                    "q",
+                    F.least(F.col("d2"), dist_to(sel_q)).alias("d2"),
+                )
+                .localCheckpoint()
+            )
+    return spark.createDataFrame(
+        trace, "step bigint, vec_id bigint, d2_at_selection bigint"
+    )

@@ -1110,3 +1110,103 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for v in versions[1:]:
         out = out.unionByName(v)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Delta-join incremental view maintenance (join MV, both sides change)
+# ---------------------------------------------------------------------------
+@query(
+    "mv_join_delta",
+    oracle="""
+    WITH joined AS (
+      SELECT o.o_orderpriority AS priority,
+             l.l_orderkey, l.l_linenumber,
+             CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                  AS BIGINT) AS rev_cents
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT priority,
+           count(*) AS n_rows,
+           CAST(sum(rev_cents) AS BIGINT) AS revenue_cents,
+           bit_xor(('0x' || substring(
+               md5(CAST(l_orderkey AS VARCHAR) || ':'
+                   || CAST(l_linenumber AS VARCHAR) || ':'
+                   || CAST(rev_cents AS VARCHAR)), 1, 15))::BIGINT)
+             AS view_fingerprint
+    FROM joined GROUP BY 1
+    """,
+)
+def mv_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN materialized view when BOTH
+    inputs grow: with old/new partitions A = A0 + dA (lineitem) and
+    B = B0 + dB (orders), the maintained view is
+
+        V_new = (A0 x B0)  +  dA x B_new  +  A0 x dB
+
+    -- the standard delta-join rule (dA joins the WHOLE new B, A0
+    joins only dB, so no joined row is produced twice).  The deltas
+    here are deterministic slices (every 10th order is "new"; every
+    7th line item by (orderkey, linenumber) is "new"), the three
+    terms are computed as separate joins and unioned, and the result
+    is reduced to per-priority row counts, exact revenue cents, and
+    an XOR row fingerprint.  The DuckDB oracle computes the view
+    FROM SCRATCH on the full tables -- a value match proves the
+    delta decomposition reconstructs the recomputed view row-for-row
+    (the fingerprint makes a count-preserving wrong join detectable).
+
+    Complements ``mv_partial_merge`` (aggregate MV: merge partial
+    states) with the join-MV half of incremental view maintenance.
+
+    Scale: this is WHY a 100-TB warehouse maintains views
+    incrementally -- the dA x B_new and A0 x dB terms shuffle only
+    delta-sized probe sides against the big table (broadcast when the
+    delta is small), while the A0 x B0 term is the carried-forward
+    published view, read not recomputed (materialized here for the
+    witness).  XOR's self-inverse algebra extends the same rule to
+    deletes.  (Reference rebuilds everything per run,
+    src/lib/transform.js:1.)"""
+    l = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("bigint")
+        .alias("rev_cents"),
+    )
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    l_new_pred = (F.col("l_orderkey") * 31 + F.col("l_linenumber")) % 7 == 0
+    o_new_pred = F.col("o_orderkey") % 10 == 0
+    l0, dl = l.filter(~l_new_pred), l.filter(l_new_pred)
+    o0, do = o.filter(~o_new_pred), o.filter(o_new_pred)
+
+    old_view = l0.join(o0, l0.l_orderkey == o0.o_orderkey)
+    delta_a = dl.join(o, dl.l_orderkey == o.o_orderkey)  # dA x B_new
+    delta_b = l0.join(do, l0.l_orderkey == do.o_orderkey)  # A0 x dB
+    v = old_view.unionByName(delta_a).unionByName(delta_b)
+
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"),
+                    F.col("rev_cents").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        v.select(F.col("o_orderpriority").alias("priority"), h.alias("h"), "rev_cents")
+        .groupBy("priority")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("rev_cents").cast("bigint").alias("revenue_cents"),
+            F.expr("bit_xor(h)").alias("view_fingerprint"),
+        )
+    )
