@@ -1,0 +1,234 @@
+"""Semantic invariants for the round-5 continuation operators --
+properties the DuckDB value hash cannot state: ledger conservation
+for the span rewrite, recomputed thresholds for the MAD quarantine,
+brute-force (numpy / pandas) equivalence for the spectral step, RRF
+fusion and k-center trace, and join-count conservation for the
+delta-maintained view."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run(spark, name):
+    return entrymod.queries()[name](spark, SF)
+
+
+def _docs_tokens(spark):
+    return {
+        r.doc_id: r.n
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select(
+            "doc_id",
+            F.size(F.split(F.lower(F.col("text")), r"\s+")).alias("n"),
+        )
+        .collect()
+    }
+
+
+# ---------------------------------------------------------------------------
+# dedup_span_rewrite: ledger conservation + first-occurrence uniqueness
+# ---------------------------------------------------------------------------
+def test_span_rewrite_ledger_conserves_tokens(spark):
+    toks = _docs_tokens(spark)
+    rows = _run(spark, "dedup_span_rewrite").collect()
+    assert {r.doc_id for r in rows} == set(toks)
+    for r in rows:
+        assert r.n_spans == math.ceil(toks[r.doc_id] / 16)
+        assert r.tokens_kept + r.tokens_dropped == toks[r.doc_id]
+        assert 0 < r.n_kept <= r.n_spans  # first span of a doc's first
+        # occurrence chain is always kept, short trailing spans always kept
+
+
+def test_span_rewrite_keeps_each_full_span_once(spark):
+    """Every distinct full-length span text survives exactly once
+    corpus-wide (the definition of first-occurrence-wins removal)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("t")
+    )
+    spans = {}
+    kept_total = dropped_total = 0
+    for r in sorted(docs.collect(), key=lambda r: r.doc_id):
+        t = r.t
+        for i in range(0, len(t), 16):
+            chunk = t[i : i + 16]
+            if len(chunk) < 16:
+                kept_total += 1
+                continue
+            key = " ".join(chunk)
+            if key in spans:
+                dropped_total += 1
+            else:
+                spans[key] = (r.doc_id, i // 16)
+                kept_total += 1
+    got = _run(spark, "dedup_span_rewrite").agg(
+        F.sum("n_kept").alias("k"),
+        F.sum(F.col("n_spans") - F.col("n_kept")).alias("d"),
+    ).collect()[0]
+    assert (got.k, got.d) == (kept_total, dropped_total)
+
+
+# ---------------------------------------------------------------------------
+# outlier_mad: flags match a recomputed median/MAD threshold
+# ---------------------------------------------------------------------------
+def test_outlier_mad_matches_recomputed_threshold(spark):
+    stats = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select(
+            "doc_id",
+            F.size(F.split(F.lower(F.col("text")), r"\s+")).alias("nt"),
+            F.length("text").alias("nc"),
+        )
+        .collect()
+    )
+    nt = np.array([r.nt for r in stats])
+    nc = np.array([r.nc for r in stats])
+
+    def flags(x):
+        med2 = int(round(2 * float(np.median(x))))
+        d = np.abs(2 * x - med2)
+        mad4 = int(round(2 * float(np.median(d))))
+        return {r.doc_id for r, di in zip(stats, d) if 2 * di > 2 * mad4}
+
+    want_t, want_c = flags(nt), flags(nc)
+    got = _run(spark, "outlier_mad").collect()
+    assert {r.doc_id for r in got} == want_t | want_c
+    for r in got:
+        assert r.tok_outlier == (r.doc_id in want_t)
+        assert r.chars_outlier == (r.doc_id in want_c)
+
+
+# ---------------------------------------------------------------------------
+# important_parts: brute-force threshold equivalence
+# ---------------------------------------------------------------------------
+def test_important_parts_matches_bruteforce(spark):
+    li = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select(
+            "l_partkey",
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("bigint")
+            .alias("c"),
+        )
+        .collect()
+    )
+    vals = {}
+    for r in li:
+        vals[r.l_partkey] = vals.get(r.l_partkey, 0) + r.c
+    total, n = sum(vals.values()), len(vals)
+    want = {k: v for k, v in vals.items() if v * 2 * n > 3 * total}
+    got = {r.l_partkey: r.val_cents for r in _run(spark, "important_parts").collect()}
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# embedding_power_iteration: numpy mat-vec equivalence
+# ---------------------------------------------------------------------------
+def test_power_iteration_matches_numpy(spark):
+    rows = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    X = np.array(
+        [np.round(np.array(r.embedding, dtype=np.float64) * 1000) for r in rows],
+        dtype=np.int64,
+    )
+    v1 = X.T @ X.sum(axis=1)
+    got = {r.dim: (r.v, r.n_vectors) for r in _run(spark, "embedding_power_iteration").collect()}
+    assert len(got) == 64
+    for j in range(64):
+        assert got[j + 1] == (v1[j], len(rows))
+
+
+# ---------------------------------------------------------------------------
+# similarity_rrf_fusion: brute-force rank fusion equivalence
+# ---------------------------------------------------------------------------
+def test_rrf_fusion_matches_bruteforce(spark):
+    rows = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    Q = {
+        r.vec_id: np.round(np.array(r.embedding, dtype=np.float64) * 1000).astype(
+            np.int64
+        )
+        for r in rows
+    }
+    ranks = {}
+    for probe in (0, 1):
+        scored = sorted(
+            ((int(Q[v] @ Q[probe]), v) for v in Q if v != probe),
+            key=lambda t: (-t[0], t[1]),
+        )
+        for rnk, (_, v) in enumerate(scored[:50], start=1):
+            ranks.setdefault(v, {})[probe] = rnk
+    fused = sorted(
+        (
+            (-sum(1.0 / (60 + r) for r in d.values()), v, d)
+            for v, d in ranks.items()
+        ),
+    )[:20]
+    got = _run(spark, "similarity_rrf_fusion").collect()
+    assert [r.vec_id for r in got] == [v for _, v, _ in fused]
+    for r, (_, v, d) in zip(got, fused):
+        assert r.rank_a == d.get(0, 0) and r.rank_b == d.get(1, 0)
+
+
+# ---------------------------------------------------------------------------
+# mv_join_delta: the maintained view conserves the full join's counts
+# ---------------------------------------------------------------------------
+def test_mv_join_delta_conserves_full_join(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    want = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    got = {r.priority: r.n_rows for r in _run(spark, "mv_join_delta").collect()}
+    assert got == {r.o_orderpriority: r.n for r in want}
+
+
+# ---------------------------------------------------------------------------
+# coreset_kcenter: numpy farthest-point traversal equivalence,
+# monotone covering radius
+# ---------------------------------------------------------------------------
+def test_kcenter_matches_numpy_and_monotone(spark):
+    rows = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    Q = {
+        r.vec_id: np.round(np.array(r.embedding, dtype=np.float64) * 1000).astype(
+            np.int64
+        )
+        for r in rows
+    }
+    ids = sorted(Q)
+    mind = {v: int(((Q[v] - Q[0]) ** 2).sum()) for v in ids if v != 0}
+    want = [(1, 0, 0)]
+    for step in (2, 3, 4):
+        sel = max(mind, key=lambda v: (mind[v], -v))
+        want.append((step, sel, mind[sel]))
+        selq = Q[sel]
+        del mind[sel]
+        for v in mind:
+            mind[v] = min(mind[v], int(((Q[v] - selq) ** 2).sum()))
+    got = [
+        (r.step, r.vec_id, r.d2_at_selection)
+        for r in sorted(_run(spark, "coreset_kcenter").collect())
+    ]
+    assert got == want
+    d2s = [d for _, _, d in got[1:]]
+    assert d2s == sorted(d2s, reverse=True)
