@@ -1376,6 +1376,80 @@ _SPAN = 16  # tokens per non-overlapping span
 _OCC_STRIDE = 1_000_000  # occ_key = doc_id * stride + span_idx
 
 
+def span_frame(docs: DataFrame) -> DataFrame:
+    """Non-overlapping {span}-token spans of each document with their
+    global occurrence key: (doc_id, span, span_idx, span_len,
+    occ_key).  Shared by the batch rewrite query and the streaming
+    incremental twin (``streaming/jobs.py::span_rewrite_stream``)."""
+    return (
+        docs.select(
+            "doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("toks")
+        )
+        .select(
+            "doc_id",
+            F.size("toks").alias("n_toks"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.ceil(F.size("toks") / F.lit(_SPAN)).cast("int"),
+                    ),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("toks"), (i - 1) * _SPAN + 1, _SPAN)
+                    ),
+                )
+            ).alias("idx0", "span"),
+        )
+        .select(
+            "doc_id",
+            "span",
+            (F.col("idx0") + 1).alias("span_idx"),
+            F.least(
+                F.lit(_SPAN), F.col("n_toks") - F.col("idx0") * _SPAN
+            ).alias("span_len"),
+            (F.col("doc_id") * _OCC_STRIDE + F.col("idx0") + 1).alias(
+                "occ_key"
+            ),
+        )
+    )
+
+
+span_frame.__doc__ = span_frame.__doc__.format(span=_SPAN)
+
+
+def span_firsts(spans: DataFrame) -> DataFrame:
+    """First-occurrence table (span -> min occ_key) over full-length
+    spans -- the state a persisted span store accumulates."""
+    return (
+        spans.filter(F.col("span_len") == _SPAN)
+        .groupBy("span")
+        .agg(F.min("occ_key").alias("first_key"))
+    )
+
+
+def span_ledger(spans: DataFrame, firsts: DataFrame) -> DataFrame:
+    """Per-document rewrite ledger given a first-occurrence table: a
+    span is kept iff it is short (never deduped) or it IS the first
+    occurrence."""
+    kept = (F.col("span_len") < _SPAN) | (
+        F.col("occ_key") == F.col("first_key")
+    )
+    return (
+        spans.join(firsts, "span", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.sum(F.when(kept, F.col("span_len")).otherwise(0))
+            .cast("bigint")
+            .alias("tokens_kept"),
+            F.sum(F.when(~kept, F.col("span_len")).otherwise(0))
+            .cast("bigint")
+            .alias("tokens_dropped"),
+        )
+    )
+
+
 @query(
     "dedup_span_rewrite",
     oracle=rf"""
@@ -1437,54 +1511,8 @@ def dedup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     the removed-rows metric, src/lib/users.js:68), restricted to
     span-aligned matches so it stays a hash join, not a suffix array.
     """
-    spans = (
-        _docs(spark, sf_dir)
-        .select("doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("toks"))
-        .select(
-            "doc_id",
-            F.size("toks").alias("n_toks"),
-            F.posexplode(
-                F.transform(
-                    F.sequence(
-                        F.lit(1),
-                        F.ceil(F.size("toks") / F.lit(_SPAN)).cast("int"),
-                    ),
-                    lambda i: F.concat_ws(
-                        " ", F.slice(F.col("toks"), (i - 1) * _SPAN + 1, _SPAN)
-                    ),
-                )
-            ).alias("idx0", "span"),
-        )
-        .select(
-            "doc_id",
-            "span",
-            (F.col("idx0") + 1).alias("span_idx"),
-            F.least(
-                F.lit(_SPAN), F.col("n_toks") - F.col("idx0") * _SPAN
-            ).alias("span_len"),
-            (F.col("doc_id") * _OCC_STRIDE + F.col("idx0") + 1).alias("occ_key"),
-        )
-    )
-    firsts = (
-        spans.filter(F.col("span_len") == _SPAN)
-        .groupBy("span")
-        .agg(F.min("occ_key").alias("first_key"))
-    )
-    kept = (F.col("span_len") < _SPAN) | (F.col("occ_key") == F.col("first_key"))
-    return (
-        spans.join(firsts, "span", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_spans"),
-            F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
-            F.sum(F.when(kept, F.col("span_len")).otherwise(0))
-            .cast("bigint")
-            .alias("tokens_kept"),
-            F.sum(F.when(~kept, F.col("span_len")).otherwise(0))
-            .cast("bigint")
-            .alias("tokens_dropped"),
-        )
-    )
+    spans = span_frame(_docs(spark, sf_dir))
+    return span_ledger(spans, span_firsts(spans))
 
 
 dedup_span_rewrite.__doc__ = dedup_span_rewrite.__doc__.format(

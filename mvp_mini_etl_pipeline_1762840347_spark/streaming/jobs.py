@@ -358,14 +358,19 @@ DOCS_RAW_SCHEMA = T.StructType(
 )
 
 
-def stream_documents(spark: SparkSession, docs_dir: str) -> DataFrame:
+def stream_documents(
+    spark: SparkSession,
+    docs_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """File-source stream over a landing directory of documents
-    parquet -- the daily-ingest shape for the dedup pipeline."""
-    return (
-        spark.readStream.schema(DOCS_RAW_SCHEMA)
-        .format("parquet")
-        .load(docs_dir)
-    )
+    parquet -- the daily-ingest shape for the dedup pipeline.
+    ``max_files_per_trigger`` caps files per micro-batch (how tests
+    force a genuinely multi-batch replay)."""
+    reader = spark.readStream.schema(DOCS_RAW_SCHEMA).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(docs_dir)
 
 
 def lsh_candidates_stream(
@@ -425,6 +430,55 @@ def incremental_dedup_stream(
         pairs, new_sigs = incremental_lsh_candidates(store, batch_df)
         pairs.write.mode("append").parquet(pairs_path)
         new_sigs.write.mode("append").parquet(store_path)
+
+    return (
+        docs_stream.writeStream.foreachBatch(_step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def span_rewrite_stream(
+    docs_stream: DataFrame,
+    store_path: str,
+    ledger_path: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Streaming twin of ``dedup_span_rewrite``: incremental
+    exact-substring span removal against a persisted first-occurrence
+    store.  Each micro-batch (a) chunks its documents into spans with
+    the SAME batch core (``plans/dedup.py::span_frame``), (b) decides
+    kept/dropped against min(persisted store, this batch) -- so
+    intra-batch duplicates resolve by occurrence key and spans already
+    claimed by an earlier batch always lose, (c) appends the batch's
+    per-document ledger, and (d) appends its own first-occurrence rows
+    to the store for the next batch.  When micro-batch arrival order
+    follows the corpus's occurrence order (the daily-ingest case),
+    the cumulative ledger is EXACTLY the batch query's -- parity
+    pinned in tests/test_streaming.py.
+
+    Scale: store lookups and appends are span-keyed -- at deploy the
+    store is a bucketed-by-span table (or SnapshotTable for the
+    atomic-commit discipline of exactly_once_table_merge); the store
+    grows only by genuinely novel spans, so a boilerplate-heavy
+    stream appends little."""
+    from ..plans.dedup import span_firsts, span_frame, span_ledger
+
+    def _step(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        store = spark.read.parquet(store_path)
+        spans = span_frame(batch_df)
+        batch_firsts = span_firsts(spans)
+        combined = (
+            store.unionByName(batch_firsts)
+            .groupBy("span")
+            .agg(F.min("first_key").alias("first_key"))
+        )
+        span_ledger(spans, combined).write.mode("append").parquet(ledger_path)
+        batch_firsts.join(store, "span", "left_anti").write.mode(
+            "append"
+        ).parquet(store_path)
 
     return (
         docs_stream.writeStream.foreachBatch(_step)

@@ -1148,3 +1148,58 @@ def test_psi_drift_stream_matches_batch_state(spark, sf_dir, tmp_path_factory):
         for r in spark.read.parquet(counts_path).collect()
     }
     assert again == got
+
+
+# ---------------------------------------------------------------------------
+# Streaming span rewrite (incremental first-occurrence store)
+# ---------------------------------------------------------------------------
+def test_span_rewrite_stream_full_parity(spark, sf_dir, tmp_path_factory):
+    """Cumulative streamed ledgers == the batch rewrite restricted to
+    the streamed docs, when micro-batches follow occurrence order:
+    the persisted first-occurrence store makes incremental span
+    removal equal the from-scratch rewrite."""
+    from mvp_mini_etl_pipeline_1762840347_spark.io import read_table
+    from mvp_mini_etl_pipeline_1762840347_spark.plans.dedup import (
+        dedup_span_rewrite,
+        span_firsts,
+        span_frame,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    cut1 = 150
+    cut2 = 300
+    old = docs.filter(F.col("doc_id") < cut1)
+    mid = docs.filter((F.col("doc_id") >= cut1) & (F.col("doc_id") < cut2))
+    new = docs.filter(F.col("doc_id") >= cut2)
+
+    base = tmp_path_factory.mktemp("span_stream")
+    store_path = str(base / "span_store")
+    ledger_path = str(base / "ledger_out")
+    landing = str(base / "landing")
+    span_firsts(span_frame(old)).write.parquet(store_path)
+    # two landing files written in occurrence order -> two micro-batches
+    mid.coalesce(1).write.mode("overwrite").parquet(landing)
+    new.coalesce(1).write.mode("append").parquet(landing)
+
+    q = jobs.span_rewrite_stream(
+        jobs.stream_documents(spark, landing, max_files_per_trigger=1),
+        store_path,
+        ledger_path,
+        str(base / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.doc_id, r.n_spans, r.n_kept, r.tokens_kept, r.tokens_dropped)
+        for r in spark.read.parquet(ledger_path).collect()
+    }
+    want = {
+        (r.doc_id, r.n_spans, r.n_kept, r.tokens_kept, r.tokens_dropped)
+        for r in dedup_span_rewrite(spark, sf_dir).collect()
+        if r.doc_id >= cut1
+    }
+    assert got == want
+    assert got, "no ledgers emitted (degenerate fixture)"
+    # the store holds one row per distinct full span seen so far
+    store = spark.read.parquet(store_path)
+    assert store.count() == store.select("span").distinct().count()
