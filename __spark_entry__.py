@@ -94,6 +94,11 @@ _PRIORITY: tuple[str, ...] = (
     "sketch_hll_merge", "multimodal_decode", "multimodal_resize",
     "corpus_disposition", "dedup_incremental", "mv_partial_merge",
     "multimodal_pixels",
+    # round-5 continuation ops (locally green on every gate; a driver
+    # row makes the coverage official)
+    "dedup_span_rewrite", "outlier_mad", "important_parts",
+    "embedding_power_iteration", "similarity_rrf_fusion",
+    "mv_join_delta", "coreset_kcenter",
 )
 
 
