@@ -1858,3 +1858,98 @@ def coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         trace, "step bigint, vec_id bigint, d2_at_selection bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (contrastive training pairs)
+# ---------------------------------------------------------------------------
+_HN_ANCHORS = 20
+_HN_PER_ANCHOR = 3
+
+
+@query(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(round(x * {_POW_SCALE}) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    a AS (
+      SELECT vec_id AS anchor_id, label AS anchor_label, q AS aq
+      FROM v WHERE vec_id < {_HN_ANCHORS}
+    ),
+    scored AS (
+      SELECT a.anchor_id, a.anchor_label,
+             v.vec_id AS negative_id, v.label AS negative_label,
+             CAST(list_sum(list_transform(range(1, 65),
+                                          i -> v.q[i] * a.aq[i]))
+                  AS BIGINT) AS dot_int
+      FROM a JOIN v ON v.label <> a.anchor_label
+    )
+    SELECT anchor_id, anchor_label, negative_id, negative_label, dot_int
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                   ORDER BY dot_int DESC, negative_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= {_HN_PER_ANCHOR}
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    (the first {anchors} vectors), the {per} most-similar vectors
+    carrying a DIFFERENT label -- the near-misses that teach an
+    embedding model its decision boundary, where random negatives are
+    trivially easy.  Emits (anchor, negative, similarity) triples, the
+    pair table a contrastive data loader consumes.
+
+    Exactness: inner products on the fixed-point grid are BIGINT with
+    negative_id tie-break, so both engines pick identical negatives.
+
+    Scale: anchors broadcast (the mined set is batch-sized, not
+    corpus-sized); the label-mismatch predicate rides the broadcast
+    join; per-anchor top-{per} is a WindowGroupLimit (per-partition
+    pre-truncation, no global sort).  Mining against a 100-TB corpus
+    is one scan per anchor batch; harder curricula swap the broadcast
+    for the IVF cell join (similarity_ivf) to score only candidate
+    cells.  (Reference has no training surface, src/lib/users.js:1.)"""
+    v = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * _POW_SCALE).cast("bigint"),
+        ).alias("q"),
+    )
+    a = v.filter(F.col("vec_id") < _HN_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("q").alias("aq"),
+    )
+    scored = v.join(
+        F.broadcast(a), F.col("label") != F.col("anchor_label")
+    ).select(
+        "anchor_id",
+        "anchor_label",
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("negative_label"),
+        F.aggregate(
+            F.zip_with("q", "aq", lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("dot_int"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("dot_int").desc(), "negative_id"
+    )
+    return (
+        scored.select("*", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= _HN_PER_ANCHOR)
+        .drop("rnk")
+    )
+
+
+hard_negative_mining.__doc__ = hard_negative_mining.__doc__.replace(
+    "{anchors}", str(_HN_ANCHORS)
+).replace("{per}", str(_HN_PER_ANCHOR))

@@ -1210,3 +1210,104 @@ def mv_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("bit_xor(h)").alias("view_fingerprint"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cascade delete audit (right-to-erasure propagation)
+# ---------------------------------------------------------------------------
+@query(
+    "cascade_delete_audit",
+    oracle="""
+    WITH del_cust AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 50 = 0
+    ),
+    del_orders AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM del_cust)
+    ),
+    del_lines AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+      WHERE l_orderkey IN (SELECT o_orderkey FROM del_orders)
+    )
+    SELECT 'customer' AS table_name,
+           (SELECT count(*) FROM del_cust) AS n_deleted,
+           (SELECT count(*) FROM customer) - (SELECT count(*) FROM del_cust)
+             AS n_retained,
+           CAST(0 AS BIGINT) AS deleted_cents
+    UNION ALL
+    SELECT 'orders',
+           (SELECT count(*) FROM del_orders),
+           (SELECT count(*) FROM orders) - (SELECT count(*) FROM del_orders),
+           CAST(0 AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem',
+           (SELECT count(*) FROM del_lines),
+           (SELECT count(*) FROM lineitem) - (SELECT count(*) FROM del_lines),
+           (SELECT CAST(coalesce(sum(cents), 0) AS BIGINT) FROM del_lines)
+    """,
+)
+def cascade_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure propagation with an audit trail: a
+    deterministic slice of customers (every 50th key, the "delete
+    request" fixture) cascades through orders to line items, and the
+    query emits the per-table accounting a compliance job must log --
+    rows deleted, rows retained, and the financial mass leaving the
+    fact table.  The deletes themselves are the complement
+    (anti-join) of the semi-joined rows; this query materializes the
+    LEDGER, the part auditors read.
+
+    Scale: the cascade is two key-propagation semi-joins (customer
+    keys -> order keys -> line items), each a broadcast when the
+    request set is small (the normal case) or a shuffled semi-join
+    when a bulk purge is large -- never a full materialization of
+    deleted rows; counts and sums reduce map-side.  XOR-fingerprint
+    variants (release_manifest) extend the ledger to content proofs.
+    (Reference deletes nothing, src/lib/users.js:68 filters only.)"""
+    c = read_table(spark, sf_dir, "customer").select("c_custkey")
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    del_cust = c.filter(F.col("c_custkey") % 50 == 0)
+    del_orders = o.join(
+        del_cust, o.o_custkey == del_cust.c_custkey, "left_semi"
+    ).select("o_orderkey")
+    del_lines = li.join(
+        del_orders, li.l_orderkey == del_orders.o_orderkey, "left_semi"
+    )
+
+    def _ledger(name, deleted_agg, total_df, cents_col):
+        return deleted_agg.join(F.broadcast(total_df)).select(
+            F.lit(name).alias("table_name"),
+            F.col("n_del").alias("n_deleted"),
+            (F.col("n_total") - F.col("n_del")).alias("n_retained"),
+            cents_col.alias("deleted_cents"),
+        )
+
+    cust_row = _ledger(
+        "customer",
+        del_cust.agg(F.count("*").alias("n_del")),
+        c.agg(F.count("*").alias("n_total")),
+        F.lit(0).cast("bigint"),
+    )
+    ord_row = _ledger(
+        "orders",
+        del_orders.agg(F.count("*").alias("n_del")),
+        o.agg(F.count("*").alias("n_total")),
+        F.lit(0).cast("bigint"),
+    )
+    li_row = _ledger(
+        "lineitem",
+        del_lines.agg(
+            F.count("*").alias("n_del"),
+            F.coalesce(F.sum("cents"), F.lit(0))
+            .cast("bigint")
+            .alias("del_cents"),
+        ),
+        li.agg(F.count("*").alias("n_total")),
+        F.col("del_cents"),
+    )
+    return cust_row.unionByName(ord_row).unionByName(li_row)
