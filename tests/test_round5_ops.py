@@ -232,3 +232,33 @@ def test_kcenter_matches_numpy_and_monotone(spark):
     assert got == want
     d2s = [d for _, _, d in got[1:]]
     assert d2s == sorted(d2s, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# dedup_span_spectrum reconciles with the rewrite's drop ledger
+# ---------------------------------------------------------------------------
+def test_span_spectrum_reconciles_with_rewrite(spark):
+    spec = _run(spark, "dedup_span_spectrum").collect()
+    ledger = _run(spark, "dedup_span_rewrite").agg(
+        F.sum("tokens_dropped").alias("d")
+    ).collect()[0]
+    assert sum(r.removable_tokens for r in spec) == ledger.d
+    assert any(r.n_copies > 1 for r in spec), "degenerate fixture"
+
+
+# ---------------------------------------------------------------------------
+# seqlen_histogram: bucket partition + cumulative conservation
+# ---------------------------------------------------------------------------
+def test_seqlen_histogram_conserves_corpus(spark):
+    toks = _docs_tokens(spark)
+    rows = sorted(_run(spark, "seqlen_histogram").collect())
+    assert sum(r.n_docs for r in rows) == len(toks)
+    assert sum(r.bucket_tokens for r in rows) == sum(toks.values())
+    assert rows[-1].cum_tokens == sum(toks.values())
+    for r in rows:
+        assert r.lo_tokens == 2 ** (r.bit_bucket - 1)
+        assert r.hi_tokens == 2 ** r.bit_bucket - 1
+    want = {}
+    for n in toks.values():
+        want[n.bit_length()] = want.get(n.bit_length(), 0) + 1
+    assert {r.bit_bucket: r.n_docs for r in rows} == want
