@@ -1518,3 +1518,66 @@ def dedup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 dedup_span_rewrite.__doc__ = dedup_span_rewrite.__doc__.format(
     span=_SPAN, stride=_OCC_STRIDE
 )
+
+
+# ---------------------------------------------------------------------------
+# Span duplication spectrum (how duplicated is the corpus, by degree)
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_span_spectrum",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
+    ),
+    spans AS (
+      SELECT array_to_string(t[(i-1)*{_SPAN} + 1 : least(len(t), i*{_SPAN})],
+                             ' ') AS span,
+             least({_SPAN}, len(t) - (i-1)*{_SPAN}) AS span_len
+      FROM toks,
+           unnest(range(1, CAST(ceil(len(t) / {_SPAN}.0) AS BIGINT) + 1)) AS u(i)
+    ),
+    g AS (
+      SELECT span, count(*) AS n_copies
+      FROM spans WHERE span_len = {_SPAN} GROUP BY 1
+    )
+    SELECT n_copies,
+           count(*) AS n_groups,
+           CAST(n_copies * count(*) AS BIGINT) AS n_occurrences,
+           CAST((n_copies - 1) * count(*) * {_SPAN} AS BIGINT)
+             AS removable_tokens
+    FROM g GROUP BY 1
+    """,
+)
+def dedup_span_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication SPECTRUM of the corpus at span granularity: for
+    each multiplicity k, how many distinct {span}-token spans occur
+    exactly k times, how many occurrences that is, and how many
+    tokens an exact-substring dedup pass would remove from that
+    stratum ((k-1) x group x span).  This is the frequency-spectrum
+    table dedup papers plot to size the win BEFORE running the
+    rewrite -- the planning artifact to ``dedup_span_rewrite``'s
+    action (sum of removable_tokens == the rewrite's total
+    tokens_dropped, pinned in tests).
+
+    Scale: two chained hash aggregates (span text -> count, count ->
+    groups), both map-side combinable; the second operates on
+    distinct-span cardinality and its output is O(max multiplicity)
+    rows.  No joins, no windows."""
+    spans = span_frame(_docs(spark, sf_dir))
+    g = (
+        spans.filter(F.col("span_len") == _SPAN)
+        .groupBy("span")
+        .agg(F.count("*").alias("n_copies"))
+    )
+    return g.groupBy("n_copies").agg(
+        F.count("*").alias("n_groups"),
+        (F.col("n_copies") * F.count("*")).cast("bigint").alias(
+            "n_occurrences"
+        ),
+        ((F.col("n_copies") - 1) * F.count("*") * _SPAN)
+        .cast("bigint")
+        .alias("removable_tokens"),
+    )
+
+
+dedup_span_spectrum.__doc__ = dedup_span_spectrum.__doc__.format(span=_SPAN)

@@ -226,3 +226,72 @@ def pack_sequences_shuffled(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence-length histogram (context-length planning)
+# ---------------------------------------------------------------------------
+@query(
+    "seqlen_histogram",
+    oracle=r"""
+    WITH stats AS (
+      SELECT CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n
+      FROM documents
+    ),
+    b AS (
+      SELECT length(bin(n)) AS bit_bucket,
+             count(*) AS n_docs,
+             CAST(sum(n) AS BIGINT) AS bucket_tokens
+      FROM stats GROUP BY 1
+    )
+    SELECT bit_bucket,
+           CAST(2 ** (bit_bucket - 1) AS BIGINT) AS lo_tokens,
+           CAST(2 ** bit_bucket - 1 AS BIGINT) AS hi_tokens,
+           n_docs, bucket_tokens,
+           CAST(sum(bucket_tokens) OVER (ORDER BY bit_bucket) AS BIGINT)
+             AS cum_tokens
+    FROM b
+    """,
+)
+def seqlen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two sequence-length histogram with cumulative token
+    coverage -- the context-length planning table: "how many tokens
+    live in documents shorter than 2^w", which fixes the max-seq-len
+    / truncation-loss tradeoff before a training run.  Buckets are by
+    BIT WIDTH of the token count (length of the binary rendering --
+    pure integer, no float log2 whose boundary rounding could differ
+    between engines).
+
+    Scale: one narrow pass + one hash aggregate on <= 64 bucket keys;
+    the cumulative sum is a window over the BUCKET table (bounded by
+    64 rows, not data-scale -- the legitimate use of an unpartitioned
+    window, vs the corpus-scale prefix sums that use
+    operators/prefix.exclusive_cumsum)."""
+    stats = read_table(spark, sf_dir, "documents").select(
+        F.size(F.split(F.lower(F.col("text")), r"\s+"))
+        .cast("bigint")
+        .alias("n")
+    )
+    b = (
+        stats.select(F.length(F.bin("n")).alias("bit_bucket"), "n")
+        .groupBy("bit_bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("bucket_tokens"),
+        )
+    )
+    from pyspark.sql.window import Window as _W
+
+    w = _W.orderBy("bit_bucket").rowsBetween(_W.unboundedPreceding, 0)
+    return b.select(
+        "bit_bucket",
+        F.pow(F.lit(2), F.col("bit_bucket") - 1).cast("bigint").alias(
+            "lo_tokens"
+        ),
+        (F.pow(F.lit(2), F.col("bit_bucket")).cast("bigint") - 1).alias(
+            "hi_tokens"
+        ),
+        "n_docs",
+        "bucket_tokens",
+        F.sum("bucket_tokens").over(w).cast("bigint").alias("cum_tokens"),
+    )
