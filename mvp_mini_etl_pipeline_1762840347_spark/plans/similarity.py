@@ -1953,3 +1953,109 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 hard_negative_mining.__doc__ = hard_negative_mining.__doc__.replace(
     "{anchors}", str(_HN_ANCHORS)
 ).replace("{per}", str(_HN_PER_ANCHOR))
+
+
+# ---------------------------------------------------------------------------
+# Label-noise detection by k-NN label agreement
+# ---------------------------------------------------------------------------
+_LN_ANCHORS = 40
+_LN_K = 5
+
+
+@query(
+    "label_noise_knn",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(round(x * {_POW_SCALE}) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    a AS (
+      SELECT vec_id AS anchor_id, label AS anchor_label, q AS aq
+      FROM v WHERE vec_id < {_LN_ANCHORS}
+    ),
+    scored AS (
+      SELECT a.anchor_id, a.anchor_label, v.vec_id AS nb, v.label AS nb_label,
+             CAST(list_sum(list_transform(range(1, 65),
+                                          i -> v.q[i] * a.aq[i]))
+                  AS BIGINT) AS dot_int
+      FROM a JOIN v ON v.vec_id <> a.anchor_id
+    ),
+    knn AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                     ORDER BY dot_int DESC, nb) AS rnk
+        FROM scored
+      ) WHERE rnk <= {_LN_K}
+    )
+    SELECT anchor_id, anchor_label,
+           CAST(sum(CASE WHEN nb_label = anchor_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_agree,
+           (sum(CASE WHEN nb_label = anchor_label THEN 1 ELSE 0 END) <= 1)
+             AS suspect
+    FROM knn GROUP BY 1, 2
+    """,
+)
+def label_noise_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise screening by neighborhood agreement: for each
+    audited vector, count how many of its {k} nearest neighbors (by
+    exact inner product, fixed-point BIGINT) carry the SAME label; a
+    vector whose neighborhood disagrees (<= 1 of {k} agree) is a
+    relabel/review candidate.  This is the confident-learning-style
+    pass a labeled-data pipeline runs before training -- mislabeled
+    examples sit in the wrong neighborhood and surface here without
+    training a model.
+
+    Scale: identical shape to hard_negative_mining -- audited batch
+    broadcast, one corpus scan, WindowGroupLimit per-anchor top-{k},
+    then a tiny per-anchor aggregate.  Auditing a full 100-TB corpus
+    batches the anchors and amortizes scans, or swaps the broadcast
+    for IVF cell joins (similarity_ivf).  (Reference has no label
+    surface, src/lib/users.js:1.)"""
+    v = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * _POW_SCALE).cast("bigint"),
+        ).alias("q"),
+    )
+    a = v.filter(F.col("vec_id") < _LN_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("q").alias("aq"),
+    )
+    scored = v.join(
+        F.broadcast(a), F.col("vec_id") != F.col("anchor_id")
+    ).select(
+        "anchor_id",
+        "anchor_label",
+        F.col("label").alias("nb_label"),
+        F.col("vec_id").alias("nb"),
+        F.aggregate(
+            F.zip_with("q", "aq", lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("dot_int"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("dot_int").desc(), "nb"
+    )
+    agree = F.sum(
+        F.when(F.col("nb_label") == F.col("anchor_label"), 1).otherwise(0)
+    )
+    return (
+        scored.select("*", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= _LN_K)
+        .groupBy("anchor_id", "anchor_label")
+        .agg(
+            agree.cast("bigint").alias("n_agree"),
+            (agree <= 1).alias("suspect"),
+        )
+    )
+
+
+label_noise_knn.__doc__ = label_noise_knn.__doc__.replace(
+    "{k}", str(_LN_K)
+)
