@@ -2205,3 +2205,123 @@ def psi_readout(counts: DataFrame, n_bins: int) -> DataFrame:
         "n_b",
         F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_contrib"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov drift test (integer-exact ECDF gap)
+# ---------------------------------------------------------------------------
+@query(
+    "drift_ks_two_sample",
+    oracle=r"""
+    WITH s AS (
+      SELECT CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS v,
+             (CAST(substring(source, 4) AS BIGINT) % 2 = 0) AS grp_a
+      FROM documents
+    ),
+    counts AS (
+      SELECT v,
+             CAST(sum(CASE WHEN grp_a THEN 1 ELSE 0 END) AS BIGINT) AS a_cnt,
+             CAST(sum(CASE WHEN NOT grp_a THEN 1 ELSE 0 END) AS BIGINT)
+               AS b_cnt
+      FROM s GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(a_cnt) AS BIGINT) AS n_a,
+             CAST(sum(b_cnt) AS BIGINT) AS n_b
+      FROM counts
+    ),
+    cum AS (
+      SELECT v,
+             CAST(sum(a_cnt) OVER (ORDER BY v) AS BIGINT) AS ca,
+             CAST(sum(b_cnt) OVER (ORDER BY v) AS BIGINT) AS cb
+      FROM counts
+    )
+    SELECT t.n_a, t.n_b,
+           CAST(max(abs(ca * t.n_b - cb * t.n_a)) AS BIGINT) AS d_num,
+           round(max(abs(ca * t.n_b - cb * t.n_a))
+                 / CAST(t.n_a * t.n_b AS DOUBLE), 6) AS ks_stat,
+           min(CASE WHEN abs(ca * t.n_b - cb * t.n_a) =
+                    (SELECT max(abs(c2.ca * t.n_b - c2.cb * t.n_a))
+                     FROM cum c2)
+               THEN v END) AS at_value
+    FROM cum, tot t GROUP BY t.n_a, t.n_b
+    """,
+)
+def drift_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the document
+    length distributions of two source cohorts (even- vs odd-numbered
+    sources): the maximum ECDF gap, the classic distribution-equality
+    test next to ``drift_psi``'s binned divergence -- KS needs no
+    binning choice and is sensitive anywhere in the distribution.
+
+    Exactness: the gap is carried as the INTEGER numerator
+    |ca*n_b - cb*n_a| (cross-multiplied ECDFs), so the argmax and its
+    location are engine-identical; the only float is one division on
+    identical operands, rounded for display.  The at_value tie-break
+    is the smallest length achieving the max.
+
+    Scale: one hash aggregate per distinct VALUE (token count), then
+    a cumulative window over the value DOMAIN -- bounded by max
+    document length, not corpus size (the legitimate unpartitioned
+    window, like seqlen_histogram's bucket table; a billion-doc
+    corpus still has only ~1e5 distinct lengths).  For continuous
+    metrics, pre-bucket to a fixed grid first (drift_psi's bins)."""
+    s = read_table(spark, sf_dir, "documents").select(
+        F.size(F.split(F.lower(F.col("text")), r"\s+"))
+        .cast("bigint")
+        .alias("v"),
+        (F.substring("source", 4, 10).cast("bigint") % 2 == 0).alias(
+            "grp_a"
+        ),
+    )
+    counts = s.groupBy("v").agg(
+        F.sum(F.when(F.col("grp_a"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("a_cnt"),
+        F.sum(F.when(~F.col("grp_a"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("b_cnt"),
+    )
+    tot = counts.agg(
+        F.sum("a_cnt").cast("bigint").alias("n_a"),
+        F.sum("b_cnt").cast("bigint").alias("n_b"),
+    )
+    from pyspark.sql.window import Window as _W
+
+    w = _W.orderBy("v").rowsBetween(_W.unboundedPreceding, 0)
+    cum = counts.select(
+        "v",
+        F.sum("a_cnt").over(w).cast("bigint").alias("ca"),
+        F.sum("b_cnt").over(w).cast("bigint").alias("cb"),
+    )
+    j = cum.join(F.broadcast(tot)).select(
+        "n_a",
+        "n_b",
+        "v",
+        F.abs(
+            F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a")
+        ).alias("dnum"),
+    )
+    return (
+        j.groupBy("n_a", "n_b")
+        .agg(
+            F.max("dnum").cast("bigint").alias("d_num"),
+            F.round(
+                F.max("dnum")
+                / (F.col("n_a") * F.col("n_b")).cast("double"),
+                6,
+            ).alias("ks_stat"),
+            F.max(
+                F.struct(
+                    F.col("dnum").alias("d"), (-F.col("v")).alias("nv")
+                )
+            ).alias("mx"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "d_num",
+            "ks_stat",
+            (-F.col("mx.nv")).alias("at_value"),
+        )
+    )

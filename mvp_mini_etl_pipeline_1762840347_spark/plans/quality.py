@@ -1104,3 +1104,104 @@ def corpus_disposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_sequences"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temporal embargo split (time-based train/test with a leakage gap)
+# ---------------------------------------------------------------------------
+_EMB_CUTOFF = "1999-01-01"
+_EMB_DAYS = 90
+
+
+@query(
+    "split_temporal_embargo",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT o.o_orderkey, o.o_orderdate,
+             CASE
+               WHEN o.o_orderdate <  DATE '{_EMB_CUTOFF}'
+                                     - INTERVAL {_EMB_DAYS} DAY THEN 'train'
+               WHEN o.o_orderdate >= DATE '{_EMB_CUTOFF}' THEN 'test'
+               ELSE 'embargo'
+             END AS split
+      FROM orders o
+    ),
+    lines AS (
+      SELECT t.split, l.l_orderkey,
+             CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                  AS BIGINT) AS rev_cents
+      FROM lineitem l JOIN tagged t ON t.o_orderkey = l.l_orderkey
+    )
+    SELECT t.split,
+           count(DISTINCT t.o_orderkey) AS n_orders,
+           (SELECT count(*) FROM lines x WHERE x.split = t.split)
+             AS n_lines,
+           (SELECT CAST(coalesce(sum(rev_cents), 0) AS BIGINT)
+            FROM lines x WHERE x.split = t.split) AS revenue_cents,
+           min(t.o_orderdate) AS first_date,
+           max(t.o_orderdate) AS last_date
+    FROM tagged t GROUP BY 1
+    """,
+)
+def split_temporal_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based train/test split with an EMBARGO gap: orders before
+    cutoff-{days}d train, orders from the cutoff on test, and the
+    {days} days in between are quarantined -- the split discipline
+    for forecasting/backtesting, where a hash split (sample_hash_split)
+    leaks future information through temporally-correlated rows and an
+    adjacent time split leaks through label horizons that straddle the
+    boundary.  Emits the per-split accounting (orders, joined line
+    items, revenue mass, date range) -- the manifest a backtest logs.
+
+    Scale: the tag is a scan-time predicate (partition-prunable when
+    the fact table is date-partitioned -- train/test reads touch
+    disjoint partitions); accounting is one broadcast-tagged join and
+    per-split aggregates.  (Reference has no temporal surface,
+    lib/transform.js formats dates for display only.)"""
+    cutoff = F.to_date(F.lit(_EMB_CUTOFF))
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        F.when(
+            F.col("o_orderdate") < F.date_sub(cutoff, _EMB_DAYS), "train"
+        )
+        .when(F.col("o_orderdate") >= cutoff, "test")
+        .otherwise("embargo")
+        .alias("split"),
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("bigint")
+        .alias("rev_cents"),
+    )
+    line_agg = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.coalesce(F.sum("rev_cents"), F.lit(0))
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+    )
+    order_agg = o.groupBy("split").agg(
+        F.countDistinct("o_orderkey").alias("n_orders"),
+        F.min("o_orderdate").alias("first_date"),
+        F.max("o_orderdate").alias("last_date"),
+    )
+    return order_agg.join(line_agg, "split", "left").select(
+        "split",
+        "n_orders",
+        F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+        F.coalesce("revenue_cents", F.lit(0).cast("bigint")).alias(
+            "revenue_cents"
+        ),
+        "first_date",
+        "last_date",
+    )
+
+
+split_temporal_embargo.__doc__ = split_temporal_embargo.__doc__.replace(
+    "{days}", str(_EMB_DAYS)
+)
