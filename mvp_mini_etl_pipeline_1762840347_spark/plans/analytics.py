@@ -2266,28 +2266,46 @@ def drift_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     window, like seqlen_histogram's bucket table; a billion-doc
     corpus still has only ~1e5 distinct lengths).  For continuous
     metrics, pre-bucket to a fixed grid first (drift_psi's bins)."""
-    s = read_table(spark, sf_dir, "documents").select(
-        F.size(F.split(F.lower(F.col("text")), r"\s+"))
-        .cast("bigint")
-        .alias("v"),
-        (F.substring("source", 4, 10).cast("bigint") % 2 == 0).alias(
-            "grp_a"
-        ),
+    return ks_readout(ks_counts_frame(read_table(spark, sf_dir, "documents")))
+
+def ks_counts_frame(docs: DataFrame) -> DataFrame:
+    """Mergeable KS drift state: per distinct value (token count), the
+    two cohorts' counts (v, a_cnt, b_cnt).  Purely additive -- states
+    merge by summing per value -- which is what lets the streaming
+    twin (streaming/jobs.py::ks_drift_stream) maintain it
+    incrementally; the readout below finalizes from the state alone."""
+    return (
+        docs.select(
+            F.size(F.split(F.lower(F.col("text")), r"\s+"))
+            .cast("bigint")
+            .alias("v"),
+            (F.substring("source", 4, 10).cast("bigint") % 2 == 0).alias(
+                "grp_a"
+            ),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("grp_a"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("a_cnt"),
+            F.sum(F.when(~F.col("grp_a"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("b_cnt"),
+        )
     )
-    counts = s.groupBy("v").agg(
-        F.sum(F.when(F.col("grp_a"), 1).otherwise(0))
-        .cast("bigint")
-        .alias("a_cnt"),
-        F.sum(F.when(~F.col("grp_a"), 1).otherwise(0))
-        .cast("bigint")
-        .alias("b_cnt"),
-    )
+
+
+def ks_readout(counts: DataFrame) -> DataFrame:
+    """KS finalize from a (v, a_cnt, b_cnt) count state: cumulative
+    ECDFs over the value domain, integer cross-multiplied gap, argmax
+    with smallest-value tie-break.  Shared by the batch query and the
+    streaming state table."""
+    from pyspark.sql.window import Window as _W
+
     tot = counts.agg(
         F.sum("a_cnt").cast("bigint").alias("n_a"),
         F.sum("b_cnt").cast("bigint").alias("n_b"),
     )
-    from pyspark.sql.window import Window as _W
-
     w = _W.orderBy("v").rowsBetween(_W.unboundedPreceding, 0)
     cum = counts.select(
         "v",

@@ -1462,3 +1462,65 @@ def psi_drift_stream(
         .option("checkpointLocation", counts_path + "_chk")
         .start()
     )
+
+
+def ks_drift_merge_step(
+    spark: SparkSession, batch_df: DataFrame, batch_id: int, counts_path: str
+) -> bool:
+    """One exactly-once merge of a micro-batch of documents into the
+    KS drift count state (v, a_cnt, b_cnt) -- purely additive per
+    value, same full-outer coalesce-sum as the PSI state, under the
+    shared replay-guarded staged-swap commit.  Returns False on a
+    replayed no-op."""
+    from ..plans.analytics import ks_counts_frame
+
+    def _merge(target: DataFrame | None) -> DataFrame:
+        delta = ks_counts_frame(batch_df)
+        if target is None:
+            return delta
+        t = target.select(
+            F.col("v").alias("t_v"),
+            F.col("a_cnt").alias("t_a"),
+            F.col("b_cnt").alias("t_b"),
+        )
+        return delta.join(t, delta.v == t.t_v, "full_outer").select(
+            F.coalesce(delta.v, t.t_v).alias("v"),
+            (
+                F.coalesce(delta.a_cnt, F.lit(0))
+                + F.coalesce(t.t_a, F.lit(0))
+            )
+            .cast("bigint")
+            .alias("a_cnt"),
+            (
+                F.coalesce(delta.b_cnt, F.lit(0))
+                + F.coalesce(t.t_b, F.lit(0))
+            )
+            .cast("bigint")
+            .alias("b_cnt"),
+        )
+
+    return exactly_once_table_merge(spark, counts_path, batch_id, _merge)
+
+
+def ks_drift_stream(
+    spark: SparkSession, docs: DataFrame, counts_path: str
+) -> StreamingQuery:
+    """Streaming two-sample KS drift monitor: the per-value cohort
+    count state (plans/analytics.py::ks_counts_frame) maintained
+    incrementally across micro-batches; the KS statistic
+    (ks_readout) is computed from the state table at any moment,
+    never rescanning document history.  State is bounded by the
+    distinct-value domain (document lengths), not stream volume, and
+    additive states union across days/partitions.  Exactly-once via
+    the shared batch-id high-water mark; parity with the batch query
+    over the same rows is pinned in tests."""
+
+    def _step(batch_df: DataFrame, batch_id: int) -> None:
+        ks_drift_merge_step(spark, batch_df, batch_id, counts_path)
+
+    return (
+        docs.writeStream.foreachBatch(_step)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", counts_path + "_chk")
+        .start()
+    )

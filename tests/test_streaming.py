@@ -1203,3 +1203,45 @@ def test_span_rewrite_stream_full_parity(spark, sf_dir, tmp_path_factory):
     # the store holds one row per distinct full span seen so far
     store = spark.read.parquet(store_path)
     assert store.count() == store.select("span").distinct().count()
+
+
+# ---------------------------------------------------------------------------
+# Streaming two-sample KS drift (additive per-value count state)
+# ---------------------------------------------------------------------------
+def test_ks_drift_stream_matches_batch(spark, sf_dir, tmp_path_factory):
+    """The KS readout over the incrementally merged count state equals
+    the batch query over the same documents, regardless of batching
+    (additive state), and a replayed batch id is a no-op."""
+    from mvp_mini_etl_pipeline_1762840347_spark.io import read_table
+    from mvp_mini_etl_pipeline_1762840347_spark.plans.analytics import (
+        drift_ks_two_sample,
+        ks_readout,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    base = tmp_path_factory.mktemp("ks_stream")
+    landing = str(base / "landing")
+    counts_path = str(base / "counts")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(landing)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+
+    q = jobs.ks_drift_stream(
+        spark,
+        jobs.stream_documents(spark, landing, max_files_per_trigger=1),
+        counts_path,
+    )
+    q.awaitTermination(120)
+
+    state = spark.read.parquet(counts_path)
+    got = ks_readout(state).collect()[0]
+    want = drift_ks_two_sample(spark, sf_dir).collect()[0]
+    assert tuple(got) == tuple(want)
+
+    # replayed batch id (high-water mark) must be a no-op
+    replay_docs = docs.filter(F.col("doc_id") % 2 == 0)
+    assert jobs.ks_drift_merge_step(spark, replay_docs, 0, counts_path) is False
+    assert tuple(ks_readout(spark.read.parquet(counts_path)).collect()[0]) == tuple(want)
