@@ -1581,3 +1581,92 @@ def dedup_span_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 dedup_span_spectrum.__doc__ = dedup_span_spectrum.__doc__.format(span=_SPAN)
+
+
+# ---------------------------------------------------------------------------
+# Span rewrite APPLY (materialize the deduplicated text)
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_rewrite_apply",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
+    ),
+    spans AS (
+      SELECT doc_id, i AS span_idx,
+             array_to_string(t[(i-1)*{_SPAN} + 1 : least(len(t), i*{_SPAN})],
+                             ' ') AS span,
+             least({_SPAN}, len(t) - (i-1)*{_SPAN}) AS span_len,
+             doc_id * {_OCC_STRIDE} + i AS occ_key
+      FROM toks,
+           unnest(range(1, CAST(ceil(len(t) / {_SPAN}.0) AS BIGINT) + 1)) AS u(i)
+    ),
+    firsts AS (
+      SELECT span, min(occ_key) AS first_key
+      FROM spans WHERE span_len = {_SPAN} GROUP BY span
+    ),
+    marked AS (
+      SELECT s.doc_id, s.span_idx, s.span, s.span_len,
+             (s.span_len < {_SPAN} OR s.occ_key = f.first_key) AS kept
+      FROM spans s LEFT JOIN firsts f USING (span)
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN kept THEN span_len ELSE 0 END) AS BIGINT)
+             AS n_tokens_new,
+           ('0x' || substring(md5(coalesce(
+               string_agg(CASE WHEN kept THEN span END, ' '
+                          ORDER BY span_idx),
+               '')), 1, 15))::BIGINT AS rewritten_fp
+    FROM marked GROUP BY doc_id
+    """,
+)
+def dedup_rewrite_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the span rewrite: materialize each document's
+    deduplicated text (its kept spans, original order) and emit the
+    new token count plus a 60-bit md5 fingerprint of the rewritten
+    string -- the content proof that both engines produced the same
+    bytes, not just the same counts (``dedup_span_rewrite`` is the
+    ledger; this is the output artifact).  A fully-duplicated doc
+    rewrites to the empty string, fingerprinted as such.
+
+    Scale: same two aggregates as the ledger plus ONE per-doc
+    collect_list of kept spans -- bounded by document length, the
+    same per-group payload a pipeline already holds to write the doc
+    out; order is restored by array_sort on (span_idx, span) structs,
+    never a window.  The fingerprint column means a 100-TB rewrite
+    can be verified against an independent implementation by
+    comparing two ~doc-count tables of BIGINTs."""
+    spans = span_frame(_docs(spark, sf_dir))
+    firsts = span_firsts(spans)
+    kept = (F.col("span_len") < _SPAN) | (
+        F.col("occ_key") == F.col("first_key")
+    )
+    marked = spans.join(firsts, "span", "left").select(
+        "doc_id",
+        "span_idx",
+        "span_len",
+        "span",
+        kept.alias("kept"),
+    )
+    rewritten = F.concat_ws(
+        " ",
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("kept"),
+                        F.struct(F.col("span_idx"), F.col("span")),
+                    )
+                )
+            ),
+            lambda s: s["span"],
+        ),
+    )
+    return marked.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("kept"), F.col("span_len")).otherwise(0))
+        .cast("bigint")
+        .alias("n_tokens_new"),
+        F.conv(F.substring(F.md5(rewritten), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("rewritten_fp"),
+    )

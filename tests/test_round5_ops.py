@@ -262,3 +262,49 @@ def test_seqlen_histogram_conserves_corpus(spark):
     for n in toks.values():
         want[n.bit_length()] = want.get(n.bit_length(), 0) + 1
     assert {r.bit_bucket: r.n_docs for r in rows} == want
+
+
+# ---------------------------------------------------------------------------
+# dedup_rewrite_apply: rewritten token counts equal the ledger's
+# tokens_kept, and the fingerprint matches a sequential rebuild
+# ---------------------------------------------------------------------------
+def test_rewrite_apply_matches_sequential_rebuild(spark):
+    import hashlib
+
+    docs = sorted(
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", F.lower(F.col("text")).alias("t"))
+        .collect(),
+        key=lambda r: r.doc_id,
+    )
+    import re as _re
+
+    seen = set()
+    want = {}
+    for r in docs:
+        toks = _re.split(r"\s+", r.t)
+        kept_spans = []
+        n_new = 0
+        for i in range(0, len(toks), 16):
+            chunk = toks[i : i + 16]
+            key = " ".join(chunk)
+            if len(chunk) < 16:
+                kept_spans.append(key)
+                n_new += len(chunk)
+            elif key not in seen:
+                seen.add(key)
+                kept_spans.append(key)
+                n_new += 16
+        text = " ".join(kept_spans)
+        fp = int(hashlib.md5(text.encode()).hexdigest()[:15], 16)
+        want[r.doc_id] = (n_new, fp)
+    got = {
+        r.doc_id: (r.n_tokens_new, r.rewritten_fp)
+        for r in _run(spark, "dedup_rewrite_apply").collect()
+    }
+    assert got == want
+    ledger = {
+        r.doc_id: r.tokens_kept
+        for r in _run(spark, "dedup_span_rewrite").collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == ledger
