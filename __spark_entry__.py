@@ -99,6 +99,10 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_span_rewrite", "outlier_mad", "important_parts",
     "embedding_power_iteration", "similarity_rrf_fusion",
     "mv_join_delta", "coreset_kcenter",
+    "hard_negative_mining", "cascade_delete_audit",
+    "dedup_span_spectrum", "seqlen_histogram", "label_noise_knn",
+    "drift_ks_two_sample", "split_temporal_embargo",
+    "dedup_rewrite_apply",
 )
 
 
