@@ -115,3 +115,85 @@ def exclusive_cumsum(
         .withColumn(out, (within + F.col("__bucket_off")).cast("bigint"))
         .drop("__v", "__b0", "__b1", "__bucket_off")
     )
+
+
+def exclusive_cummax(
+    df: DataFrame,
+    key: str,
+    value: Column | str,
+    out: str = "cummax_before",
+    floor: int = -(1 << 62),
+    bucket_width: int = 4096,
+    super_width: int = 4096,
+    partition_by: str | None = None,
+) -> DataFrame:
+    """Add column ``out`` = max of ``value`` over all rows with a
+    strictly smaller ``key`` (exclusive global prefix MAX; ``floor``
+    for the first row) -- the same three-level hierarchical scan as
+    ``exclusive_cumsum`` with (max, floor) in place of (+, 0): max is
+    associative, so within-bucket prefix maxima combine with bucket
+    and super-bucket offsets by ``greatest`` instead of ``+``.  Result
+    is identical to ``coalesce(max(value) OVER ([PARTITION BY g]
+    ORDER BY key ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+    floor)`` with no stage ever holding more than the cumsum's
+    bounds.  Unlocks sorted-scan operators: 2-D skyline
+    (plans/analytics.py::skyline_parts), record running peaks,
+    monotone envelope checks."""
+    parts = [partition_by] if partition_by else []
+    v = F.col(value) if isinstance(value, str) else value
+    flit = F.lit(floor).cast("bigint")
+    staged = (
+        df.withColumn("__v", v)
+        .withColumn("__b0", F.floor(F.col(key) / bucket_width))
+        .withColumn("__b1", F.floor(F.col("__b0") / super_width))
+    )
+
+    w0 = (
+        Window.partitionBy(*parts, "__b0")
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = F.coalesce(F.max("__v").over(w0), flit)
+
+    b0_maxs = staged.groupBy(*parts, "__b0", "__b1").agg(
+        F.max("__v").alias("__s0")
+    )
+    w1 = (
+        Window.partitionBy(*parts, "__b1")
+        .orderBy("__b0")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    b0_local = b0_maxs.withColumn(
+        "__off0", F.coalesce(F.max("__s0").over(w1), flit)
+    )
+
+    b1_maxs = b0_maxs.groupBy(*parts, "__b1").agg(
+        F.max("__s0").alias("__s1")
+    )
+    w2 = (
+        Window.partitionBy(*parts)
+        .orderBy("__b1")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    b1_off = b1_maxs.withColumn(
+        "__off1", F.coalesce(F.max("__s1").over(w2), flit)
+    ).select(*parts, "__b1", "__off1")
+
+    offsets = (
+        b0_local.join(F.broadcast(b1_off), [*parts, "__b1"])
+        .select(
+            *parts,
+            "__b0",
+            F.greatest(F.col("__off0"), F.col("__off1")).alias(
+                "__bucket_off"
+            ),
+        )
+    )
+    return (
+        staged.join(offsets, [*parts, "__b0"])
+        .withColumn(
+            out,
+            F.greatest(within, F.col("__bucket_off")).cast("bigint"),
+        )
+        .drop("__v", "__b0", "__b1", "__bucket_off")
+    )

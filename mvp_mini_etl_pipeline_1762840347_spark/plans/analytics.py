@@ -2343,3 +2343,87 @@ def ks_readout(counts: DataFrame) -> DataFrame:
             (-F.col("mx.nv")).alias("at_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 2-D skyline / Pareto frontier via a distributed prefix-max scan
+# ---------------------------------------------------------------------------
+@query(
+    "skyline_parts",
+    oracle="""
+    WITH p AS (
+      SELECT l_partkey,
+             CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS price_cents,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS val_cents
+      FROM lineitem GROUP BY 1
+    ),
+    lvl AS (
+      SELECT price_cents,
+             -(max(struct_pack(v := val_cents, np := -l_partkey)).np)
+               AS l_partkey,
+             max(val_cents) AS val_cents
+      FROM p GROUP BY 1
+    )
+    SELECT l_partkey, price_cents, val_cents
+    FROM (
+      SELECT *, coalesce(max(val_cents) OVER (ORDER BY price_cents
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), -1) AS pm
+      FROM lvl
+    ) t WHERE val_cents > pm
+    """,
+)
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) of parts over (cheapest observed
+    offer ASC-better, total discounted revenue DESC-better): a part is
+    on the frontier iff no part is both cheaper and higher-revenue --
+    the multi-criteria shortlist query (cheapest-but-popular parts)
+    OLAP engines ship as SKYLINE OF.
+
+    Shape: dominance among equal prices keeps only the best-revenue
+    part per price level (struct-max with partkey tie-break), which
+    makes the price a UNIQUE scan key; the frontier test is then
+    ``val > exclusive prefix-max of val over strictly cheaper
+    levels`` -- computed by operators/prefix.exclusive_cummax, the
+    three-level hierarchical MAX scan, so no unpartitioned window
+    ever sees the full level table (the DuckDB oracle states the same
+    semantics with the naive global window, making this a
+    differential test of the scan itself).  All quantities are exact
+    BIGINT cents.
+
+    Scale: one fact aggregate, one per-price-level reduction, then
+    the bounded 3-level scan + filter -- O(levels) state per task at
+    any corpus size; d>2 skylines recurse the same scan per added
+    dimension or fall back to the bitonic block partition."""
+    from ..operators.prefix import exclusive_cummax
+
+    li = read_table(spark, sf_dir, "lineitem")
+    p = (
+        li.select(
+            "l_partkey",
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("bigint")
+            .alias("pc"),
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("bigint")
+            .alias("vc"),
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.min("pc").alias("price_cents"),
+            F.sum("vc").cast("bigint").alias("val_cents"),
+        )
+    )
+    lvl = p.groupBy("price_cents").agg(
+        F.max_by(
+            F.col("l_partkey"),
+            F.struct(F.col("val_cents"), (-F.col("l_partkey")).alias("np")),
+        ).alias("l_partkey"),
+        F.max("val_cents").alias("val_cents"),
+    )
+    scanned = exclusive_cummax(lvl, "price_cents", "val_cents", out="pm", floor=-1)
+    return scanned.filter(F.col("val_cents") > F.col("pm")).select(
+        "l_partkey", "price_cents", "val_cents"
+    )

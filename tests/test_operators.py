@@ -409,3 +409,67 @@ def test_formats_nested_columns_survive_columnar_and_json(
 
     with _pytest.raises(Exception):
         formats.write_dataset(df, str(tmp_path / "nested_csv"), "csv")
+
+
+def test_exclusive_cummax_matches_global_window(spark):
+    """Three-level hierarchical prefix MAX == the single global window
+    it replaces, on sparse keys exercising every level, including the
+    floor on the first row of each prefix."""
+    from pyspark.sql.window import Window
+
+    from mvp_mini_etl_pipeline_1762840347_spark.operators.prefix import (
+        exclusive_cummax,
+    )
+
+    rows = [(k * 7 + 3, ((k * 37) % 23) - 5) for k in range(200)]
+    df = spark.createDataFrame(rows, "key long, v long").repartition(8)
+    got = exclusive_cummax(
+        df, "key", "v", floor=-100, bucket_width=16, super_width=4
+    )
+    w = Window.orderBy("key").rowsBetween(Window.unboundedPreceding, -1)
+    want = df.withColumn(
+        "cummax_before", F.coalesce(F.max("v").over(w), F.lit(-100))
+    )
+    assert sorted(got.collect(), key=lambda r: r.key) == sorted(
+        want.collect(), key=lambda r: r.key
+    )
+    assert got.columns == ["key", "v", "cummax_before"]
+
+
+def test_skyline_parts_is_exact_dominance_set(spark, sf_dir):
+    """The scan-based skyline equals the brute-force dominance
+    definition: a kept part has no other part both cheaper-or-equal
+    and higher-revenue (strictly better in at least one dim)."""
+    from mvp_mini_etl_pipeline_1762840347_spark import plans
+
+    parts = (
+        plans.QUERIES["skyline_parts"](spark, sf_dir)
+        .sparkSession.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select(
+            "l_partkey",
+            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("pc"),
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("bigint")
+            .alias("vc"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.min("pc").alias("p"), F.sum("vc").alias("v"))
+        .collect()
+    )
+    pts = [(r.p, r.v, r.l_partkey) for r in parts]
+
+    def dominated(a):
+        return any(
+            (b[0] <= a[0] and b[1] >= a[1] and (b[0] < a[0] or b[1] > a[1]))
+            or (b[0] == a[0] and b[1] == a[1] and b[2] < a[2])
+            for b in pts
+            if b is not a
+        )
+
+    want = {a[2] for a in pts if not dominated(a)}
+    got = {
+        r.l_partkey
+        for r in plans.QUERIES["skyline_parts"](spark, sf_dir).collect()
+    }
+    assert got == want
+    assert got, "degenerate frontier"
