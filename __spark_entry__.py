@@ -102,7 +102,7 @@ _PRIORITY: tuple[str, ...] = (
     "hard_negative_mining", "cascade_delete_audit",
     "dedup_span_spectrum", "seqlen_histogram", "label_noise_knn",
     "drift_ks_two_sample", "split_temporal_embargo",
-    "dedup_rewrite_apply",
+    "dedup_rewrite_apply", "skyline_parts", "orders_running_record",
 )
 
 

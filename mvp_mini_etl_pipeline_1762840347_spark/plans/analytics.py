@@ -2427,3 +2427,66 @@ def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scanned.filter(F.col("val_cents") > F.col("pm")).select(
         "l_partkey", "price_cents", "val_cents"
     )
+
+
+# ---------------------------------------------------------------------------
+# Running record detector (all-time highs, prefix-max scan)
+# ---------------------------------------------------------------------------
+@query(
+    "orders_running_record",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_orderdate,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+             (CAST(epoch_ms(o_orderdate) AS BIGINT) // 86400000)
+               * 1099511627776 + o_orderkey AS k
+      FROM orders
+    )
+    SELECT o_orderkey, o_orderdate, price_cents
+    FROM (
+      SELECT *, coalesce(max(price_cents) OVER (ORDER BY k
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                 AS pm
+      FROM o
+    ) t WHERE price_cents > pm
+    """,
+)
+def orders_running_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-time-high detector: the orders that broke the running
+    record for total price in (order date, order key) arrival order
+    -- the "largest order ever, as of then" feed a monitoring page
+    shows.  An order is a record iff it exceeds the exclusive prefix
+    max of everything that arrived before it.
+
+    The scan key packs (epoch day, order key) into one BIGINT (day *
+    2^40 + key -- day counts are ~1e4, keys below 2^40 by contract),
+    and the prefix max is operators/prefix.exclusive_cummax -- the
+    hierarchical scan, so the record pass never funnels the order
+    history through one reducer; the oracle states the identical
+    semantics with DuckDB's naive global window (second differential
+    test of the scan after skyline_parts, this time on a data-scale
+    input with a sparse key).  Record rows are rare (O(log n) for
+    exchangeable arrivals), so the output is tiny at any scale."""
+    from ..operators.prefix import exclusive_cummax
+
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias(
+            "price_cents"
+        ),
+        (
+            F.floor(
+                F.unix_timestamp(
+                    F.col("o_orderdate").cast("timestamp")
+                ) / F.lit(86400)
+            )
+            * F.lit(1099511627776)
+            + F.col("o_orderkey")
+        ).alias("k"),
+    )
+    return (
+        exclusive_cummax(o, "k", "price_cents", out="pm", floor=-1)
+        .filter(F.col("price_cents") > F.col("pm"))
+        .select("o_orderkey", "o_orderdate", "price_cents")
+    )
