@@ -103,6 +103,11 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_span_spectrum", "seqlen_histogram", "label_noise_knn",
     "drift_ks_two_sample", "split_temporal_embargo",
     "dedup_rewrite_apply", "skyline_parts", "orders_running_record",
+    # round-5 second wave (Q16/Q20 closure + IVM-retraction, CBO stats,
+    # Markov fixed-point, schema drift)
+    "supplier_part_kinds", "promotable_suppliers", "mv_retraction_agg",
+    "join_size_estimate", "events_markov_stationary",
+    "schema_evolution_union",
 )
 
 

@@ -1584,3 +1584,100 @@ def dead_letter_frame(events: DataFrame) -> DataFrame:
         d["k"].isNull().alias("quarantined"),
         d["k"].alias("k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov stationary distribution: heavy transition count + bounded iterate
+# ---------------------------------------------------------------------------
+_MARKOV_SCALE = 10**9
+_MARKOV_STEPS = 3
+
+
+@query(
+    "events_markov_stationary",
+    oracle=f"""
+    WITH seq AS (
+      SELECT event_type AS i,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS j
+      FROM events
+    ),
+    t AS (SELECT i, j, count(*) AS n FROM seq WHERE j IS NOT NULL
+          GROUP BY 1, 2),
+    rowtot AS (SELECT i, CAST(sum(n) AS BIGINT) AS tot FROM t GROUP BY 1),
+    tm AS (SELECT t.i, t.j, t.n, r.tot FROM t JOIN rowtot r ON r.i = t.i),
+    states AS (SELECT DISTINCT i FROM t),
+    p0 AS (SELECT i AS s,
+                  CAST({_MARKOV_SCALE} // (SELECT count(*) FROM states)
+                       AS BIGINT) AS v
+           FROM states),
+    p1 AS (SELECT tm.j AS s, CAST(sum((p0.v * tm.n) // tm.tot) AS BIGINT) AS v
+           FROM p0 JOIN tm ON tm.i = p0.s GROUP BY 1),
+    p2 AS (SELECT tm.j AS s, CAST(sum((p1.v * tm.n) // tm.tot) AS BIGINT) AS v
+           FROM p1 JOIN tm ON tm.i = p1.s GROUP BY 1),
+    p3 AS (SELECT tm.j AS s, CAST(sum((p2.v * tm.n) // tm.tot) AS BIGINT) AS v
+           FROM p2 JOIN tm ON tm.i = p2.s GROUP BY 1)
+    SELECT s AS state, v AS pi_scaled,
+           round(v / {_MARKOV_SCALE / 100.0!r}, 2) AS pi_pct
+    FROM p3
+    """,
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where does the clickstream settle?  The per-user next-event
+    transition matrix is estimated from the full stream, then the
+    stationary distribution is approached by {k} power-iteration
+    steps from a uniform start -- the Markov-chain summary behind
+    'steady-state mix of page types' and PageRank-style session
+    models.
+
+    Split exactly how a 100 TB deployment splits it: the DATA-SCALE
+    work is one lead() window per user plus a count keyed on the tiny
+    (from, to) pair space (one shuffle each); the ITERATION then runs
+    entirely on the O(types^2) matrix -- each step a broadcast join +
+    re-aggregation of a <= types-row vector, never touching events
+    again.  Fixed-point arithmetic makes the result engine-exact:
+    pi is carried scaled by {scale} as BIGINT and every term applies
+    floor((v * n) / rowtotal) in integer division, so Spark and
+    DuckDB agree bit-for-bit (same discipline as
+    embedding_power_iteration; no float crosses the boundary until
+    the display percentage)."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("i"),
+        F.lead("event_type").over(w).alias("j"),
+    )
+    t = (
+        seq.filter(F.col("j").isNotNull())
+        .groupBy("i", "j")
+        .agg(F.count("*").alias("n"))
+    )
+    rowtot = t.groupBy("i").agg(F.sum("n").cast("bigint").alias("tot"))
+    tm = t.join(rowtot, "i").localCheckpoint(eager=True)
+    states = tm.select("i").distinct()
+    n_states = states.count()
+    pi = states.select(
+        F.col("i").alias("s"),
+        F.lit(_MARKOV_SCALE // n_states).cast("bigint").alias("v"),
+    )
+    for _ in range(_MARKOV_STEPS):
+        pi = (
+            pi.join(F.broadcast(tm), pi.s == tm.i)
+            .select(
+                F.col("j").alias("s2"),
+                F.expr("(v * n) div tot").alias("term"),
+            )
+            .groupBy("s2")
+            .agg(F.sum("term").cast("bigint").alias("v"))
+            .withColumnRenamed("s2", "s")
+        )
+    return pi.select(
+        F.col("s").alias("state"),
+        F.col("v").alias("pi_scaled"),
+        F.round(F.col("v") / (_MARKOV_SCALE / 100.0), 2).alias("pi_pct"),
+    )
+
+
+events_markov_stationary.__doc__ = events_markov_stationary.__doc__.replace(
+    "{k}", str(_MARKOV_STEPS)
+).replace("{scale}", str(_MARKOV_SCALE))

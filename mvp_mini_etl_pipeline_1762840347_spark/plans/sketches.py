@@ -1854,3 +1854,121 @@ def sketch_hll_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(100.0) * (est / F.col("exact_distinct") - 1.0), 2
         ).alias("rel_err_pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CBO statistics: join-size estimation from an end-biased histogram
+# ---------------------------------------------------------------------------
+_JSE_HEAVY = 64
+
+
+@query(
+    "join_size_estimate",
+    oracle=f"""
+    WITH pk AS (
+      SELECT l_partkey AS k, count(*) AS n FROM lineitem GROUP BY 1
+    ),
+    ranked AS (
+      SELECT k, n, ROW_NUMBER() OVER (ORDER BY n DESC, k) AS rn FROM pk
+    ),
+    heavy AS (
+      SELECT CAST(coalesce(sum(n * n), 0) AS BIGINT) AS hsum,
+             CAST(count(*) AS BIGINT) AS n_heavy
+      FROM ranked WHERE rn <= {_JSE_HEAVY}
+    ),
+    rest AS (
+      SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS rtot,
+             CAST(count(*) AS BIGINT) AS rd
+      FROM ranked WHERE rn > {_JSE_HEAVY}
+    ),
+    exact AS (
+      SELECT CAST(sum(n * n) AS BIGINT) AS exact_size FROM pk
+    )
+    SELECT exact_size, n_heavy,
+           rtot AS rest_rows, rd AS rest_distinct,
+           hsum + CASE WHEN rd > 0 THEN (rtot * rtot) // rd ELSE 0 END
+             AS est_size,
+           round(100.0 * ((hsum + CASE WHEN rd > 0 THEN (rtot * rtot) // rd
+                                       ELSE 0 END) / exact_size - 1.0), 2)
+             AS rel_err_pct
+    FROM heavy, rest, exact
+    """,
+)
+def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based-optimizer statistics: estimate the size of the
+    lineitem-partkey self-equi-join (sum over keys of n(k)^2 -- the
+    second frequency moment that decides shuffle-vs-broadcast and
+    skew handling) from an END-BIASED HISTOGRAM: the {h} heaviest
+    keys kept exactly, the tail summarized by (row total, distinct
+    count) under a uniformity assumption.  The exact moment rides
+    along as the witness, oracle-checked.
+
+    This is the statistics contract every planner runs at 100 TB:
+    the histogram is O({h}) state per column -- buildable in one
+    map-side-combinable aggregation pass, mergeable across
+    partitions/partitions-of-days by the same top-merge the sketch
+    family uses -- while the exact answer needs every key.  The
+    estimator splitting heavy hitters from a uniform tail is why
+    end-biased histograms (Ioannidis/Poosala) beat equi-width ones
+    on skewed join columns: the heavy keys dominate n(k)^2.
+
+    Plan shape: per-key counts (one shuffle with partial aggregation);
+    the heavy set via orderBy+limit, which Spark executes as
+    TakeOrderedAndProject (each task keeps its own top-{h}, no global
+    sort, no unpartitioned window over the key space -- at 100 TB the
+    distinct-key set is itself data-scale); tail statistics by
+    SUBTRACTING the heavy aggregates from the global totals, so the
+    tail is never materialized.  All arithmetic BIGINT; the only
+    float is the final error percentage, derived identically in both
+    engines.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    pk = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count("*").alias("n")
+    )
+    heavy = (
+        pk.orderBy(F.col("n").desc(), F.col("k"))
+        .limit(_JSE_HEAVY)
+        .agg(
+            F.coalesce(F.sum(F.col("n") * F.col("n")), F.lit(0))
+            .cast("bigint")
+            .alias("hsum"),
+            F.count("*").cast("bigint").alias("n_heavy"),
+            F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("hrows"),
+        )
+    )
+    totals = pk.agg(
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("exact_size"),
+        F.sum("n").cast("bigint").alias("all_rows"),
+        F.count("*").cast("bigint").alias("all_distinct"),
+    )
+    rest = (
+        heavy.join(totals)
+        .select(
+            "hsum",
+            "n_heavy",
+            "exact_size",
+            (F.col("all_rows") - F.col("hrows")).alias("rtot"),
+            (F.col("all_distinct") - F.col("n_heavy")).alias("rd"),
+        )
+    )
+    est = F.col("hsum") + F.when(
+        F.col("rd") > 0,
+        F.expr("(rtot * rtot) div rd"),
+    ).otherwise(F.lit(0))
+    return (
+        rest
+        .select(
+            "exact_size",
+            "n_heavy",
+            F.col("rtot").alias("rest_rows"),
+            F.col("rd").alias("rest_distinct"),
+            est.alias("est_size"),
+            F.round(
+                100.0 * (est / F.col("exact_size") - 1.0), 2
+            ).alias("rel_err_pct"),
+        )
+    )
+
+
+join_size_estimate.__doc__ = join_size_estimate.__doc__.format(h=_JSE_HEAVY)

@@ -503,3 +503,141 @@ def important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("val_cents") / 100.0, 2).alias("part_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# NOT IN -> broadcast anti-join over a grouped distinct count (TPC-H Q16)
+# ---------------------------------------------------------------------------
+_Q16_SIZES = (1, 9, 14, 19, 23, 36, 45, 49)
+
+
+@query(
+    "supplier_part_kinds",
+    oracle=f"""
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#12'
+      AND p_type <> 'PROMO'
+      AND p_size IN {_Q16_SIZES!r}
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def supplier_part_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many suppliers can source each (brand, type, size) kind of
+    part, excluding delinquent suppliers -- TPC-H Q16's shape (grouped
+    count-distinct behind a NOT IN subquery), adapted to this schema:
+    lineitem is the part<->supplier bridge (no partsupp table) and the
+    exclusion set is negative-balance suppliers (no s_comment column).
+
+    Scale: the NOT IN subquery decorrelates to a broadcast ANTI join
+    (the exclusion set is a filtered dimension, tiny even at 100 TB);
+    part filters broadcast onto the fact scan, and the distinct pairs
+    reduce to one shuffle keyed by the group columns + suppkey with
+    map-side partial distinct.  NOT IN's null trap does not bite:
+    s_suppkey is a non-null key, so ANTI join is exactly equivalent.
+    (Reference has no subquery surface, src/lib/launches.js:1.)"""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    p = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#12")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(*_Q16_SIZES)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = read_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Nested IN chain with correlated HAVING (TPC-H Q20 shape)
+# ---------------------------------------------------------------------------
+_Q20_NATIONS = ("NATION_3", "NATION_7", "NATION_11", "NATION_19", "NATION_23")
+_Q20_PREFIX = "red "
+_Q20_MIN_QTY = 40
+_Q20_YEAR = 1995
+
+
+@query(
+    "promotable_suppliers",
+    oracle=f"""
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN {_Q20_NATIONS!r}
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_name LIKE '{_Q20_PREFIX}%')
+        GROUP BY l_partkey, l_suppkey
+        HAVING sum(CAST(l_quantity AS BIGINT)) >= {_Q20_MIN_QTY}
+           AND 2 * sum(CASE WHEN year(l_shipdate) = {_Q20_YEAR}
+                            THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+             > sum(CAST(l_quantity AS BIGINT))
+      )
+    """,
+)
+def promotable_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers in a nation set who front-loaded a red part: over
+    half of their lifetime shipped quantity of some sufficiently-
+    traded red-prefixed part went out in {year} -- TPC-H Q20's shape
+    (IN chain three subqueries deep with a HAVING correlated on the
+    middle level), adapted to this schema: shipped quantity stands in
+    for ps_availqty, and the 50%%-of-volume test compares two
+    aggregates of the SAME grouped rows instead of two tables.
+
+    Scale: innermost part filter broadcasts onto the fact scan
+    (semi-join); the correlated HAVING decorrelates into ONE
+    (partkey, suppkey) aggregation carrying both the total and the
+    conditional {year} sum as integer columns -- no second lineitem
+    pass and no float across the engine boundary; the outer IN is a
+    left-semi join onto the tiny supplier dimension, then a broadcast
+    nation join.  (Reference has no subquery surface,
+    src/lib/launches.js:1.)"""
+    li = read_table(spark, sf_dir, "lineitem")
+    red = read_table(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith(_Q20_PREFIX)
+    ).select("p_partkey")
+    qty = F.col("l_quantity").cast("bigint")
+    pairs = (
+        li.join(F.broadcast(red), li.l_partkey == red.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(qty).alias("qty_all"),
+            F.sum(
+                F.when(F.year("l_shipdate") == _Q20_YEAR, qty).otherwise(
+                    F.lit(0)
+                )
+            ).alias("qty_year"),
+        )
+        .filter(
+            (F.col("qty_all") >= _Q20_MIN_QTY)
+            & (2 * F.col("qty_year") > F.col("qty_all"))
+        )
+        .select("l_suppkey")
+    )
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(*_Q20_NATIONS)
+    )
+    return (
+        s.join(pairs, s.s_suppkey == pairs.l_suppkey, "left_semi")
+        .join(
+            F.broadcast(n), s.s_nationkey == n.n_nationkey
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+promotable_suppliers.__doc__ = promotable_suppliers.__doc__.replace(
+    "{year}", str(_Q20_YEAR)
+)

@@ -1311,3 +1311,194 @@ def cascade_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("del_cents"),
     )
     return cust_row.unionByName(ord_row).unionByName(li_row)
+
+
+# ---------------------------------------------------------------------------
+# Z-set / retraction-aware incremental view maintenance (DBSP-style)
+# ---------------------------------------------------------------------------
+_ZMV_CUT = "1998-01-01"
+
+
+@query(
+    "mv_retraction_agg",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT o_orderpriority AS priority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             (o_orderdate < DATE '{_ZMV_CUT}' AND o_orderkey % 10 = 3)
+               AS retracted,
+             o_orderdate >= DATE '{_ZMV_CUT}' AS inserted
+      FROM orders
+    )
+    SELECT priority,
+           CAST(count(*) FILTER (WHERE NOT retracted) AS BIGINT) AS n_live,
+           CAST(sum(cents) FILTER (WHERE NOT retracted) AS BIGINT)
+             AS revenue_cents,
+           CAST(count(*) FILTER (WHERE inserted) AS BIGINT) AS inserted_rows,
+           CAST(count(*) FILTER (WHERE retracted) AS BIGINT) AS retracted_rows
+    FROM tagged
+    GROUP BY 1
+    """,
+)
+def mv_retraction_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance UNDER DELETIONS: the change feed
+    is a Z-set (rows weighted +1 for inserts, -1 for retractions, the
+    DBSP / differential-dataflow formulation), and the grouped MV is
+    maintained by ADDING weighted partial states to the stored base
+    states -- count += sum(w), sum += sum(w * cents) -- never by
+    re-scanning the base.  Groups whose maintained count reaches zero
+    drop out of the view, exactly as a recompute would drop them.
+
+    Staged here deterministically: the base MV aggregates pre-{cut}
+    orders; the delta feed carries post-{cut} orders as +1 rows and a
+    cancellation set (orderkey % 10 == 3 among base rows) as -1 rows.
+    The DuckDB oracle recomputes the view directly from the live rows,
+    so the hash match witnesses the DBSP contract: applying weighted
+    deltas to partial states equals recomputation.  That only holds
+    because every maintained state is an Abelian-group aggregate
+    (integer-cents sums; counts) -- max/min would NOT be maintainable
+    under retraction without re-scan, which is why the view carries
+    none.
+
+    Scale shape: the base aggregation stands in for the STORED MV (at
+    100 TB it is a bounded state table, not a scan); the delta
+    aggregation shuffles only the feed; the merge joins two
+    O(groups)-sized frames.  Retraction cost is identical to insert
+    cost -- no tombstone rewrite of the base table.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    cut = F.lit(_ZMV_CUT).cast("date")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    base = o.filter(F.col("o_orderdate") < cut).select(
+        F.col("o_orderpriority").alias("priority"),
+        cents.alias("cents"),
+        F.col("o_orderkey"),
+    )
+    # stored MV states: Abelian-group aggregates only
+    base_mv = base.groupBy("priority").agg(
+        F.count("*").alias("n0"), F.sum("cents").alias("s0")
+    )
+    inserts = o.filter(F.col("o_orderdate") >= cut).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.lit(1).alias("w"),
+        cents.alias("cents"),
+    )
+    retractions = base.filter(F.col("o_orderkey") % 10 == 3).select(
+        "priority", F.lit(-1).alias("w"), F.col("cents")
+    )
+    delta_mv = (
+        inserts.unionByName(retractions)
+        .groupBy("priority")
+        .agg(
+            F.sum("w").alias("dn"),
+            F.sum(F.col("w") * F.col("cents")).alias("ds"),
+            F.sum(F.when(F.col("w") > 0, 1).otherwise(0)).alias("ins"),
+            F.sum(F.when(F.col("w") < 0, 1).otherwise(0)).alias("ret"),
+        )
+    )
+    z = F.lit(0).cast("bigint")
+    return (
+        base_mv.join(delta_mv, "priority", "full_outer")
+        .select(
+            "priority",
+            (F.coalesce("n0", z) + F.coalesce("dn", z))
+            .cast("bigint")
+            .alias("n_live"),
+            (F.coalesce("s0", z) + F.coalesce("ds", z))
+            .cast("bigint")
+            .alias("revenue_cents"),
+            F.coalesce("ins", z).cast("bigint").alias("inserted_rows"),
+            F.coalesce("ret", z).cast("bigint").alias("retracted_rows"),
+        )
+        .filter(F.col("n_live") > 0)
+    )
+
+
+mv_retraction_agg.__doc__ = mv_retraction_agg.__doc__.replace("{cut}", _ZMV_CUT)
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution: unioning eras whose files carry different schemas
+# ---------------------------------------------------------------------------
+_SE_CUT = "1997-01-01"
+_SE_DEFAULT = "UNSPECIFIED"
+
+
+@query(
+    "schema_evolution_union",
+    oracle=f"""
+    WITH unified AS (
+      SELECT CASE WHEN o_orderdate < DATE '{_SE_CUT}'
+                  THEN '{_SE_DEFAULT}' ELSE o_orderpriority END AS priority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+             o_orderdate < DATE '{_SE_CUT}' AS legacy
+      FROM orders
+    )
+    SELECT priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(*) FILTER (WHERE legacy) AS BIGINT) AS legacy_rows,
+           CAST(sum(price_cents) AS BIGINT) AS revenue_cents
+    FROM unified
+    GROUP BY 1
+    """,
+)
+def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reading across a SCHEMA BREAK: files written before {cut}
+    lack the priority column and store price under a legacy name
+    (integer cents); newer files carry the full schema.  The unified
+    read is `unionByName(allowMissingColumns=True)` + per-era rename
+    and a declared default for the missing column -- the
+    mergeSchema / schema-drift contract every long-lived 100 TB lake
+    table needs, where a decade of files spans several writer
+    versions and rewriting old files is off the table.
+
+    Staged deterministically: the two eras are PROJECTED to their
+    historical schemas from the one orders table (era 1 drops
+    o_orderpriority and renames the price column; era 2 is current),
+    so the oracle can state the same unified readout with a CASE.
+    The hash match witnesses that the fill-defaults-and-rename path
+    loses nothing: counts, per-era row provenance, and integer-cents
+    revenue all reconcile.
+
+    Scale shape: each era is one scan branch with its own projection
+    pushed down; the union is a zero-shuffle concatenation and the
+    readout is one map-side-combinable aggregation.  A real lake
+    would bind each branch to its file set via partition pruning --
+    the plan shape is identical."""
+    o = read_table(spark, sf_dir, "orders")
+    cut = F.lit(_SE_CUT).cast("date")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    # era 1: legacy writer -- no priority column, price as integer cents
+    legacy = o.filter(F.col("o_orderdate") < cut).select(
+        F.col("o_orderkey"),
+        cents.alias("total_cents"),
+    )
+    # era 2: current writer
+    current = o.filter(F.col("o_orderdate") >= cut).select(
+        F.col("o_orderkey"),
+        F.col("o_orderpriority").alias("priority"),
+        cents.alias("price_cents"),
+    )
+    # unified read: per-era rename to the current contract, union with
+    # missing columns allowed, then declared defaults
+    legacy_mapped = legacy.select(
+        "o_orderkey",
+        F.col("total_cents").alias("price_cents"),
+        F.lit(True).alias("legacy"),
+    )
+    current_mapped = current.withColumn("legacy", F.lit(False))
+    unified = legacy_mapped.unionByName(
+        current_mapped, allowMissingColumns=True
+    ).withColumn("priority", F.coalesce("priority", F.lit(_SE_DEFAULT)))
+    return unified.groupBy("priority").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.when(F.col("legacy"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("legacy_rows"),
+        F.sum("price_cents").cast("bigint").alias("revenue_cents"),
+    )
+
+
+schema_evolution_union.__doc__ = schema_evolution_union.__doc__.replace(
+    "{cut}", _SE_CUT
+)

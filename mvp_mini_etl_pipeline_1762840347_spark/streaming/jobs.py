@@ -1524,3 +1524,129 @@ def ks_drift_stream(
         .option("checkpointLocation", counts_path + "_chk")
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-set (retraction-aware) materialized-view maintenance stream
+# ---------------------------------------------------------------------------
+ZSET_DELTA_SCHEMA = T.StructType(
+    [
+        T.StructField("priority", T.StringType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("cents", T.LongType()),
+    ]
+)
+
+
+def stream_weighted_deltas(
+    spark: SparkSession,
+    deltas_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over a landing directory of weighted change
+    rows (priority, w, cents) -- the CDC/changelog shape where w=+1 is
+    an insert and w=-1 a retraction of a previously-inserted row.
+    ``max_files_per_trigger`` caps files per micro-batch (how tests
+    force a genuinely multi-batch replay)."""
+    reader = spark.readStream.schema(ZSET_DELTA_SCHEMA).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(deltas_dir)
+
+
+def zset_mv_merge_step(
+    spark: SparkSession, batch_df: DataFrame, batch_id: int, mv_path: str
+) -> bool:
+    """One exactly-once merge of a weighted micro-batch into the
+    grouped MV state -- the streaming half of the DBSP contract
+    plans/warehouse.py::mv_retraction_agg states as a query: every
+    maintained column is an Abelian-group aggregate (count += sum(w),
+    cents += sum(w * cents), monotone insert/retract counters), so
+    deltas ADD into the stored states and retraction costs the same
+    as insert -- no tombstone rewrite, no base rescan.  Zero-weight
+    groups are KEPT in the state table (their audit counters must
+    survive a revival); the readout (zset_mv_render) hides them,
+    matching the batch query's dropped-group semantics.  Runs under
+    the shared replay-guarded staged-swap commit; returns False on a
+    replayed no-op."""
+
+    def _merge(target: DataFrame | None) -> DataFrame:
+        delta = batch_df.groupBy("priority").agg(
+            F.sum("w").cast("bigint").alias("dn"),
+            F.sum(F.col("w") * F.col("cents")).cast("bigint").alias("ds"),
+            F.sum(F.when(F.col("w") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("ins"),
+            F.sum(F.when(F.col("w") < 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("ret"),
+        )
+        z = F.lit(0).cast("bigint")
+        if target is None:
+            return delta.select(
+                "priority",
+                F.col("dn").alias("n_live"),
+                F.col("ds").alias("revenue_cents"),
+                F.col("ins").alias("inserted_rows"),
+                F.col("ret").alias("retracted_rows"),
+            )
+        t = target.select(
+            F.col("priority").alias("t_p"),
+            "n_live",
+            "revenue_cents",
+            "inserted_rows",
+            "retracted_rows",
+        )
+        return (
+            delta.join(t, delta.priority == t.t_p, "full_outer")
+            .select(
+                F.coalesce(delta.priority, t.t_p).alias("priority"),
+                (F.coalesce(t.n_live, z) + F.coalesce(delta.dn, z)).alias(
+                    "n_live"
+                ),
+                (
+                    F.coalesce(t.revenue_cents, z) + F.coalesce(delta.ds, z)
+                ).alias("revenue_cents"),
+                (
+                    F.coalesce(t.inserted_rows, z) + F.coalesce(delta.ins, z)
+                ).alias("inserted_rows"),
+                (
+                    F.coalesce(t.retracted_rows, z) + F.coalesce(delta.ret, z)
+                ).alias("retracted_rows"),
+            )
+        )
+
+    return exactly_once_table_merge(spark, mv_path, batch_id, _merge)
+
+
+def zset_mv_render(state: DataFrame) -> DataFrame:
+    """Readout of the Z-set MV state: groups whose maintained
+    multiplicity reached zero vanish, exactly as a recompute over the
+    live rows would drop them (the batch query filters the same
+    way)."""
+    return state.filter(F.col("n_live") > 0)
+
+
+def zset_mv_stream(
+    spark: SparkSession, deltas: DataFrame, mv_path: str
+) -> StreamingQuery:
+    """Streaming retraction-aware view maintenance: the grouped MV is
+    kept current against a +-1-weighted changelog with ONE additive
+    state merge per micro-batch -- the DBSP / differential-dataflow
+    execution model under foreachBatch.  Deletes flow through the
+    same path as inserts (w=-1), so compliance erasures and
+    corrections never trigger a base-table rewrite; cross-day /
+    cross-partition states union by the same addition.  Exactly-once
+    via the shared batch-id high-water mark; parity with the batch
+    query (mv_retraction_agg) over an equivalent changelog is pinned
+    in tests."""
+
+    def _step(batch_df: DataFrame, batch_id: int) -> None:
+        zset_mv_merge_step(spark, batch_df, batch_id, mv_path)
+
+    return (
+        deltas.writeStream.foreachBatch(_step)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", mv_path + "_chk")
+        .start()
+    )

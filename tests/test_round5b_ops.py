@@ -1,0 +1,213 @@
+"""Semantic invariants for the round-5 second-wave operators --
+properties the DuckDB value hash cannot state: sequential set-logic
+recomputes for the Q16/Q20 subquery decorrelations, the DBSP
+add-deltas-equals-recompute property including group disappearance,
+histogram reconciliation for the join-size estimator, a numpy
+cross-check for the Markov power iteration, and era reconciliation
+for the schema-evolution union."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run(spark, name):
+    return entrymod.queries()[name](spark, SF)
+
+
+def _pdf(spark, table, cols=None):
+    df = spark.read.parquet(f"{SF}/{table}.parquet")
+    if cols:
+        df = df.select(*cols)
+    return df.toPandas()
+
+
+# ---------------------------------------------------------------------------
+# supplier_part_kinds (Q16): anti-join == sequential NOT IN
+# ---------------------------------------------------------------------------
+def test_supplier_part_kinds_matches_set_logic(spark):
+    li = _pdf(spark, "lineitem", ["l_partkey", "l_suppkey"])
+    p = _pdf(spark, "part")
+    s = _pdf(spark, "supplier")
+    bad = set(s.loc[s.s_acctbal < 0, "s_suppkey"])
+    p = p[
+        (p.p_brand != "Brand#12")
+        & (p.p_type != "PROMO")
+        & p.p_size.isin([1, 9, 14, 19, 23, 36, 45, 49])
+    ]
+    li = li[~li.l_suppkey.isin(bad)]
+    j = li.merge(p, left_on="l_partkey", right_on="p_partkey")
+    want = (
+        j.groupby(["p_brand", "p_type", "p_size"])["l_suppkey"]
+        .nunique()
+        .to_dict()
+    )
+    got = {
+        (r.p_brand, r.p_type, r.p_size): r.supplier_cnt
+        for r in _run(spark, "supplier_part_kinds").collect()
+    }
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# promotable_suppliers (Q20): decorrelated HAVING == per-pair recompute
+# ---------------------------------------------------------------------------
+def test_promotable_suppliers_matches_pair_recompute(spark):
+    li = _pdf(spark, "lineitem")
+    p = _pdf(spark, "part")
+    s = _pdf(spark, "supplier")
+    n = _pdf(spark, "nation")
+    red = set(p.loc[p.p_name.str.startswith("red "), "p_partkey"])
+    li = li[li.l_partkey.isin(red)].copy()
+    li["qty"] = li.l_quantity.astype("int64")
+    li["y"] = pd.to_datetime(li.l_shipdate).dt.year
+    good = set()
+    for (_, sk), g in li.groupby(["l_partkey", "l_suppkey"]):
+        tot = g.qty.sum()
+        if tot >= 40 and 2 * g.loc[g.y == 1995, "qty"].sum() > tot:
+            good.add(sk)
+    nations = set(
+        n.loc[
+            n.n_name.isin(
+                ["NATION_3", "NATION_7", "NATION_11", "NATION_19",
+                 "NATION_23"]
+            ),
+            "n_nationkey",
+        ]
+    )
+    want = set(
+        s.loc[
+            s.s_suppkey.isin(good) & s.s_nationkey.isin(nations), "s_suppkey"
+        ]
+    )
+    got = {r.s_suppkey for r in _run(spark, "promotable_suppliers").collect()}
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# mv_retraction_agg: DBSP property incl. group disappearance
+# ---------------------------------------------------------------------------
+def test_mv_retraction_matches_recompute(spark):
+    o = _pdf(spark, "orders")
+    o["cents"] = (o.o_totalprice * 100).round().astype("int64")
+    cut = pd.Timestamp("1998-01-01")
+    d = pd.to_datetime(o.o_orderdate)
+    retracted = (d < cut) & (o.o_orderkey % 10 == 3)
+    live = o[~retracted]
+    want_n = live.groupby("o_orderpriority").size().to_dict()
+    want_s = live.groupby("o_orderpriority")["cents"].sum().to_dict()
+    rows = _run(spark, "mv_retraction_agg").collect()
+    got_n = {r.priority: r.n_live for r in rows}
+    got_s = {r.priority: r.revenue_cents for r in rows}
+    assert got_n == want_n
+    assert got_s == want_s
+    # groups the recompute drops must be absent from the maintained view
+    assert set(got_n) == set(want_n)
+    for r in rows:
+        assert r.n_live > 0
+
+
+def test_retraction_drops_emptied_group(spark):
+    """A group whose every base row is retracted and that receives no
+    inserts must vanish from the maintained view -- the Z-set zero-
+    multiplicity contract, exercised on a synthetic frame through the
+    same Abelian-state merge the query uses."""
+    base = spark.createDataFrame(
+        [("A", 100), ("A", 50), ("B", 10)], ["g", "cents"]
+    )
+    base_mv = base.groupBy("g").agg(
+        F.count("*").alias("n0"), F.sum("cents").alias("s0")
+    )
+    delta = spark.createDataFrame(
+        [("A", -1, 100), ("A", -1, 50), ("B", 1, 5)], ["g", "w", "cents"]
+    )
+    delta_mv = delta.groupBy("g").agg(
+        F.sum("w").alias("dn"),
+        F.sum(F.col("w") * F.col("cents")).alias("ds"),
+    )
+    z = F.lit(0).cast("bigint")
+    merged = (
+        base_mv.join(delta_mv, "g", "full_outer")
+        .select(
+            "g",
+            (F.coalesce("n0", z) + F.coalesce("dn", z)).alias("n_live"),
+            (F.coalesce("s0", z) + F.coalesce("ds", z)).alias("cents"),
+        )
+        .filter(F.col("n_live") > 0)
+    )
+    rows = {r.g: (r.n_live, r.cents) for r in merged.collect()}
+    assert rows == {"B": (2, 15)}
+
+
+# ---------------------------------------------------------------------------
+# join_size_estimate: histogram reconciliation + exactness of the witness
+# ---------------------------------------------------------------------------
+def test_join_size_estimate_reconciles(spark):
+    li = _pdf(spark, "lineitem", ["l_partkey"])
+    counts = (
+        li.groupby("l_partkey")
+        .size()
+        .reset_index(name="n")
+        .sort_values(["n", "l_partkey"], ascending=[False, True])
+    )
+    row = _run(spark, "join_size_estimate").collect()[0]
+    assert row.exact_size == int((counts.n**2).sum())
+    assert row.n_heavy == min(64, len(counts))
+    assert row.rest_rows == int(counts.n.sum()) - int(
+        counts.head(64).n.sum()
+    )
+    assert row.rest_distinct == len(counts) - row.n_heavy
+    hsum = int((counts.head(64).n ** 2).sum())
+    rtot, rd = row.rest_rows, row.rest_distinct
+    assert row.est_size == hsum + (rtot * rtot // rd if rd else 0)
+
+
+# ---------------------------------------------------------------------------
+# events_markov_stationary: fixed-point iterate ~= float power iteration
+# ---------------------------------------------------------------------------
+def test_markov_stationary_close_to_float_iteration(spark):
+    e = _pdf(spark, "events", ["user_id", "ts", "event_id", "event_type"])
+    e = e.sort_values(["user_id", "ts", "event_id"])
+    e["next"] = e.groupby("user_id")["event_type"].shift(-1)
+    t = e.dropna(subset=["next"]).groupby(["event_type", "next"]).size()
+    states = sorted({i for i, _ in t.index})
+    idx = {s: k for k, s in enumerate(states)}
+    P = np.zeros((len(states), len(states)))
+    for (i, j), cnt in t.items():
+        P[idx[i], idx[j]] = cnt
+    P = P / P.sum(axis=1, keepdims=True)
+    pi = np.full(len(states), 1.0 / len(states))
+    for _ in range(3):
+        pi = pi @ P
+    got = {
+        r.state: r.pi_scaled / 1e9
+        for r in _run(spark, "events_markov_stationary").collect()
+    }
+    assert set(got) == set(states)
+    for s in states:
+        # fixed-point floors lose < 1e-6 of mass per step
+        assert abs(got[s] - pi[idx[s]]) < 1e-5
+    assert 0.999 < sum(got.values()) <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# schema_evolution_union: era reconciliation
+# ---------------------------------------------------------------------------
+def test_schema_evolution_reconciles_eras(spark):
+    o = _pdf(spark, "orders")
+    o["cents"] = (o.o_totalprice * 100).round().astype("int64")
+    d = pd.to_datetime(o.o_orderdate)
+    legacy = d < pd.Timestamp("1997-01-01")
+    rows = _run(spark, "schema_evolution_union").collect()
+    total = sum(r.n_orders for r in rows)
+    assert total == len(o)
+    assert sum(r.legacy_rows for r in rows) == int(legacy.sum())
+    assert sum(r.revenue_cents for r in rows) == int(o.cents.sum())
+    unspec = {r.priority: r for r in rows}["UNSPECIFIED"]
+    assert unspec.n_orders == unspec.legacy_rows == int(legacy.sum())

@@ -1245,3 +1245,118 @@ def test_ks_drift_stream_matches_batch(spark, sf_dir, tmp_path_factory):
     replay_docs = docs.filter(F.col("doc_id") % 2 == 0)
     assert jobs.ks_drift_merge_step(spark, replay_docs, 0, counts_path) is False
     assert tuple(ks_readout(spark.read.parquet(counts_path)).collect()[0]) == tuple(want)
+
+
+def test_zset_mv_stream_matches_batch_query(spark, sf_dir, tmp_path_factory):
+    """The streaming Z-set merge over a changelog equivalent to the
+    batch query's staging (base inserts, post-cut inserts, then the
+    cancellation retractions) must render the exact mv_retraction_agg
+    result -- the DBSP add-deltas-equals-recompute property end to
+    end, across genuinely separate micro-batches."""
+    import __spark_entry__ as entrymod
+
+    base = tmp_path_factory.mktemp("zset_mv")
+    deltas_dir = str(base / "deltas")
+    mv_path = str(base / "mv")
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cut = F.lit("1998-01-01").cast("date")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    pre = o.filter(F.col("o_orderdate") < cut)
+    feed = [
+        pre.select(
+            F.col("o_orderpriority").alias("priority"),
+            F.lit(1).alias("w"),
+            cents.alias("cents"),
+        ),
+        o.filter(F.col("o_orderdate") >= cut).select(
+            F.col("o_orderpriority").alias("priority"),
+            F.lit(1).alias("w"),
+            cents.alias("cents"),
+        ),
+        pre.filter(F.col("o_orderkey") % 10 == 3).select(
+            F.col("o_orderpriority").alias("priority"),
+            F.lit(-1).alias("w"),
+            cents.alias("cents"),
+        ),
+    ]
+    for i, df in enumerate(feed):
+        df.select(
+            "priority", F.col("w").cast("int"), F.col("cents").cast("long")
+        ).coalesce(1).write.parquet(f"{deltas_dir}/seq={i}")
+
+    q = jobs.zset_mv_stream(
+        spark,
+        jobs.stream_weighted_deltas(spark, deltas_dir + "/seq=*",
+                                    max_files_per_trigger=1),
+        mv_path,
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r.priority: (r.n_live, r.revenue_cents, r.inserted_rows,
+                     r.retracted_rows)
+        for r in jobs.zset_mv_render(
+            spark.read.parquet(mv_path)
+        ).collect()
+    }
+    want = {
+        r.priority: (r.n_live, r.revenue_cents, r.inserted_rows,
+                     r.retracted_rows)
+        for r in entrymod.queries()["mv_retraction_agg"](
+            spark, sf_dir
+        ).collect()
+    }
+    base_n = {
+        r.priority: r.n
+        for r in pre.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for p in want:
+        wn, ws, wi, wr = want[p]
+        gn, gs, gi, gr = got[p]
+        # maintained multiplicities/sums/retractions identical; the
+        # stream's insert counter additionally covers the base load the
+        # batch query holds as a pre-existing MV
+        assert (gn, gs, gr) == (wn, ws, wr)
+        assert gi == wi + base_n[p]
+    assert got, "degenerate fixture: no groups"
+
+
+def test_zset_mv_merge_step_replay_and_revival(spark, tmp_path_factory):
+    """Replayed batch ids are no-ops; a group retracted to zero leaves
+    the rendered view but revives with fresh counters intact when new
+    inserts arrive."""
+    base = tmp_path_factory.mktemp("zset_step")
+    mv = str(base / "mv")
+    b0 = spark.createDataFrame(
+        [("A", 1, 100), ("A", 1, 50), ("B", 1, 10)],
+        ["priority", "w", "cents"],
+    )
+    assert jobs.zset_mv_merge_step(spark, b0, 0, mv)
+    # retract everything in A
+    b1 = spark.createDataFrame(
+        [("A", -1, 100), ("A", -1, 50)], ["priority", "w", "cents"]
+    )
+    assert jobs.zset_mv_merge_step(spark, b1, 1, mv)
+    assert not jobs.zset_mv_merge_step(spark, b1, 1, mv)  # replay no-op
+    rendered = {
+        r.priority for r in jobs.zset_mv_render(
+            spark.read.parquet(mv)
+        ).collect()
+    }
+    assert rendered == {"B"}  # A vanished from the readout
+    # state keeps A's audit counters for revival
+    a = [r for r in spark.read.parquet(mv).collect() if r.priority == "A"][0]
+    assert (a.n_live, a.revenue_cents) == (0, 0)
+    assert (a.inserted_rows, a.retracted_rows) == (2, 2)
+    b2 = spark.createDataFrame([("A", 1, 7)], ["priority", "w", "cents"])
+    assert jobs.zset_mv_merge_step(spark, b2, 2, mv)
+    a2 = [
+        r for r in jobs.zset_mv_render(spark.read.parquet(mv)).collect()
+        if r.priority == "A"
+    ][0]
+    assert (a2.n_live, a2.revenue_cents, a2.inserted_rows,
+            a2.retracted_rows) == (1, 7, 3, 2)
