@@ -107,7 +107,8 @@ _PRIORITY: tuple[str, ...] = (
     # Markov fixed-point, schema drift)
     "supplier_part_kinds", "promotable_suppliers", "mv_retraction_agg",
     "join_size_estimate", "events_markov_stationary",
-    "schema_evolution_union",
+    "schema_evolution_union", "topk_certified", "theil_sen_trend",
+    "text_collocations_pmi",
 )
 
 

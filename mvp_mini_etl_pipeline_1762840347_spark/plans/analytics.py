@@ -2490,3 +2490,144 @@ def orders_running_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("price_cents") > F.col("pm"))
         .select("o_orderkey", "o_orderdate", "price_cents")
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend: aggregate to a bounded series, then exact stats
+# ---------------------------------------------------------------------------
+@query(
+    "theil_sen_trend",
+    oracle="""
+    WITH monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS mo,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    idx AS (
+      SELECT cents, ROW_NUMBER() OVER (ORDER BY mo) - 1 AS t FROM monthly
+    ),
+    pairs AS (
+      SELECT a.t AS t1, b.t AS t2, b.cents - a.cents AS dy, b.t - a.t AS dx
+      FROM idx a JOIN idx b ON b.t > a.t
+    ),
+    ranked AS (
+      SELECT dy, dx, t1, t2,
+             ROW_NUMBER() OVER (ORDER BY dy / CAST(dx AS DOUBLE), t1, t2)
+               AS rn,
+             count(*) OVER () AS cnt
+      FROM pairs
+    ),
+    med AS (
+      SELECT dy AS med_dy, dx AS med_dx, cnt
+      FROM ranked WHERE rn = (cnt + 1) // 2
+    ),
+    resid AS (
+      SELECT i.cents - (m.med_dy * i.t) // m.med_dx AS r, i.t
+      FROM idx i, med m
+    ),
+    rr AS (
+      SELECT r, ROW_NUMBER() OVER (ORDER BY r, t) AS rn,
+             count(*) OVER () AS cnt
+      FROM resid
+    )
+    SELECT CAST((SELECT count(*) FROM idx) AS BIGINT) AS n_months,
+           CAST(m.cnt AS BIGINT) AS n_pairs,
+           m.med_dy, CAST(m.med_dx AS BIGINT) AS med_dx,
+           round(m.med_dy / CAST(m.med_dx AS DOUBLE) / 100.0, 4)
+             AS slope_per_month,
+           CAST((SELECT r FROM rr WHERE rn = (cnt + 1) // 2) AS BIGINT)
+             AS intercept_cents
+    FROM med m
+    """,
+)
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust revenue trend: the Theil-Sen estimator (median of all
+    pairwise slopes, then median residual as intercept) over the
+    monthly revenue series -- the outlier-proof alternative to OLS
+    when a promo month or an ingestion gap would drag the
+    least-squares line.
+
+    This is the AGGREGATE-FIRST discipline for superlinear
+    statistics at 100 TB: the O(n^2) pairwise step never touches the
+    fact table -- orders reduce to one bounded series (months), and
+    all quadratic work runs on that ~80-row frame, where even a
+    broadcast self-join is trivial.  Every window below is over the
+    bounded series/pairs, never over fact-scale input.
+
+    Exactness across engines: slopes are ratios of BIGINTs ordered
+    by an identical IEEE double division (same integer inputs ->
+    same doubles, ties broken on the pair index), the LOWER median
+    is selected by rank (deterministic for even counts), and the
+    intercept uses floored-integer arithmetic on the selected
+    (dy, dx) -- the only float in the output is the display slope."""
+    from pyspark.sql.window import Window
+
+    o = read_table(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("mo"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    idx = monthly.select(
+        "cents",
+        (F.row_number().over(Window.orderBy("mo")) - 1).alias("t"),
+    ).localCheckpoint(eager=True)  # bounded series reused by 3 branches
+    a = idx.select(F.col("t").alias("t1"), F.col("cents").alias("c1"))
+    b = idx.select(F.col("t").alias("t2"), F.col("cents").alias("c2"))
+    pairs = a.join(F.broadcast(b), F.col("t2") > F.col("t1")).select(
+        "t1",
+        "t2",
+        (F.col("c2") - F.col("c1")).alias("dy"),
+        (F.col("t2") - F.col("t1")).alias("dx"),
+    )
+    wslope = Window.orderBy(
+        F.col("dy") / F.col("dx").cast("double"), F.col("t1"), F.col("t2")
+    )
+    ranked = pairs.select(
+        "dy",
+        "dx",
+        F.row_number().over(wslope).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("cnt"),
+    )
+    med = ranked.filter(
+        F.col("rn") == F.expr("(cnt + 1) div 2")
+    ).select(
+        F.col("dy").alias("med_dy"),
+        F.col("dx").cast("bigint").alias("med_dx"),
+        F.col("cnt").cast("bigint").alias("n_pairs"),
+    )
+    resid = idx.join(F.broadcast(med)).select(
+        (
+            F.col("cents") - F.expr("(med_dy * t) div med_dx")
+        ).alias("r"),
+        "t",
+    )
+    wr = Window.orderBy("r", "t")
+    intercept = (
+        resid.select(
+            "r",
+            F.row_number().over(wr).alias("rn"),
+            F.count("*").over(Window.partitionBy()).alias("cnt"),
+        )
+        .filter(F.col("rn") == F.expr("(cnt + 1) div 2"))
+        .select(F.col("r").cast("bigint").alias("intercept_cents"))
+    )
+    n_months = idx.agg(F.count("*").cast("bigint").alias("n_months"))
+    return (
+        med.join(F.broadcast(n_months))
+        .join(F.broadcast(intercept))
+        .select(
+            "n_months",
+            "n_pairs",
+            "med_dy",
+            "med_dx",
+            F.round(
+                F.col("med_dy") / F.col("med_dx").cast("double") / 100.0, 4
+            ).alias("slope_per_month"),
+            "intercept_cents",
+        )
+    )

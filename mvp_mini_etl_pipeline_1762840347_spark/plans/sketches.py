@@ -1972,3 +1972,121 @@ def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 join_size_estimate.__doc__ = join_size_estimate.__doc__.format(h=_JSE_HEAVY)
+
+
+# ---------------------------------------------------------------------------
+# Certified distributed top-k: local candidates + threshold-algorithm bound
+# ---------------------------------------------------------------------------
+_TK_SLICES = 4
+_TK_LOCAL = 30
+_TK_K = 10
+
+
+@query(
+    "topk_certified",
+    oracle=rf"""
+    WITH words AS (
+      SELECT doc_id % {_TK_SLICES} AS slice,
+             unnest(string_split_regex(lower(text), '\s+')) AS w
+      FROM documents
+    ),
+    pc AS (SELECT slice, w, count(*) AS n FROM words WHERE w <> ''
+           GROUP BY 1, 2),
+    ranked AS (
+      SELECT slice, w, n,
+             ROW_NUMBER() OVER (PARTITION BY slice
+                                ORDER BY n DESC, w) AS rn
+      FROM pc
+    ),
+    local_top AS (SELECT slice, w, n FROM ranked WHERE rn <= {_TK_LOCAL}),
+    thresholds AS (
+      SELECT CAST(sum(tmin) AS BIGINT) AS bound FROM (
+        SELECT slice, min(n) AS tmin FROM local_top GROUP BY 1)
+    ),
+    cands AS (SELECT DISTINCT w FROM local_top),
+    cc AS (
+      SELECT pc.w, CAST(sum(pc.n) AS BIGINT) AS total
+      FROM pc JOIN cands USING (w) GROUP BY 1
+    ),
+    topk AS (
+      SELECT w, total, ROW_NUMBER() OVER (ORDER BY total DESC, w) AS rk
+      FROM cc
+    )
+    SELECT t.w AS word, t.total, CAST(t.rk AS BIGINT) AS rk, b.bound,
+           (SELECT min(total) FROM topk WHERE rk <= {_TK_K}) >= b.bound
+             AS certified
+    FROM topk t, thresholds b WHERE t.rk <= {_TK_K}
+    """,
+)
+def topk_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed top-{k} word frequencies WITH A PROOF: each of
+    {s} corpus slices (stand-ins for partitions/days) contributes
+    only its local top-{m}, and the threshold-algorithm bound
+    (Fagin/TA) certifies the merged answer -- any word absent from
+    slice i's local list has count_i <= that slice's {m}-th local
+    count, so its global count is at most the sum of the per-slice
+    thresholds; when the k-th candidate's exact total clears that
+    bound, NO unseen word can displace the top-{k}, and the result is
+    certified exact without ever shipping full per-slice frequency
+    tables.  The certificate rides along as a column; on a
+    heavy-tailed (Zipfian) column it certifies at tiny {m}, which is
+    exactly why coordinators fetch local top lists first at 100 TB.
+
+    Plan shape: one explode + per-(slice, word) count (the only
+    data-scale shuffle); local tops via a per-slice rank window the
+    optimizer executes as WindowGroupLimit (each map task keeps {m}
+    rows per slice before the exchange); the candidate set is bounded
+    by {s} x {m} rows, so the exact-total join broadcasts it and the
+    final ranking windows over a bounded frame.  Counts stay BIGINT
+    end to end."""
+    from pyspark.sql.window import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    words = docs.select(
+        (F.col("doc_id") % _TK_SLICES).alias("slice"),
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    # ONE corpus pass: the (slice, word) count table is vocabulary-
+    # bounded, so it is checkpointed and every downstream branch
+    # (local tops, thresholds, exact candidate totals) reuses it --
+    # the exact-total pass must NOT re-derive the explode+count.
+    pc = words.groupBy("slice", "w").agg(
+        F.count("*").alias("n")
+    ).localCheckpoint(eager=True)
+    wloc = Window.partitionBy("slice").orderBy(F.col("n").desc(), F.col("w"))
+    local_top = (
+        pc.withColumn("rn", F.row_number().over(wloc))
+        .filter(F.col("rn") <= _TK_LOCAL)
+        .drop("rn")
+    )
+    bound = local_top.groupBy("slice").agg(F.min("n").alias("tmin")).agg(
+        F.sum("tmin").cast("bigint").alias("bound")
+    )
+    cands = local_top.select("w").distinct()
+    cc = (
+        pc.join(F.broadcast(cands), "w")
+        .groupBy("w")
+        .agg(F.sum("n").cast("bigint").alias("total"))
+    )
+    wrank = Window.orderBy(F.col("total").desc(), F.col("w"))
+    topk = (
+        cc.withColumn("rk", F.row_number().over(wrank).cast("bigint"))
+        .filter(F.col("rk") <= _TK_K)
+    )
+    kth = topk.agg(F.min("total").alias("kth_total"))
+    return (
+        topk.join(F.broadcast(bound))
+        .join(F.broadcast(kth))
+        .select(
+            F.col("w").alias("word"),
+            "total",
+            "rk",
+            "bound",
+            (F.col("kth_total") >= F.col("bound")).alias("certified"),
+        )
+    )
+
+
+topk_certified.__doc__ = topk_certified.__doc__.format(
+    k=_TK_K, s=_TK_SLICES, m=_TK_LOCAL
+)

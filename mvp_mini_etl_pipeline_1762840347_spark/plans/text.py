@@ -1564,3 +1564,106 @@ def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") * 1.0 / F.sum("n").over(w), 4).alias("row_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Collocation mining: integer-lift PMI ranking of adjacent word pairs
+# ---------------------------------------------------------------------------
+_PMI_MIN = 10
+_PMI_TOP = 20
+_PMI_SCALE = 1_000_000
+
+
+@query(
+    "text_collocations_pmi",
+    oracle=rf"""
+    WITH t AS (
+      SELECT string_split_regex(lower(text), '\s+') AS toks FROM documents
+    ),
+    big AS (
+      SELECT unnest(list_transform(range(1, len(toks)),
+                    i -> {{'w1': toks[i], 'w2': toks[i+1]}})) AS bg
+      FROM t WHERE len(toks) >= 2
+    ),
+    c12 AS (SELECT bg.w1 AS w1, bg.w2 AS w2, count(*) AS n12
+            FROM big GROUP BY 1, 2),
+    lm AS (SELECT w1 AS w, CAST(sum(n12) AS BIGINT) AS n FROM c12
+           GROUP BY 1),
+    rm AS (SELECT w2 AS w, CAST(sum(n12) AS BIGINT) AS n FROM c12
+           GROUP BY 1),
+    tot AS (SELECT CAST(sum(n12) AS BIGINT) AS big_n FROM c12),
+    scored AS (
+      SELECT c12.w1, c12.w2, c12.n12, a.n AS n1, b.n AS n2,
+             (c12.n12 * t.big_n * {_PMI_SCALE}) // (a.n * b.n) AS lift_ppm
+      FROM c12 JOIN lm a ON c12.w1 = a.w
+               JOIN rm b ON c12.w2 = b.w
+               CROSS JOIN tot t
+      WHERE c12.n12 >= {_PMI_MIN}
+    )
+    SELECT w1, w2, n12, n1, n2, lift_ppm
+    FROM scored ORDER BY lift_ppm DESC, w1, w2 LIMIT {_PMI_TOP}
+    """,
+)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{top} collocations: adjacent word pairs ranked by
+    pointwise-mutual-information LIFT -- P(w1,w2) / (P(w1) P(w2)),
+    the multiword-expression miner behind tokenizer-merge candidates
+    and phrase vocabularies.  A minimum pair count of {mn} suppresses
+    the small-sample PMI explosion (hapax pairs otherwise always
+    win).
+
+    Scale shape: ONE corpus pass -- the bigram count table is the
+    only data-scale aggregation, and the slot marginals P(w in left
+    position) / P(w in right position), the grand total, and the
+    score join all derive from that vocabulary-bounded table (the
+    standard bigram-joint PMI estimate); the 1-row total broadcasts.
+    Ranking is integer-exact
+    cross-engine: lift is carried as floor(n12 * N * {sc} /
+    (n1 * n2)) in BIGINT -- a monotone transform of PMI, so the
+    ordering is the PMI ordering with no float anywhere -- and the
+    top-{top} cutoff tie-breaks on the words."""
+    d = _docs(spark, sf_dir)
+    toks_arr = d.select(_toks(F.col("text")).alias("toks"))
+    toks = F.col("toks")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("w1"),
+            F.element_at(toks, i + 1).alias("w2"),
+        ),
+    )
+    c12 = (
+        toks_arr.filter(F.size(toks) >= 2)
+        .select(F.explode(bigrams).alias("bg"))
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n12"))
+        .localCheckpoint(eager=True)  # bounded by vocab^2-observed;
+        # marginals, total and scoring all reuse it -- ONE corpus pass
+    )
+    a = c12.groupBy(F.col("w1")).agg(
+        F.sum("n12").cast("bigint").alias("n1")
+    )
+    b = c12.groupBy(F.col("w2")).agg(
+        F.sum("n12").cast("bigint").alias("n2")
+    )
+    tot = c12.agg(F.sum("n12").cast("bigint").alias("big_n"))
+    scored = (
+        c12.filter(F.col("n12") >= _PMI_MIN)
+        .join(a, "w1")
+        .join(b, "w2")
+        .join(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "n12",
+            "n1",
+            "n2",
+            F.expr(f"(n12 * big_n * {_PMI_SCALE}) div (n1 * n2)").alias(
+                "lift_ppm"
+            ),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift_ppm").desc(), "w1", "w2"
+    ).limit(_PMI_TOP)

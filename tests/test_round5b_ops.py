@@ -211,3 +211,101 @@ def test_schema_evolution_reconciles_eras(spark):
     assert sum(r.revenue_cents for r in rows) == int(o.cents.sum())
     unspec = {r.priority: r for r in rows}["UNSPECIFIED"]
     assert unspec.n_orders == unspec.legacy_rows == int(legacy.sum())
+
+
+# ---------------------------------------------------------------------------
+# topk_certified: TA-bound soundness vs direct global top-k
+# ---------------------------------------------------------------------------
+def test_topk_certified_sound_when_certified(spark):
+    import collections
+
+    docs = _pdf(spark, "documents", ["doc_id", "text"])
+    cnt = collections.Counter()
+    per_slice = collections.defaultdict(collections.Counter)
+    for _, r in docs.iterrows():
+        ws = [w for w in r.text.lower().split() if w]
+        cnt.update(ws)
+        per_slice[r.doc_id % 4].update(ws)
+    rows = sorted(
+        _run(spark, "topk_certified").collect(), key=lambda r: r.rk
+    )
+    # the bound is the sum of each slice's 30th-largest count
+    want_bound = sum(
+        sorted(c.values(), reverse=True)[29]
+        for c in per_slice.values()
+        if len(c) >= 30
+    )
+    assert rows[0].bound == want_bound
+    true_top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    if rows[0].certified:
+        assert [(r.word, r.total) for r in rows] == true_top
+    # counts of emitted candidates are always the exact global counts
+    for r in rows:
+        assert r.total == cnt[r.word]
+
+
+# ---------------------------------------------------------------------------
+# theil_sen_trend: numpy recompute of the lower-median slope
+# ---------------------------------------------------------------------------
+def test_theil_sen_matches_recompute(spark):
+    o = _pdf(spark, "orders", ["o_orderdate", "o_totalprice"])
+    o["mo"] = pd.to_datetime(o.o_orderdate).dt.to_period("M")
+    o["cents"] = (o.o_totalprice * 100).round().astype("int64")
+    series = (
+        o.groupby("mo")["cents"].sum().sort_index().reset_index(drop=True)
+    )
+    pairs = []
+    n = len(series)
+    for i in range(n):
+        for j in range(i + 1, n):
+            pairs.append((series[j] - series[i], j - i, i, j))
+    pairs.sort(key=lambda p: (p[0] / p[1], p[2], p[3]))
+    med_dy, med_dx, _, _ = pairs[(len(pairs) + 1) // 2 - 1]
+    row = _run(spark, "theil_sen_trend").collect()[0]
+    assert (row.n_months, row.n_pairs) == (n, len(pairs))
+    assert (row.med_dy, row.med_dx) == (med_dy, med_dx)
+    def trunc_div(a, b):  # SQL div truncates toward zero; Python // floors
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    resid = sorted(
+        (int(series[t]) - trunc_div(med_dy * t, med_dx), t)
+        for t in range(n)
+    )
+    assert row.intercept_cents == resid[(n + 1) // 2 - 1][0]
+
+
+# ---------------------------------------------------------------------------
+# text_collocations_pmi: pandas recompute of the integer-lift top list
+# ---------------------------------------------------------------------------
+def test_collocations_match_recompute(spark):
+    import collections
+
+    docs = _pdf(spark, "documents", ["text"])
+    big = collections.Counter()
+    for text in docs.text:
+        toks = text.lower().split()  # split() drops empties like the regex
+        big.update(zip(toks, toks[1:]))
+    lm = collections.Counter()
+    rm = collections.Counter()
+    for (w1, w2), c in big.items():
+        lm[w1] += c
+        rm[w2] += c
+    n_total = sum(big.values())
+    scored = [
+        (
+            (c * n_total * 1_000_000) // (lm[w1] * rm[w2]),
+            w1,
+            w2,
+            c,
+        )
+        for (w1, w2), c in big.items()
+        if c >= 10
+    ]
+    scored.sort(key=lambda s: (-s[0], s[1], s[2]))
+    want = [(w1, w2, c, lift) for lift, w1, w2, c in scored[:20]]
+    got = [
+        (r.w1, r.w2, r.n12, r.lift_ppm)
+        for r in _run(spark, "text_collocations_pmi").collect()
+    ]
+    assert got == want
