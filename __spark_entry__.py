@@ -108,7 +108,9 @@ _PRIORITY: tuple[str, ...] = (
     "supplier_part_kinds", "promotable_suppliers", "mv_retraction_agg",
     "join_size_estimate", "events_markov_stationary",
     "schema_evolution_union", "topk_certified", "theil_sen_trend",
-    "text_collocations_pmi",
+    "text_collocations_pmi", "sketch_kmv_intersect", "graph_kcore_peel",
+    "er_golden_record", "groupby_sampled_ci", "late_arriving_dim",
+    "events_watermark_audit",
 )
 
 

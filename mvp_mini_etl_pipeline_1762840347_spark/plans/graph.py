@@ -699,7 +699,7 @@ def _lpa_round_sql(prev: str, out: str) -> str:
 @query(
     "graph_communities_lpa",
     oracle=f"""
-    WITH e0 AS ({_COP_EDGES_SQL}),
+    WITH e0 AS MATERIALIZED ({_COP_EDGES_SQL}),
     e AS (
       SELECT pa AS src, pb AS dst FROM e0
       UNION ALL SELECT pb, pa FROM e0
@@ -762,4 +762,110 @@ def graph_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 graph_communities_lpa.__doc__ = graph_communities_lpa.__doc__.format(
     r=_LPA_ROUNDS
+)
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling: iterative degree-threshold pruning with per-round trace
+# ---------------------------------------------------------------------------
+_KCORE_K = 3
+_KCORE_ROUNDS = 3
+
+
+def _kcore_round_sql(prev: str, out: str) -> str:
+    return f"""
+    {out}_deg AS (
+      SELECT v, count(*) AS d FROM (
+        SELECT pa AS v FROM {prev} UNION ALL SELECT pb FROM {prev}
+      ) GROUP BY 1
+    ),
+    {out}_keep AS (SELECT v FROM {out}_deg WHERE d >= {_KCORE_K}),
+    {out} AS MATERIALIZED (
+      SELECT pa, pb FROM {prev}
+      WHERE pa IN (SELECT v FROM {out}_keep)
+        AND pb IN (SELECT v FROM {out}_keep)
+    )"""
+
+
+def _kcore_stats_sql(tbl: str, rnd: int) -> str:
+    return f"""
+    SELECT {rnd} AS round,
+           CAST((SELECT count(DISTINCT v) FROM (
+                   SELECT pa AS v FROM {tbl}
+                   UNION ALL SELECT pb FROM {tbl})) AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM {tbl}) AS BIGINT) AS n_edges"""
+
+
+@query(
+    "graph_kcore_peel",
+    oracle=f"""
+    WITH e0 AS MATERIALIZED ({_COP_EDGES_SQL}),
+    {_kcore_round_sql("e0", "e1")},
+    {_kcore_round_sql("e1", "e2")},
+    {_kcore_round_sql("e2", "e3")}
+    {_kcore_stats_sql("e0", 0)}
+    UNION ALL {_kcore_stats_sql("e1", 1)}
+    UNION ALL {_kcore_stats_sql("e2", 2)}
+    UNION ALL {_kcore_stats_sql("e3", 3)}
+    """,
+)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{k}-core decomposition by iterative peeling on the
+    co-purchase graph: each round drops every part whose remaining
+    degree is below {k}, plus the edges it carried, and the
+    (round, nodes, edges) trace is emitted -- the dense-substructure
+    extractor behind community seeding and spam/bot subgraph mining
+    (a node surviving all rounds has >= {k} neighbours INSIDE the
+    surviving set, a far stronger signal than raw degree).
+
+    Scale shape: each of the {r} fixed rounds is one degree
+    aggregation (explode endpoints -> count) plus two semi-joins of
+    the edge list against the kept-node set -- all shuffles keyed on
+    node id, cost proportional to the CURRENT edge set, which only
+    shrinks.  The edge list is localCheckpointed per round (the
+    iterative-loop lineage-truncation discipline of
+    connected_components / pagerank); the per-round stats are 1-row
+    aggregates unioned at the end, so the trace costs no extra pass
+    over the graph.  Fixed round count keeps the oracle statable as
+    unrolled CTEs; convergence-to-fixpoint is the same loop with the
+    repo's fused convergence probe."""
+    e = _cop_edges(spark, sf_dir).localCheckpoint(eager=True)
+    stats = []
+    cur = e
+    for rnd in range(_KCORE_ROUNDS + 1):
+        nodes = (
+            cur.select(
+                F.explode(F.array(F.col("pa"), F.col("pb"))).alias("v")
+            )
+            .agg(F.countDistinct("v").cast("bigint").alias("n_nodes"))
+        )
+        edges = cur.agg(F.count("*").cast("bigint").alias("n_edges"))
+        stats.append(
+            nodes.join(F.broadcast(edges)).select(
+                F.lit(rnd).alias("round"), "n_nodes", "n_edges"
+            )
+        )
+        if rnd == _KCORE_ROUNDS:
+            break
+        deg = (
+            cur.select(
+                F.explode(F.array(F.col("pa"), F.col("pb"))).alias("v")
+            )
+            .groupBy("v")
+            .agg(F.count("*").alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= _KCORE_K).select("v")
+        cur = (
+            cur.join(keep, cur.pa == keep.v, "left_semi")
+            .join(keep, cur.pb == keep.v, "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+graph_kcore_peel.__doc__ = graph_kcore_peel.__doc__.format(
+    k=_KCORE_K, r=_KCORE_ROUNDS
 )

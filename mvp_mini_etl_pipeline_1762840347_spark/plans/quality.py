@@ -1205,3 +1205,109 @@ def split_temporal_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
 split_temporal_embargo.__doc__ = split_temporal_embargo.__doc__.replace(
     "{days}", str(_EMB_DAYS)
 )
+
+
+# ---------------------------------------------------------------------------
+# Approximate query processing: sampled group-by with a CLT error bar
+# ---------------------------------------------------------------------------
+_AQP_MOD = 16  # 1/16 deterministic hash sample
+
+
+@query(
+    "groupby_sampled_ci",
+    oracle=f"""
+    WITH j AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+             {_bucket_sql("o.o_orderkey")} = 0 AS in_sample
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    s AS (
+      SELECT segment,
+             CAST(count(*) FILTER (WHERE in_sample) AS BIGINT) AS n_sample,
+             CAST(sum(cents) FILTER (WHERE in_sample) AS BIGINT) AS sum_s,
+             CAST(sum(cents * cents) FILTER (WHERE in_sample) AS BIGINT)
+               AS sumsq_s,
+             CAST(count(*) AS BIGINT) AS n_all,
+             CAST(sum(cents) AS BIGINT) AS sum_all
+      FROM j GROUP BY 1
+    )
+    SELECT segment, n_sample, n_all,
+           sum_s // n_sample AS est_avg_cents,
+           sum_all // n_all AS exact_avg_cents,
+           round(1.96 * sqrt((n_sample * CAST(sumsq_s AS DOUBLE)
+                              - CAST(sum_s AS DOUBLE) * sum_s)
+                             / (CAST(n_sample AS DOUBLE) * n_sample
+                                * (n_sample - 1))), 2) AS ci95_cents,
+           abs(sum_s // n_sample - sum_all // n_all) AS abs_err_cents
+    FROM s
+    """,
+)
+def groupby_sampled_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing with an HONEST error bar: per-
+    segment average order value estimated from a deterministic
+    1/{m} hash sample, with a CLT 95% half-width computed from the
+    sample's INTEGER sufficient statistics (n, sum, sum-of-squares in
+    cents) -- the BlinkDB-style contract where a dashboard trades a
+    bounded confidence interval for a {m}x smaller scan.  The exact
+    average rides along as the oracle-checked witness that the
+    estimate and its interval are computed correctly; a deployment
+    drops the exact columns and, with the table LAID OUT bucketed on
+    the same hash, prunes {m1} of {m} buckets at the SCAN, making the
+    speedup physical rather than post-filter.
+
+    Exactness discipline: the sample membership is the portable
+    md5-nibble bucket (same rows sampled on any engine or
+    partitioning -- rand()/TABLESAMPLE would be neither reproducible
+    nor cross-engine); estimates are floored-integer cents; the CI is
+    the only float, derived from three BIGINTs by identical IEEE
+    arithmetic in both engines.  One fact scan, broadcast dimension
+    join, one map-side-combinable aggregation carrying the FILTERed
+    sample states next to the full-pass witness."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        cents.alias("cents"),
+        (hash_bucket(F.col("o_orderkey")) == 0).alias("in_sample"),
+    )
+    samp = F.when(F.col("in_sample"), F.col("cents"))
+    s = j.groupBy("segment").agg(
+        F.count(samp).cast("bigint").alias("n_sample"),
+        F.sum(samp).cast("bigint").alias("sum_s"),
+        F.sum(
+            F.when(F.col("in_sample"), F.col("cents") * F.col("cents"))
+        )
+        .cast("bigint")
+        .alias("sumsq_s"),
+        F.count("*").cast("bigint").alias("n_all"),
+        F.sum("cents").cast("bigint").alias("sum_all"),
+    )
+    var_num = (
+        F.col("n_sample") * F.col("sumsq_s").cast("double")
+        - F.col("sum_s").cast("double") * F.col("sum_s")
+    )
+    var_den = (
+        F.col("n_sample").cast("double")
+        * F.col("n_sample")
+        * (F.col("n_sample") - 1)
+    )
+    return s.select(
+        "segment",
+        "n_sample",
+        "n_all",
+        F.expr("sum_s div n_sample").alias("est_avg_cents"),
+        F.expr("sum_all div n_all").alias("exact_avg_cents"),
+        F.round(1.96 * F.sqrt(var_num / var_den), 2).alias("ci95_cents"),
+        F.abs(
+            F.expr("sum_s div n_sample") - F.expr("sum_all div n_all")
+        ).alias("abs_err_cents"),
+    )
+
+
+groupby_sampled_ci.__doc__ = groupby_sampled_ci.__doc__.replace(
+    "{m}", str(_AQP_MOD)
+).replace("{m1}", str(_AQP_MOD - 1))

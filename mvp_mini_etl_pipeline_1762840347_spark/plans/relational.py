@@ -986,3 +986,128 @@ def sql_line_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_SQL_LINE_PRIORITY)
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution: multi-source survivorship into golden records
+# ---------------------------------------------------------------------------
+@query(
+    "er_golden_record",
+    oracle="""
+    WITH ent AS (
+      SELECT c_custkey AS ek, md5(CAST(c_custkey AS VARCHAR)) AS nm,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer
+    ),
+    recs AS (
+      SELECT nm AS name, bal_cents, 1 AS src FROM ent
+      UNION ALL
+      SELECT 'z' || substring(nm, 2), bal_cents, 2 FROM ent
+      WHERE ek % 3 = 0
+      UNION ALL
+      SELECT upper(substring(nm, 1, 1)) || substring(nm, 2),
+             bal_cents - 5000, 3 FROM ent WHERE ek % 5 = 0
+    ),
+    blocked AS (SELECT substring(name, 3, 12) AS blk, * FROM recs),
+    canon AS (
+      SELECT blk, min_by(name, src) AS golden_name,
+             min_by(bal_cents, src) AS golden_bal_cents,
+             CAST(count(*) AS BIGINT) AS n_records,
+             CAST(count(DISTINCT src) AS BIGINT) AS n_sources,
+             count(DISTINCT bal_cents) > 1 AS bal_conflict
+      FROM blocked GROUP BY blk
+    ),
+    dist AS (
+      SELECT b.blk,
+             CAST(max(levenshtein(b.name, c.golden_name)) AS BIGINT)
+               AS max_intra_dist
+      FROM blocked b JOIN canon c USING (blk) GROUP BY 1
+    )
+    SELECT c.blk AS cluster_key, c.golden_name, c.golden_bal_cents,
+           c.n_records, c.n_sources, c.bal_conflict, d.max_intra_dist
+    FROM canon c JOIN dist d USING (blk)
+    """,
+)
+def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end to end: three source systems feed dirty
+    variants of each customer record (a clean master, a feed with a
+    corrupted name head, a stale-balance feed with case drift --
+    staged deterministically from the customer table), and
+    SURVIVORSHIP merges each cluster into one golden record by source
+    priority: name and balance from the most-trusted source present,
+    conflict flags and an intra-cluster edit-distance radius riding
+    along for stewardship review.
+
+    Clustering here is by a collision-free BLOCKING key (a stable
+    substring untouched by either corruption); when blocks do not
+    cleanly partition -- overlapping or dirtier keys -- the
+    candidate-pair + connected-components path of
+    dedup_clusters/dedup_apply supplies the cluster ids and this
+    survivorship step is unchanged.  That split (cheap blocking when
+    evidence allows, graph clustering when it does not) is the
+    production MDM shape.
+
+    Scale: record generation is three narrow projections unioned
+    (zero shuffle); survivorship is one groupBy on the cluster key
+    with min_by/struct-min conflict resolution (no window, no sort);
+    the distance audit joins records back to their cluster's golden
+    row on the same key -- both sides hash-partition on blk, one
+    co-located shuffle each.  Balances stay integer cents."""
+    c = read_table(spark, sf_dir, "customer")
+    ent = c.select(
+        F.col("c_custkey").alias("ek"),
+        F.md5(F.col("c_custkey").cast("string")).alias("nm"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
+    )
+    src_a = ent.select("nm", "bal_cents").withColumn("src", F.lit(1)).select(
+        F.col("nm").alias("name"), "bal_cents", "src"
+    )
+    src_b = (
+        ent.filter(F.col("ek") % 3 == 0)
+        .select(
+            F.concat(F.lit("z"), F.expr("substring(nm, 2)")).alias("name"),
+            "bal_cents",
+            F.lit(2).alias("src"),
+        )
+    )
+    src_c = (
+        ent.filter(F.col("ek") % 5 == 0)
+        .select(
+            F.concat(
+                F.upper(F.substring("nm", 1, 1)), F.expr("substring(nm, 2)")
+            ).alias("name"),
+            (F.col("bal_cents") - 5000).alias("bal_cents"),
+            F.lit(3).alias("src"),
+        )
+    )
+    blocked = (
+        src_a.unionByName(src_b)
+        .unionByName(src_c)
+        .withColumn("blk", F.substring("name", 3, 12))
+        .localCheckpoint(eager=True)  # record feed reused by both passes
+    )
+    canon = blocked.groupBy("blk").agg(
+        F.min_by("name", "src").alias("golden_name"),
+        F.min_by("bal_cents", "src").alias("golden_bal_cents"),
+        F.count("*").cast("bigint").alias("n_records"),
+        F.countDistinct("src").cast("bigint").alias("n_sources"),
+        (F.countDistinct("bal_cents") > 1).alias("bal_conflict"),
+    )
+    dist = (
+        blocked.join(canon.select("blk", "golden_name"), "blk")
+        .groupBy("blk")
+        .agg(
+            F.max(F.levenshtein("name", "golden_name"))
+            .cast("bigint")
+            .alias("max_intra_dist")
+        )
+    )
+    return canon.join(dist, "blk").select(
+        F.col("blk").alias("cluster_key"),
+        "golden_name",
+        "golden_bal_cents",
+        "n_records",
+        "n_sources",
+        "bal_conflict",
+        "max_intra_dist",
+    )

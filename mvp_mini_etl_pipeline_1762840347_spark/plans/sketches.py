@@ -2090,3 +2090,140 @@ def topk_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
 topk_certified.__doc__ = topk_certified.__doc__.format(
     k=_TK_K, s=_TK_SLICES, m=_TK_LOCAL
 )
+
+
+# ---------------------------------------------------------------------------
+# KMV set algebra: Jaccard / intersection estimate from two bottom-k states
+# ---------------------------------------------------------------------------
+_KI_K = 256
+_KI_Y1, _KI_Y2 = 1996, 1997
+
+
+@query(
+    "sketch_kmv_intersect",
+    oracle=f"""
+    WITH keys AS (
+      SELECT o_custkey AS k,
+             bool_or(year(o_orderdate) = {_KI_Y1}) AS has_a,
+             bool_or(year(o_orderdate) = {_KI_Y2}) AS has_b
+      FROM orders WHERE year(o_orderdate) IN ({_KI_Y1}, {_KI_Y2})
+      GROUP BY 1
+    ),
+    hashed AS (
+      SELECT {_h60_sql("CAST(k AS VARCHAR)")} AS h, has_a, has_b FROM keys
+    ),
+    a_sig AS (SELECT h FROM hashed WHERE has_a ORDER BY h LIMIT {_KI_K}),
+    b_sig AS (SELECT h FROM hashed WHERE has_b ORDER BY h LIMIT {_KI_K}),
+    u_sig AS (
+      SELECT h FROM (
+        SELECT DISTINCT h FROM (SELECT h FROM a_sig
+                                UNION ALL SELECT h FROM b_sig)
+      ) ORDER BY h LIMIT {_KI_K}
+    ),
+    u_stats AS (SELECT max(h) AS kth, count(*) AS k FROM u_sig),
+    shared AS (
+      SELECT count(*) AS n_shared FROM u_sig
+      WHERE h IN (SELECT h FROM a_sig) AND h IN (SELECT h FROM b_sig)
+    ),
+    exact AS (
+      SELECT CAST(count(*) FILTER (WHERE has_a AND has_b) AS BIGINT)
+               AS exact_inter,
+             CAST(count(*) AS BIGINT) AS exact_union
+      FROM keys
+    ),
+    est AS (
+      SELECT u.k, u.kth, s.n_shared, e.exact_inter, e.exact_union,
+             CASE WHEN u.k < {_KI_K} THEN CAST(u.k AS DOUBLE)
+                  ELSE ({_KI_K} - 1)
+                       / (CAST(u.kth AS DOUBLE) / {_HASH_SPACE!r})
+             END AS union_est
+      FROM u_stats u, shared s, exact e
+    )
+    SELECT CAST(k AS BIGINT) AS k, n_shared, exact_inter, exact_union,
+           round(union_est, 2) AS union_est,
+           round(n_shared / CAST(k AS DOUBLE), 4) AS jaccard_est,
+           round(n_shared / CAST(k AS DOUBLE) * union_est, 2) AS inter_est
+    FROM est
+    """,
+)
+def sketch_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch INTERSECTION -- the other half of the mergeable-state
+    algebra (sketch_hll_merge does union): how many customers ordered
+    in BOTH {y1} and {y2}, estimated from two independently-built
+    bottom-{k} KMV states.  The classic trick: the union's bottom-{k}
+    is computable purely from the two signatures (union, keep {k}
+    smallest), the fraction of those hashes present in both
+    signatures estimates the Jaccard similarity, and Jaccard x
+    union-cardinality estimates the intersection -- so a deployment
+    that stores one 256-hash signature per slice answers any overlap
+    / audience-intersection question from state algebra alone, never
+    rescanning raw data.  Groups smaller than {k} degrade to exact
+    counts (full hash set retained), same guard as
+    sketch_kmv_by_group.
+
+    Exact intersection and union ride along as the oracle-checked
+    witness.  Plan shape: ONE orders scan (year-pruned) -> per-key
+    flag aggregation; the signatures are TakeOrdered bottom-{k}
+    selections (each map task keeps {k} rows before the exchange);
+    all set algebra then runs on <= {k}-row broadcast frames.  Hashes
+    stay BIGINT; the only floats are the final estimator ratios,
+    derived identically in both engines."""
+    o = read_table(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    keys = (
+        o.filter(yr.isin(_KI_Y1, _KI_Y2))
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(
+            F.max(F.when(yr == _KI_Y1, 1).otherwise(0)).alias("ia"),
+            F.max(F.when(yr == _KI_Y2, 1).otherwise(0)).alias("ib"),
+        )
+        .select(
+            _h60(F.col("k").cast("string")).alias("h"),
+            (F.col("ia") == 1).alias("has_a"),
+            (F.col("ib") == 1).alias("has_b"),
+        )
+        .localCheckpoint(eager=True)  # flagged key set reused 4x
+    )
+    a_sig = keys.filter("has_a").select("h").orderBy("h").limit(_KI_K)
+    b_sig = keys.filter("has_b").select("h").orderBy("h").limit(_KI_K)
+    u_sig = (
+        a_sig.unionByName(b_sig).distinct().orderBy("h").limit(_KI_K)
+    ).localCheckpoint(eager=True)
+    u_stats = u_sig.agg(
+        F.max("h").alias("kth"), F.count("*").cast("bigint").alias("k")
+    )
+    shared = (
+        u_sig.join(F.broadcast(a_sig), "h", "left_semi")
+        .join(F.broadcast(b_sig), "h", "left_semi")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    exact = keys.agg(
+        F.sum(F.when(F.col("has_a") & F.col("has_b"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("exact_inter"),
+        F.count("*").cast("bigint").alias("exact_union"),
+    )
+    union_est = F.when(
+        F.col("k") < _KI_K, F.col("k").cast("double")
+    ).otherwise(
+        F.lit(float(_KI_K - 1)) / (F.col("kth").cast("double") / F.lit(_HASH_SPACE))
+    )
+    jac = F.col("n_shared") / F.col("k").cast("double")
+    return (
+        u_stats.join(F.broadcast(shared))
+        .join(F.broadcast(exact))
+        .select(
+            "k",
+            "n_shared",
+            "exact_inter",
+            "exact_union",
+            F.round(union_est, 2).alias("union_est"),
+            F.round(jac, 4).alias("jaccard_est"),
+            F.round(jac * union_est, 2).alias("inter_est"),
+        )
+    )
+
+
+sketch_kmv_intersect.__doc__ = sketch_kmv_intersect.__doc__.format(
+    k=_KI_K, y1=_KI_Y1, y2=_KI_Y2
+)

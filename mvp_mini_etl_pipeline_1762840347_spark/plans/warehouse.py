@@ -1502,3 +1502,102 @@ def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 schema_evolution_union.__doc__ = schema_evolution_union.__doc__.replace(
     "{cut}", _SE_CUT
 )
+
+
+# ---------------------------------------------------------------------------
+# Late-arriving dimension: park-and-re-resolve without reprocessing facts
+# ---------------------------------------------------------------------------
+_LATE_MOD = 4  # suppliers with suppkey % _LATE_MOD == 0 land one load late
+
+
+@query(
+    "late_arriving_dim",
+    oracle=f"""
+    WITH enriched AS (
+      SELECT n.n_name AS nation,
+             s.s_suppkey % {_LATE_MOD} = 0 AS was_late,
+             CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                  AS BIGINT) AS cents
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+    )
+    SELECT nation,
+           CAST(count(*) FILTER (WHERE NOT was_late) AS BIGINT)
+             AS resolved_initial,
+           CAST(count(*) FILTER (WHERE was_late) AS BIGINT)
+             AS resolved_late,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM enriched GROUP BY 1
+    """,
+)
+def late_arriving_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATE-ARRIVING DIMENSION handling: some supplier master records
+    (staged deterministically: suppkey % {m} == 0) land one load
+    AFTER the facts that reference them.  The load must not stall and
+    must not reprocess the fact table when the dimension catches up:
+    pass 1 joins facts against the dimension rows already present and
+    PARKS the misses (left join, null dim side); pass 2 re-resolves
+    ONLY the parked rows against the late dimension delta.  The final
+    readout tags each fact by which pass resolved it, and the DuckDB
+    oracle computes the same result from a straightforward full join
+    -- the hash match witnesses the park-and-retry path loses and
+    duplicates nothing.
+
+    Scale shape: pass 1 is the normal broadcast-dimension fact scan;
+    the parked set is proportional to the MISSING dimension's facts
+    (a small fraction), so pass 2 touches a sliver, never the fact
+    table -- the exact property that makes late data cheap: cost
+    scales with lateness, not with history.  The parked frame is
+    localCheckpointed (it is read by pass 2 and the union; without it
+    the fact scan would re-derive per branch).  Integer cents
+    throughout."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    s = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    on_time = s.filter(F.col("s_suppkey") % _LATE_MOD != 0)
+    late = s.filter(F.col("s_suppkey") % _LATE_MOD == 0)
+    # pass 1: resolve against the dimension rows present at load time
+    p1 = li.join(
+        F.broadcast(on_time), li.l_suppkey == on_time.s_suppkey, "left"
+    )
+    resolved1 = p1.filter(F.col("s_suppkey").isNotNull()).select(
+        "s_nationkey", "cents", F.lit(False).alias("was_late")
+    )
+    parked = (
+        p1.filter(F.col("s_suppkey").isNull())
+        .select("l_suppkey", "cents")
+        .localCheckpoint(eager=True)
+    )
+    # pass 2: the late delta arrives; re-resolve only the parked rows
+    resolved2 = parked.join(
+        F.broadcast(late), parked.l_suppkey == late.s_suppkey
+    ).select("s_nationkey", "cents", F.lit(True).alias("was_late"))
+    return (
+        resolved1.unionByName(resolved2)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.when(~F.col("was_late"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("resolved_initial"),
+            F.sum(F.when(F.col("was_late"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("resolved_late"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+    )
+
+
+late_arriving_dim.__doc__ = late_arriving_dim.__doc__.replace(
+    "{m}", str(_LATE_MOD)
+)

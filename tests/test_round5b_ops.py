@@ -309,3 +309,180 @@ def test_collocations_match_recompute(spark):
         for r in _run(spark, "text_collocations_pmi").collect()
     ]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# sketch_kmv_intersect: exact witnesses + small-set degradation to exact
+# ---------------------------------------------------------------------------
+def test_kmv_intersect_witnesses_and_small_set_exactness(spark):
+    o = _pdf(spark, "orders", ["o_custkey", "o_orderdate"])
+    y = pd.to_datetime(o.o_orderdate).dt.year
+    a = set(o.loc[y == 1996, "o_custkey"])
+    b = set(o.loc[y == 1997, "o_custkey"])
+    row = _run(spark, "sketch_kmv_intersect").collect()[0]
+    assert row.exact_inter == len(a & b)
+    assert row.exact_union == len(a | b)
+    assert 0 <= row.jaccard_est <= 1
+    if row.k < 256:  # complete hash set retained -> estimator is exact
+        assert row.n_shared == len(a & b)
+        assert row.inter_est == float(len(a & b))
+        assert row.union_est == float(len(a | b))
+
+
+# ---------------------------------------------------------------------------
+# graph_kcore_peel: sequential peeling recompute
+# ---------------------------------------------------------------------------
+def test_kcore_peel_matches_sequential(spark):
+    import collections
+
+    li = _pdf(spark, "lineitem", ["l_orderkey", "l_partkey"])
+    per_order = li.drop_duplicates().groupby("l_orderkey")["l_partkey"]
+    pairs = collections.Counter()
+    for _, parts in per_order:
+        ps = sorted(set(parts))
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                pairs[(ps[i], ps[j])] += 1
+    edges = {e for e, c in pairs.items() if c >= 2}
+    trace = {}
+    for rnd in range(4):
+        nodes = {v for e in edges for v in e}
+        trace[rnd] = (len(nodes), len(edges))
+        deg = collections.Counter()
+        for a, b in edges:
+            deg[a] += 1
+            deg[b] += 1
+        keep = {v for v, d in deg.items() if d >= 3}
+        edges = {(a, b) for a, b in edges if a in keep and b in keep}
+    got = {
+        r.round: (r.n_nodes, r.n_edges)
+        for r in _run(spark, "graph_kcore_peel").collect()
+    }
+    assert got == trace
+    # peeling is monotone: nodes and edges never grow
+    for rnd in range(1, 4):
+        assert got[rnd][0] <= got[rnd - 1][0]
+        assert got[rnd][1] <= got[rnd - 1][1]
+
+
+# ---------------------------------------------------------------------------
+# er_golden_record: survivorship rules recompute
+# ---------------------------------------------------------------------------
+def test_er_golden_record_survivorship(spark):
+    import hashlib
+
+    c = _pdf(spark, "customer", ["c_custkey", "c_acctbal"])
+    recs = []
+    for r in c.itertuples():  # iterrows would upcast custkey to float
+        ck = int(r.c_custkey)
+        nm = hashlib.md5(str(ck).encode()).hexdigest()
+        cents = round(r.c_acctbal * 100)
+        recs.append((nm, cents, 1))
+        if ck % 3 == 0:
+            recs.append(("z" + nm[1:], cents, 2))
+        if ck % 5 == 0:
+            recs.append((nm[0].upper() + nm[1:], cents - 5000, 3))
+    by_blk = {}
+    for name, cents, src in recs:
+        by_blk.setdefault(name[2:14], []).append((src, name, cents))
+    rows = _run(spark, "er_golden_record").collect()
+    assert len(rows) == len(by_blk) == len(c)
+    for r in rows:
+        grp = sorted(by_blk[r.cluster_key])
+        assert r.golden_name == grp[0][1]       # most-trusted source wins
+        assert r.golden_bal_cents == grp[0][2]
+        assert r.n_records == len(grp)
+        assert r.n_sources == len({s for s, _, _ in grp})
+        assert r.bal_conflict == (len({b for _, _, b in grp}) > 1)
+        assert r.max_intra_dist <= 1            # corruption radius by design
+
+
+# ---------------------------------------------------------------------------
+# groupby_sampled_ci: estimator reconciliation + CI formula recompute
+# ---------------------------------------------------------------------------
+def test_sampled_ci_reconciles(spark):
+    import hashlib
+    import math
+
+    o = _pdf(spark, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    c = _pdf(spark, "customer", ["c_custkey", "c_mktsegment"])
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    j["cents"] = (j.o_totalprice * 100).round().astype("int64")
+    j["in_sample"] = [
+        hashlib.md5(str(int(k)).encode()).hexdigest()[0] == "0"
+        for k in j.o_orderkey
+    ]
+    rows = {r.segment: r for r in _run(spark, "groupby_sampled_ci").collect()}
+    for seg, g in j.groupby("c_mktsegment"):
+        s = g[g.in_sample]
+        r = rows[seg]
+        assert r.n_all == len(g)
+        assert r.n_sample == len(s)
+        assert r.exact_avg_cents == int(g.cents.sum()) // len(g)
+        assert r.est_avg_cents == int(s.cents.sum()) // len(s)
+        n, su, sq = len(s), int(s.cents.sum()), int((s.cents**2).sum())
+        ci = 1.96 * math.sqrt((n * float(sq) - float(su) * su)
+                              / (float(n) * n * (n - 1)))
+        assert abs(r.ci95_cents - round(ci, 2)) < 0.02
+        # the exact average this fixture produces falls inside the CI
+        assert abs(r.est_avg_cents - r.exact_avg_cents) <= 3 * ci
+
+
+# ---------------------------------------------------------------------------
+# late_arriving_dim: two-pass resolution loses and duplicates nothing
+# ---------------------------------------------------------------------------
+def test_late_arriving_dim_conserves_facts(spark):
+    li = _pdf(spark, "lineitem",
+              ["l_suppkey", "l_extendedprice", "l_discount"])
+    s = _pdf(spark, "supplier", ["s_suppkey", "s_nationkey"])
+    n = _pdf(spark, "nation", ["n_nationkey", "n_name"])
+    li["cents"] = (
+        np.floor(li.l_extendedprice * (1 - li.l_discount) * 100 + 0.5)
+        .astype("int64")  # HALF_UP like Spark/DuckDB round, not banker's
+    )
+    j = li.merge(s, left_on="l_suppkey", right_on="s_suppkey").merge(
+        n, left_on="s_nationkey", right_on="n_nationkey"
+    )
+    j["late"] = j.s_suppkey % 4 == 0
+    rows = {r.nation: r for r in _run(spark, "late_arriving_dim").collect()}
+    assert sum(r.resolved_initial + r.resolved_late
+               for r in rows.values()) == len(j)
+    for nat, g in j.groupby("n_name"):
+        r = rows[nat]
+        assert r.resolved_initial == int((~g.late).sum())
+        assert r.resolved_late == int(g.late.sum())
+        assert r.revenue_cents == int(g.cents.sum())
+
+
+# ---------------------------------------------------------------------------
+# events_watermark_audit: sequential replay recompute
+# ---------------------------------------------------------------------------
+def test_watermark_audit_matches_sequential_replay(spark):
+    e = _pdf(spark, "events", ["event_id", "ts"])
+    e["arrival"] = e.event_id * 2 + np.where(e.event_id % 7 == 0, 2001, 0)
+    e["tu"] = pd.to_datetime(e.ts).astype("int64") // 1000  # micros
+    e = e.sort_values("arrival")
+    hw = None
+    lates = []
+    for tu in e.tu:
+        lates.append(0 if hw is None or tu >= hw else (hw - tu) // 1_000_000)
+        hw = tu if hw is None else max(hw, tu)
+    import collections
+
+    def band(ls):
+        return (0 if ls == 0 else 1 if ls <= 3600 else 2 if ls <= 86400
+                else 3 if ls <= 259200 else 4)
+
+    want = collections.Counter(band(ls) for ls in lates)
+    want_max = collections.defaultdict(int)
+    for ls in lates:
+        want_max[band(ls)] = max(want_max[band(ls)], ls)
+    rows = sorted(_run(spark, "events_watermark_audit").collect(),
+                  key=lambda r: r.band)
+    assert {r.band: r.n_events for r in rows} == dict(want)
+    assert {r.band: r.max_late_s for r in rows} == dict(want_max)
+    assert rows[-1].cum_pct == 100.0
+    cum = 0
+    for r in rows:  # cumulative coverage is a proper CDF over bands
+        cum += r.n_events
+        assert r.cum_pct == round(100.0 * cum / len(e), 2)

@@ -185,3 +185,73 @@ def test_session_paths_consistent_with_sessionization(spark):
         assert r["avg_len"] >= 1.0
         # a path of k steps means sessions of exactly k events
         assert abs(r["avg_len"] - len(steps)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# DeltaLogTable: delta-sized commits, fold-on-read, checkpoint compaction
+# ---------------------------------------------------------------------------
+def test_delta_log_fold_equals_sequential_merges(spark, tmp_path_factory):
+    from mvp_mini_etl_pipeline_1762840347_spark.operators.table_format import (
+        DeltaLogTable,
+    )
+
+    root = str(tmp_path_factory.mktemp("dlt") / "t")
+    t = DeltaLogTable(spark, root, key="k")
+    t.append_delta(spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "v"]))
+    t.append_delta(spark.createDataFrame(
+        [(2, "B"), (4, "d")], ["k", "v"]))      # update 2, insert 4
+    t.append_delta(spark.createDataFrame(
+        [(1, "A"), (2, "B2")], ["k", "v"]))     # update 1 and 2 again
+    got = {(r.k, r.v) for r in t.read().collect()}
+    assert got == {(1, "A"), (2, "B2"), (3, "c"), (4, "d")}
+    assert t.fold_depth() == 3
+
+
+def test_delta_log_checkpoint_bounds_fold_and_preserves_view(
+    spark, tmp_path_factory
+):
+    from mvp_mini_etl_pipeline_1762840347_spark.operators.table_format import (
+        DeltaLogTable,
+    )
+
+    root = str(tmp_path_factory.mktemp("dlt2") / "t")
+    t = DeltaLogTable(spark, root, key="k")
+    for i in range(4):
+        t.append_delta(spark.createDataFrame(
+            [(i, f"v{i}"), (99, f"w{i}")], ["k", "v"]))
+    before = {(r.k, r.v) for r in t.read().collect()}
+    assert t.fold_depth() == 4
+    t.checkpoint()
+    assert t.fold_depth() == 1                 # reads fold checkpoint only
+    assert {(r.k, r.v) for r in t.read().collect()} == before
+    # key 99 resolved to the NEWEST delta, not any earlier one
+    assert ("99" not in {v for _, v in before}) and (99, "w3") in before
+    # further deltas fold on top of the checkpoint
+    t.append_delta(spark.createDataFrame([(0, "V0")], ["k", "v"]))
+    assert t.fold_depth() == 2
+    after = {(r.k, r.v) for r in t.read().collect()}
+    assert after == (before - {(0, "v0")}) | {(0, "V0")}
+
+
+def test_delta_log_ignores_unreferenced_directory(spark, tmp_path_factory):
+    """A crash between data write and log append leaves garbage, not a
+    torn table: directories without a log line never fold into reads."""
+    import os
+
+    from mvp_mini_etl_pipeline_1762840347_spark.operators.table_format import (
+        DeltaLogTable,
+    )
+
+    root = str(tmp_path_factory.mktemp("dlt3") / "t")
+    t = DeltaLogTable(spark, root, key="k")
+    t.append_delta(spark.createDataFrame([(1, "a")], ["k", "v"]))
+    # simulate the crash: delta parquet landed, log line never written
+    spark.createDataFrame([(1, "TORN")], ["k", "v"]).write.parquet(
+        os.path.join(root, "delta-1")
+    )
+    assert {(r.k, r.v) for r in t.read().collect()} == {(1, "a")}
+    # the next committed delta reuses a FRESH directory name without
+    # clobbering history semantics (overwrite of the orphan is fine)
+    t.append_delta(spark.createDataFrame([(2, "b")], ["k", "v"]))
+    assert {(r.k, r.v) for r in t.read().collect()} == {(1, "a"), (2, "b")}
