@@ -2631,3 +2631,122 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept_cents",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact median via 2-round histogram narrowing (distributed selection)
+# ---------------------------------------------------------------------------
+_SEL_BINS = 256
+
+
+@query(
+    "exact_median_2pass",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+      FROM lineitem
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST((count(*) + 1) // 2 AS BIGINT) AS target_rank
+          FROM v)
+    SELECT n.n_rows, n.target_rank,
+           (SELECT max(c) FROM (SELECT c FROM v ORDER BY c
+                                LIMIT (SELECT target_rank FROM n)))
+             AS median_cents
+    FROM n
+    """,
+)
+def exact_median_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT median of line revenue without a global sort: the
+    classic distributed selection algorithm -- two histogram-
+    narrowing rounds, then order statistics inside a sliver.  Round 1
+    bins all values into {b} equi-width buckets over [min, max] and
+    finds the bucket containing the target rank; round 2 re-bins ONLY
+    that bucket's 1/{b} of the data; the final bucket holds ~n/{b}^2
+    rows, where rank selection is trivial.  The DuckDB oracle states
+    the ground truth directly (the rank-th smallest value), so the
+    hash match proves the narrowing algorithm selects the exact
+    element -- not an approximation like the quantile sketch family.
+
+    Scale shape: each round is ONE map-side-combinable histogram
+    aggregation (a {b}-row result) -- the bucket choice, bounds, and
+    residual rank all stay in 1-row broadcast frames, so NO driver
+    round-trip parametrizes the next pass and no stage sorts more
+    than the twice-narrowed sliver (window over ~n/{b}^2 rows).  At
+    100 TB add a third round for another /{b}; the loop shape is
+    unchanged.  All arithmetic BIGINT."""
+    from pyspark.sql.window import Window
+
+    li = read_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("c")
+    ).localCheckpoint(eager=True)  # scanned once per round, not per branch
+
+    n = v.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.expr("(count(*) + 1) div 2").cast("bigint").alias("rank"),
+        F.min("c").alias("lo"),
+        F.max("c").alias("hi"),
+    )
+
+    def narrow(bounds: DataFrame) -> DataFrame:
+        """One histogram round: (lo, hi, rank) -> the sub-bucket
+        containing the rank, with the residual rank inside it."""
+        width = F.greatest(
+            F.expr(f"(hi - lo + {_SEL_BINS}) div {_SEL_BINS}"), F.lit(1)
+        )
+        binned = (
+            v.join(F.broadcast(bounds))
+            .filter((F.col("c") >= F.col("lo")) & (F.col("c") <= F.col("hi")))
+            .select(
+                F.expr(
+                    f"(c - lo) div (greatest((hi - lo + {_SEL_BINS}) "
+                    f"div {_SEL_BINS}, 1))"
+                ).alias("bin"),
+                "lo",
+                "hi",
+                "rank",
+                "n_rows",
+            )
+            .groupBy("bin", "lo", "hi", "rank", "n_rows")
+            .agg(F.count("*").alias("bn"))
+        )
+        wcum = Window.partitionBy("lo").orderBy("bin")  # <= bins rows
+        cum = binned.select(
+            "*",
+            (F.sum("bn").over(wcum) - F.col("bn")).alias("before"),
+        )
+        chosen = cum.filter(
+            (F.col("before") < F.col("rank"))
+            & (F.col("before") + F.col("bn") >= F.col("rank"))
+        )
+        w = F.greatest(
+            F.expr(f"(hi - lo + {_SEL_BINS}) div {_SEL_BINS}"), F.lit(1)
+        )
+        return chosen.select(
+            (F.col("lo") + F.col("bin") * w).alias("lo"),
+            F.least(
+                F.col("hi"), F.col("lo") + (F.col("bin") + 1) * w - 1
+            ).alias("hi"),
+            (F.col("rank") - F.col("before")).alias("rank"),
+            "n_rows",
+        )
+
+    b1 = narrow(n)
+    b2 = narrow(b1)
+    wsel = Window.partitionBy("lo").orderBy("c")  # ~n/bins^2 rows
+    final = (
+        v.join(F.broadcast(b2))
+        .filter((F.col("c") >= F.col("lo")) & (F.col("c") <= F.col("hi")))
+        .select("c", "rank", "n_rows", "lo",
+                F.row_number().over(wsel).alias("rn"))
+        .filter(F.col("rn") == F.col("rank"))
+    )
+    return final.select(
+        "n_rows",
+        F.expr("(n_rows + 1) div 2").alias("target_rank"),
+        F.col("c").alias("median_cents"),
+    )
+
+
+exact_median_2pass.__doc__ = exact_median_2pass.__doc__.format(b=_SEL_BINS)
