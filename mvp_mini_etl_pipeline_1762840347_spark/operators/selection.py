@@ -1,0 +1,120 @@
+"""Distributed order-statistic selection WITHOUT a global sort.
+
+``SELECT value ORDER BY value LIMIT 1 OFFSET rank-1`` -- the exact
+k-th smallest element -- is the primitive behind exact medians,
+trimmed means, winsor bounds, and percentile cut-offs.  The naive
+Spark forms are both scale-killers: a global ``orderBy`` shuffles and
+sorts the full table; an unpartitioned ``row_number()`` window moves
+it through ONE reducer.
+
+This operator runs the classic iterative histogram-narrowing
+selection instead (the median-of-histograms algorithm): each round
+bins the surviving value range into ``bins`` equi-width buckets with
+ONE map-side-combinable aggregation, locates the bucket containing
+the target rank from the <= ``bins``-row histogram, and recurses into
+it.  After ``rounds`` rounds the candidate range holds ~n/bins^rounds
+rows, where an ordinary partitioned window finishes the job.  All
+bucket bounds and residual ranks live in tiny broadcast frames -- the
+narrowing is data-flow, with NO driver round-trip between passes, so
+the whole selection is one lazily-composed DataFrame plan.
+
+Multiple ranks (e.g. the two trim points of a trimmed mean, or a
+whole percentile grid) resolve in the SAME passes: the bounds frame
+carries one row per query id and every histogram/window partitions by
+``qid``, so selecting 99 percentiles costs the same number of scans
+as selecting one.
+
+At 100 TB: each round scans the (shrinking) candidate set once with
+constant-size partial state; ``rounds=2`` with 256 bins narrows 10^12
+rows to ~10^7 -- add a third round for another /256 if the final
+window's partitions would not fit an executor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def rank_select(
+    v: DataFrame,
+    ranks: DataFrame,
+    rounds: int = 2,
+    bins: int = 256,
+) -> DataFrame:
+    """Return one row per rank query: ``(qid, value)`` where
+    ``value`` is the rank-th smallest ``c`` in ``v``.
+
+    ``v``: a DataFrame with a single BIGINT column ``c`` (integer
+    domain -- use cents / scaled integers for money).  The caller
+    should ``localCheckpoint`` it when it is derived from a scan, so
+    the per-round re-reads hit materialized blocks instead of
+    re-deriving the projection per branch.
+
+    ``ranks``: a tiny DataFrame ``(qid: string, rank: bigint)`` with
+    1-based ranks in ``[1, count(v)]``.  It is broadcast; one row per
+    independent selection.
+    """
+    width_expr = F.greatest(
+        F.expr(f"(hi - lo + {bins}) div {bins}"), F.lit(1)
+    )
+
+    # (qid, lo, hi, rank) -- the full value range per query.
+    bounds = (
+        v.agg(F.min("c").alias("lo"), F.max("c").alias("hi"))
+        .crossJoin(F.broadcast(ranks))
+        .select("qid", "lo", "hi", "rank")
+    )
+
+    for _ in range(rounds):
+        binned = (
+            v.join(
+                F.broadcast(bounds),
+                (F.col("c") >= F.col("lo")) & (F.col("c") <= F.col("hi")),
+            )
+            .select(
+                "qid",
+                "lo",
+                "hi",
+                "rank",
+                ((F.col("c") - F.col("lo")) / width_expr)
+                .cast("bigint")
+                .alias("bin"),
+            )
+            .groupBy("qid", "lo", "hi", "rank", "bin")
+            .agg(F.count("*").alias("bn"))
+        )
+        wcum = Window.partitionBy("qid").orderBy("bin")  # <= bins rows/qid
+        cum = binned.select(
+            "*", (F.sum("bn").over(wcum) - F.col("bn")).alias("before")
+        )
+        chosen = cum.filter(
+            (F.col("before") < F.col("rank"))
+            & (F.col("before") + F.col("bn") >= F.col("rank"))
+        )
+        bounds = chosen.select(
+            "qid",
+            (F.col("lo") + F.col("bin") * width_expr).alias("new_lo"),
+            F.least(
+                F.col("hi"), F.col("lo") + (F.col("bin") + 1) * width_expr - 1
+            ).alias("new_hi"),
+            (F.col("rank") - F.col("before")).alias("rank"),
+        ).select(
+            "qid",
+            F.col("new_lo").alias("lo"),
+            F.col("new_hi").alias("hi"),
+            "rank",
+        )
+
+    # Final pass: order statistics inside the ~n/bins^rounds sliver.
+    wsel = Window.partitionBy("qid").orderBy("c")
+    return (
+        v.join(
+            F.broadcast(bounds),
+            (F.col("c") >= F.col("lo")) & (F.col("c") <= F.col("hi")),
+        )
+        .select("qid", "c", "rank", F.row_number().over(wsel).alias("rn"))
+        .filter(F.col("rn") == F.col("rank"))
+        .select("qid", F.col("c").alias("value"))
+    )

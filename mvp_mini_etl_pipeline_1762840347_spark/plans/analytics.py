@@ -2674,8 +2674,11 @@ def exact_median_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trip parametrizes the next pass and no stage sorts more
     than the twice-narrowed sliver (window over ~n/{b}^2 rows).  At
     100 TB add a third round for another /{b}; the loop shape is
-    unchanged.  All arithmetic BIGINT."""
-    from pyspark.sql.window import Window
+    unchanged.  All arithmetic BIGINT.  Core:
+    operators/selection.py::rank_select (shared with
+    trimmed_mean_exact, which resolves TWO ranks in the same
+    passes)."""
+    from ..operators.selection import rank_select
 
     li = read_table(spark, sf_dir, "lineitem")
     v = li.select(
@@ -2684,69 +2687,138 @@ def exact_median_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n = v.agg(
         F.count("*").cast("bigint").alias("n_rows"),
-        F.expr("(count(*) + 1) div 2").cast("bigint").alias("rank"),
-        F.min("c").alias("lo"),
-        F.max("c").alias("hi"),
+        F.expr("(count(*) + 1) div 2").cast("bigint").alias("target_rank"),
     )
-
-    def narrow(bounds: DataFrame) -> DataFrame:
-        """One histogram round: (lo, hi, rank) -> the sub-bucket
-        containing the rank, with the residual rank inside it."""
-        width = F.greatest(
-            F.expr(f"(hi - lo + {_SEL_BINS}) div {_SEL_BINS}"), F.lit(1)
-        )
-        binned = (
-            v.join(F.broadcast(bounds))
-            .filter((F.col("c") >= F.col("lo")) & (F.col("c") <= F.col("hi")))
-            .select(
-                F.expr(
-                    f"(c - lo) div (greatest((hi - lo + {_SEL_BINS}) "
-                    f"div {_SEL_BINS}, 1))"
-                ).alias("bin"),
-                "lo",
-                "hi",
-                "rank",
-                "n_rows",
-            )
-            .groupBy("bin", "lo", "hi", "rank", "n_rows")
-            .agg(F.count("*").alias("bn"))
-        )
-        wcum = Window.partitionBy("lo").orderBy("bin")  # <= bins rows
-        cum = binned.select(
-            "*",
-            (F.sum("bn").over(wcum) - F.col("bn")).alias("before"),
-        )
-        chosen = cum.filter(
-            (F.col("before") < F.col("rank"))
-            & (F.col("before") + F.col("bn") >= F.col("rank"))
-        )
-        w = F.greatest(
-            F.expr(f"(hi - lo + {_SEL_BINS}) div {_SEL_BINS}"), F.lit(1)
-        )
-        return chosen.select(
-            (F.col("lo") + F.col("bin") * w).alias("lo"),
-            F.least(
-                F.col("hi"), F.col("lo") + (F.col("bin") + 1) * w - 1
-            ).alias("hi"),
-            (F.col("rank") - F.col("before")).alias("rank"),
-            "n_rows",
-        )
-
-    b1 = narrow(n)
-    b2 = narrow(b1)
-    wsel = Window.partitionBy("lo").orderBy("c")  # ~n/bins^2 rows
-    final = (
-        v.join(F.broadcast(b2))
-        .filter((F.col("c") >= F.col("lo")) & (F.col("c") <= F.col("hi")))
-        .select("c", "rank", "n_rows", "lo",
-                F.row_number().over(wsel).alias("rn"))
-        .filter(F.col("rn") == F.col("rank"))
+    ranks = n.select(
+        F.lit("median").alias("qid"), F.col("target_rank").alias("rank")
     )
-    return final.select(
-        "n_rows",
-        F.expr("(n_rows + 1) div 2").alias("target_rank"),
-        F.col("c").alias("median_cents"),
+    sel = rank_select(v, ranks, rounds=2, bins=_SEL_BINS)
+    return n.crossJoin(
+        F.broadcast(sel.select(F.col("value").alias("median_cents")))
     )
 
 
 exact_median_2pass.__doc__ = exact_median_2pass.__doc__.format(b=_SEL_BINS)
+
+
+_TRIM_PCT = 10  # drop the lowest and highest 10% of rows
+
+
+@query(
+    "trimmed_mean_exact",
+    oracle=f"""
+    WITH v AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+      FROM lineitem
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(count(*) * {_TRIM_PCT} // 100 AS BIGINT) AS k_trim
+          FROM v),
+    kept AS (
+      SELECT c FROM v ORDER BY c
+      LIMIT (SELECT n_rows - 2 * k_trim FROM n)
+      OFFSET (SELECT k_trim FROM n)
+    )
+    SELECT (SELECT n_rows FROM n) AS n_rows,
+           (SELECT k_trim FROM n) AS k_trim,
+           CAST(count(*) AS BIGINT) AS kept_rows,
+           CAST(sum(c) AS BIGINT) AS kept_cents,
+           round(CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) / count(*), 4)
+             AS trimmed_mean_cents
+    FROM kept
+    """,
+)
+def trimmed_mean_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT {p}%-trimmed mean of line revenue -- the robust location
+    estimate that drops exactly the k lowest and k highest ROWS
+    (k = {p}% of n) before averaging, the textbook definition rather
+    than a value-threshold approximation.  The oracle states the
+    ground truth as ORDER BY / LIMIT / OFFSET, so the hash match
+    proves the distributed form reproduces row-exact trimming,
+    including tie handling at both cut points.
+
+    Both trim ranks resolve in the SAME two histogram-narrowing
+    passes (operators/selection.py::rank_select with a 2-row rank
+    frame partitioned by qid) -- selecting the second order statistic
+    is free.  The final pass is one conditional aggregation against
+    the broadcast cut values; ties AT the cut values are kept by rank
+    arithmetic (count(c <= lo_val) - k copies of lo_val, and
+    symmetrically at the top), not by a lossy value filter.  Every
+    quantity up to the final division is BIGINT-exact, so the one
+    emitted float divides identical integers in both engines.
+    Assumes lo_val < hi_val (holds whenever the trimmed range spans
+    more than one distinct value; a degenerate all-equal corpus would
+    double-count the shared cut value)."""
+    from ..operators.selection import rank_select
+
+    li = read_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("c")
+    ).localCheckpoint(eager=True)
+
+    st = v.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.expr(f"count(*) * {_TRIM_PCT} div 100").cast("bigint").alias("k_trim"),
+    )
+    ranks = st.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("lo").alias("qid"),
+                    (F.col("k_trim") + 1).alias("rank"),
+                ),
+                F.struct(
+                    F.lit("hi").alias("qid"),
+                    (F.col("n_rows") - F.col("k_trim")).alias("rank"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.qid", "r.rank")
+
+    cuts = (
+        rank_select(v, ranks, rounds=2, bins=_SEL_BINS)
+        .agg(
+            F.max(F.when(F.col("qid") == "lo", F.col("value"))).alias("lo_val"),
+            F.max(F.when(F.col("qid") == "hi", F.col("value"))).alias("hi_val"),
+        )
+        .crossJoin(F.broadcast(st))
+    )
+
+    agg = (
+        v.crossJoin(F.broadcast(cuts))
+        .groupBy("lo_val", "hi_val", "n_rows", "k_trim")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("c") > F.col("lo_val"))
+                    & (F.col("c") < F.col("hi_val")),
+                    F.col("c"),
+                ).otherwise(F.lit(0))
+            ).cast("bigint").alias("strict_sum"),
+            F.sum(
+                F.when(F.col("c") <= F.col("lo_val"), 1).otherwise(0)
+            ).cast("bigint").alias("cnt_le_lo"),
+            F.sum(
+                F.when(F.col("c") < F.col("hi_val"), 1).otherwise(0)
+            ).cast("bigint").alias("cnt_lt_hi"),
+        )
+    )
+    kept_cents = (
+        F.col("strict_sum")
+        + F.col("lo_val") * (F.col("cnt_le_lo") - F.col("k_trim"))
+        + F.col("hi_val")
+        * (F.col("n_rows") - F.col("k_trim") - F.col("cnt_lt_hi"))
+    )
+    kept_rows = F.col("n_rows") - 2 * F.col("k_trim")
+    return agg.select(
+        "n_rows",
+        "k_trim",
+        kept_rows.cast("bigint").alias("kept_rows"),
+        kept_cents.cast("bigint").alias("kept_cents"),
+        F.round(
+            kept_cents.cast("double") / kept_rows.cast("double"), 4
+        ).alias("trimmed_mean_cents"),
+    )
+
+
+trimmed_mean_exact.__doc__ = trimmed_mean_exact.__doc__.format(p=_TRIM_PCT)

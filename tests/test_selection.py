@@ -1,0 +1,101 @@
+"""Order-statistic selection invariants: the histogram-narrowing
+operator (operators/selection.py) against brute-force sorts,
+including the cases the sf-data oracle never exercises -- heavy ties
+at the cut points, multi-rank frames, extra narrowing rounds, and
+degenerate bin widths."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+import __spark_entry__ as entrymod
+from mvp_mini_etl_pipeline_1762840347_spark.operators.selection import (
+    rank_select,
+)
+
+SF = "/root/testdata/sf0.001"
+
+_V_SCHEMA = StructType([StructField("c", LongType())])
+_R_SCHEMA = StructType(
+    [StructField("qid", StringType()), StructField("rank", LongType())]
+)
+
+
+def _select(spark, values, ranks, **kw):
+    v = spark.createDataFrame([(int(x),) for x in values], _V_SCHEMA)
+    r = spark.createDataFrame(
+        [(q, int(k)) for q, k in ranks], _R_SCHEMA
+    )
+    out = rank_select(v, r, **kw).collect()
+    return {row["qid"]: row["value"] for row in out}
+
+
+def test_rank_select_matches_sort_with_ties(spark):
+    rng = np.random.RandomState(7)
+    values = rng.randint(-50, 50, size=400)  # dense duplicates
+    s = np.sort(values)
+    ranks = [("q1", 1), ("q2", 17), ("q3", 200), ("q4", 399), ("q5", 400)]
+    got = _select(spark, values, ranks)
+    assert got == {q: int(s[k - 1]) for q, k in ranks}
+
+
+def test_rank_select_extra_rounds_and_tiny_bins(spark):
+    """rounds=3 with bins=4 forces real multi-round narrowing (each
+    round resolves only 2 bits of the range); result identical."""
+    rng = np.random.RandomState(11)
+    values = rng.randint(0, 10_000, size=1000)
+    s = np.sort(values)
+    ranks = [("med", 500), ("p90", 900)]
+    got = _select(spark, values, ranks, rounds=3, bins=4)
+    assert got == {q: int(s[k - 1]) for q, k in ranks}
+
+
+def test_rank_select_constant_column(spark):
+    """All-equal input: every bucket width clamps to 1 and any rank
+    selects the single value."""
+    got = _select(spark, [42] * 50, [("a", 1), ("b", 25), ("c", 50)])
+    assert got == {"a": 42, "b": 42, "c": 42}
+
+
+def test_trimmed_mean_matches_row_exact_numpy(spark):
+    """trimmed_mean_exact == numpy row-exact trimming at sf0.001
+    (the tie arithmetic reproduces drop-k-rows, not a value filter)."""
+    row = (
+        entrymod.queries()["trimmed_mean_exact"](spark, SF)
+        .collect()[0]
+        .asDict()
+    )
+    c = np.sort(
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select(
+            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("c")
+        )
+        .toPandas()["c"]
+        .to_numpy()
+    )
+    n = len(c)
+    k = n * 10 // 100
+    kept = c[k : n - k]
+    assert row["n_rows"] == n and row["k_trim"] == k
+    assert row["kept_rows"] == len(kept)
+    assert row["kept_cents"] == int(kept.sum())
+    assert row["trimmed_mean_cents"] == round(kept.sum() / len(kept), 4)
+
+
+def test_exact_median_matches_numpy(spark):
+    row = (
+        entrymod.queries()["exact_median_2pass"](spark, SF)
+        .collect()[0]
+        .asDict()
+    )
+    c = np.sort(
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select(
+            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("c")
+        )
+        .toPandas()["c"]
+        .to_numpy()
+    )
+    assert row["median_cents"] == int(c[(len(c) + 1) // 2 - 1])
