@@ -2822,3 +2822,143 @@ def trimmed_mean_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 trimmed_mean_exact.__doc__ = trimmed_mean_exact.__doc__.format(p=_TRIM_PCT)
+
+
+# ---------------------------------------------------------------------------
+# Regression influence diagnostics (leverage + Cook's distance)
+# ---------------------------------------------------------------------------
+_INFL_TOP = 15
+
+# Shared SQL fragments: the float formulas are stated ONCE and parsed
+# by both engines, so operator shape/precedence (hence IEEE rounding)
+# is identical -- every input below the divide is an exact integer.
+_INFL_DERIVED = (
+    ("nd", "CAST(n AS DOUBLE)"),
+    ("sxd", "CAST(sx AS DOUBLE)"),
+    ("sxxd", "CAST(sxx AS DOUBLE)"),
+    ("syd", "CAST(sy AS DOUBLE)"),
+    ("sxyd", "CAST(sxy AS DOUBLE)"),
+    ("b", "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+          " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+          " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+          " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"),
+)
+_INFL_A = "(syd - b * sxd) / nd"
+_INFL_SSE = "syyd - a * syd - b * sxyd"
+_INFL_SXXC = "sxxd - sxd * sxd / nd"
+_INFL_E = "CAST(y AS DOUBLE) - (a + b * CAST(x AS DOUBLE))"
+_INFL_H = "1.0 / nd + (CAST(x AS DOUBLE) - sxd / nd)" \
+          " * (CAST(x AS DOUBLE) - sxd / nd) / sxxc"
+_INFL_D = "e * e * h / (2.0 * (sse / (nd - 2.0)) * (1.0 - h) * (1.0 - h))"
+
+
+@query(
+    "influence_diagnostics",
+    oracle=f"""
+    WITH v AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_quantity AS BIGINT) AS x,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(y * y) AS DOUBLE) AS syyd
+      FROM v
+    ),
+    d AS (
+      SELECT *, {', '.join(f'{sql} AS {name}' for name, sql in _INFL_DERIVED)}
+      FROM s
+    ),
+    d2 AS (SELECT *, {_INFL_A} AS a FROM d),
+    d3 AS (SELECT *, {_INFL_SSE} AS sse, {_INFL_SXXC} AS sxxc FROM d2),
+    scored AS (
+      SELECT v.l_orderkey, v.l_linenumber, v.x, v.y, eh.e, eh.h, d3.*
+      FROM v CROSS JOIN d3
+      CROSS JOIN LATERAL (
+        SELECT {_INFL_E} AS e, {_INFL_H} AS h
+      ) eh
+    )
+    SELECT l_orderkey, l_linenumber,
+           x AS quantity, y AS price_cents,
+           round(e, 4) AS residual_cents,
+           round(h, 8) AS leverage,
+           round({_INFL_D}, 8) AS cooks_d
+    FROM scored
+    ORDER BY {_INFL_D} DESC, l_orderkey, l_linenumber
+    LIMIT {_INFL_TOP}
+    """,
+)
+def influence_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row OLS influence diagnostics for data cleaning: fit
+    price ~ quantity once from sufficient statistics, then score
+    EVERY row's leverage h_i = 1/n + (x_i - mean)^2/Sxx and Cook's
+    distance D_i = e_i^2 h_i / (p s^2 (1-h_i)^2), surfacing the
+    top-{k} most influential observations -- the rows that, removed,
+    would move the fit most (mislabeled-point screening; complements
+    the value-only outlier_mad quarantine, which cannot distinguish a
+    benign extreme x from a fit-distorting one).
+
+    Exactness discipline: all five sufficient statistics are
+    BIGINT-exact integer sums (quantities and price cents); sum(y^2)
+    alone exceeds int64 at scale, so it accumulates in DECIMAL(38,0)
+    (Spark) / HUGEINT (DuckDB) -- both exact -- before ONE cast to
+    double.  Every float expression is a shared SQL string parsed by
+    both engines, so the doubles agree bit-for-bit and the top-{k}
+    cut is stable (ties broken by the unique line key).
+
+    Scale shape: one map-side-combinable aggregation (constant
+    state), a 1-row broadcast of the fit, one scoring scan, and a
+    TakeOrdered top-{k} -- no shuffle of data-scale rows at all.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    )
+    s = v.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.expr("x * x")).cast("bigint").alias("sxx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.expr("x * y")).cast("bigint").alias("sxy"),
+        F.sum(
+            F.col("y").cast("decimal(19,0)") * F.col("y").cast("decimal(19,0)")
+        ).cast("double").alias("syyd"),
+    )
+    d = s.select("*", *[F.expr(sql).alias(name) for name, sql in _INFL_DERIVED])
+    d2 = d.select("*", F.expr(_INFL_A).alias("a"))
+    d3 = d2.select(
+        "*", F.expr(_INFL_SSE).alias("sse"), F.expr(_INFL_SXXC).alias("sxxc")
+    )
+    scored = (
+        v.crossJoin(F.broadcast(d3))
+        .withColumn("e", F.expr(_INFL_E))
+        .withColumn("h", F.expr(_INFL_H))
+    )
+    return (
+        scored.orderBy(
+            F.expr(_INFL_D).desc(), "l_orderkey", "l_linenumber"
+        )
+        .limit(_INFL_TOP)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("x").alias("quantity"),
+            F.col("y").alias("price_cents"),
+            F.round(F.col("e"), 4).alias("residual_cents"),
+            F.round(F.col("h"), 8).alias("leverage"),
+            F.round(F.expr(_INFL_D), 8).alias("cooks_d"),
+        )
+    )
+
+
+influence_diagnostics.__doc__ = influence_diagnostics.__doc__.format(
+    k=_INFL_TOP
+)

@@ -99,3 +99,42 @@ def test_exact_median_matches_numpy(spark):
         .to_numpy()
     )
     assert row["median_cents"] == int(c[(len(c) + 1) // 2 - 1])
+
+
+def test_influence_diagnostics_matches_numpy(spark):
+    """Cook's distance / leverage recomputed densely in numpy; the
+    registered query's top-k must be the global argmax set."""
+    rows = (
+        entrymod.queries()["influence_diagnostics"](spark, SF)
+        .toPandas()
+    )
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("bigint").alias("x"),
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("bigint")
+            .alias("y"),
+        )
+        .toPandas()
+    )
+    x = df["x"].to_numpy(dtype=np.float64)
+    y = df["y"].to_numpy(dtype=np.float64)
+    n = len(x)
+    b = (n * (x * y).sum() - x.sum() * y.sum()) / (
+        n * (x * x).sum() - x.sum() ** 2
+    )
+    a = (y.sum() - b * x.sum()) / n
+    e = y - (a + b * x)
+    sxxc = (x * x).sum() - x.sum() ** 2 / n
+    h = 1.0 / n + (x - x.mean()) ** 2 / sxxc
+    s2 = (e**2).sum() / (n - 2)
+    d = e**2 * h / (2 * s2 * (1 - h) ** 2)
+    order = np.lexsort((df["l_linenumber"], df["l_orderkey"], -d))
+    top = df.iloc[order[:15]]
+    assert list(rows["l_orderkey"]) == list(top["l_orderkey"])
+    assert list(rows["l_linenumber"]) == list(top["l_linenumber"])
+    dd = d[order[:15]]
+    assert np.allclose(rows["cooks_d"].to_numpy(), dd, rtol=1e-5)
