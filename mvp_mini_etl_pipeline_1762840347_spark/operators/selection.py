@@ -42,20 +42,32 @@ def rank_select(
     ranks: DataFrame,
     rounds: int = 2,
     bins: int = 256,
+    weight: str | None = None,
 ) -> DataFrame:
     """Return one row per rank query: ``(qid, value)`` where
     ``value`` is the rank-th smallest ``c`` in ``v``.
 
     ``v``: a DataFrame with a single BIGINT column ``c`` (integer
-    domain -- use cents / scaled integers for money).  The caller
-    should ``localCheckpoint`` it when it is derived from a scan, so
-    the per-round re-reads hit materialized blocks instead of
+    domain -- use cents / scaled integers for money), plus a BIGINT
+    ``weight`` column when given.  The caller should
+    ``localCheckpoint`` it when it is derived from a scan, so the
+    per-round re-reads hit materialized blocks instead of
     re-deriving the projection per branch.
 
     ``ranks``: a tiny DataFrame ``(qid: string, rank: bigint)`` with
     1-based ranks in ``[1, count(v)]``.  It is broadcast; one row per
     independent selection.
+
+    ``weight``: optional positive-BIGINT weight column in ``v``.
+    Ranks are then in WEIGHT units: the result is the smallest value
+    whose cumulative weight (values ordered ascending) reaches
+    ``rank`` -- e.g. rank = total_weight/2 gives the weighted median
+    ("the median token's document", not the median document, when
+    weighting doc lengths by token count).  Unweighted selection is
+    the weight-1 special case; histogram state stays constant-size
+    either way.
     """
+    w = F.col(weight) if weight else F.lit(1).cast("bigint")
     width_expr = F.greatest(
         F.expr(f"(hi - lo + {bins}) div {bins}"), F.lit(1)
     )
@@ -81,9 +93,10 @@ def rank_select(
                 ((F.col("c") - F.col("lo")) / width_expr)
                 .cast("bigint")
                 .alias("bin"),
+                w.alias("w"),
             )
             .groupBy("qid", "lo", "hi", "rank", "bin")
-            .agg(F.count("*").alias("bn"))
+            .agg(F.sum("w").alias("bn"))
         )
         wcum = Window.partitionBy("qid").orderBy("bin")  # <= bins rows/qid
         cum = binned.select(
@@ -108,13 +121,23 @@ def rank_select(
         )
 
     # Final pass: order statistics inside the ~n/bins^rounds sliver.
-    wsel = Window.partitionBy("qid").orderBy("c")
+    # Running weight with a ROWS frame; the first value whose
+    # cumulative weight reaches the residual rank is min(c) over the
+    # qualifying rows (stable under tie order: rows sharing c give
+    # the same crossing value).  With weight=1 this is exactly
+    # row_number selection.
+    wsel = (
+        Window.partitionBy("qid")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     return (
         v.join(
             F.broadcast(bounds),
             (F.col("c") >= F.col("lo")) & (F.col("c") <= F.col("hi")),
         )
-        .select("qid", "c", "rank", F.row_number().over(wsel).alias("rn"))
-        .filter(F.col("rn") == F.col("rank"))
-        .select("qid", F.col("c").alias("value"))
+        .select("qid", "c", "rank", F.sum(w).over(wsel).alias("runw"))
+        .filter(F.col("runw") >= F.col("rank"))
+        .groupBy("qid")
+        .agg(F.min("c").alias("value"))
     )

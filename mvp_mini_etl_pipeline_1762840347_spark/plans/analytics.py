@@ -2962,3 +2962,62 @@ def influence_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
 influence_diagnostics.__doc__ = influence_diagnostics.__doc__.format(
     k=_INFL_TOP
 )
+
+
+@query(
+    "exact_deciles",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+      FROM lineitem
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM v),
+    r AS (
+      SELECT CAST(k AS BIGINT) AS decile,
+             CAST((n_rows * k + 9) // 10 AS BIGINT) AS target_rank
+      FROM n, range(1, 10) t(k)
+    ),
+    o AS (SELECT c, row_number() OVER (ORDER BY c) AS rn FROM v)
+    SELECT r.decile, r.target_rank, o.c AS value_cents
+    FROM r JOIN o ON o.rn = r.target_rank
+    ORDER BY r.decile
+    """,
+)
+def exact_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT decile grid of line revenue in the SAME number of passes
+    as a single median: rank_select resolves all nine order
+    statistics at once because every histogram round partitions by
+    query id -- the per-round cost is one map-side-combinable
+    aggregation whose result is <= 9 x bins rows, regardless of how
+    many quantiles ride along.  This is the exact counterpart of the
+    sketch_quantile_hist family: where the sketch trades error bounds
+    for one pass, this pays ~3 scans (of a shrinking candidate set)
+    for exactness -- the periodic calibration job a 100-TB pipeline
+    runs to validate its sketches.  The oracle brute-forces a global
+    row_number sort, proving each returned value IS the ceil(k*n/10)
+    order statistic."""
+    from ..operators.selection import rank_select
+
+    li = read_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("c")
+    ).localCheckpoint(eager=True)
+
+    st = v.agg(F.count("*").cast("bigint").alias("n_rows"))
+    ranks = st.select(
+        F.explode(F.sequence(F.lit(1), F.lit(9))).alias("k"), "n_rows"
+    ).select(
+        F.col("k").cast("string").alias("qid"),
+        F.col("k").cast("bigint").alias("decile"),
+        F.expr("(n_rows * k + 9) div 10").cast("bigint").alias("rank"),
+    )
+    sel = rank_select(v, ranks.select("qid", "rank"), rounds=2, bins=_SEL_BINS)
+    return (
+        sel.join(F.broadcast(ranks), "qid")
+        .select(
+            "decile",
+            F.col("rank").alias("target_rank"),
+            F.col("value").alias("value_cents"),
+        )
+        .orderBy("decile")
+    )

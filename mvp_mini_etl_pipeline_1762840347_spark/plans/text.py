@@ -1667,3 +1667,66 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("lift_ppm").desc(), "w1", "w2"
     ).limit(_PMI_TOP)
+
+
+# ---------------------------------------------------------------------------
+# Token-weighted median document length (weighted order statistic)
+# ---------------------------------------------------------------------------
+@query(
+    "token_weighted_median_len",
+    oracle=r"""
+    WITH v AS (
+      SELECT CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT)
+               AS doc_len
+      FROM documents
+    ),
+    t AS (SELECT CAST(sum(doc_len) AS BIGINT) AS total_tokens,
+                 CAST((sum(doc_len) + 1) // 2 AS BIGINT) AS target_w
+          FROM v),
+    o AS (
+      SELECT doc_len,
+             sum(doc_len) OVER (ORDER BY doc_len
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS runw
+      FROM v
+    )
+    SELECT t.total_tokens, t.target_w,
+           (SELECT min(doc_len) FROM o WHERE runw >= (SELECT target_w FROM t))
+             AS median_token_doc_len
+    FROM t
+    """,
+)
+def token_weighted_median_len(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TOKEN-weighted median document length: the length L such
+    that half of all corpus TOKENS live in documents of length <= L.
+    This is the statistic context-length planning actually needs --
+    the unweighted median document is dominated by short docs, while
+    the median token sits in a much longer one (compare
+    seqlen_histogram's per-bucket masses; this is its exact scalar).
+
+    Runs the shared histogram-narrowing selector in WEIGHT units
+    (operators/selection.py::rank_select with weight=doc_len): each
+    round's histogram sums token counts instead of row counts, so the
+    constant-state/one-scan-per-round shape is unchanged, and the
+    final sliver picks the first value whose cumulative token mass
+    crosses half the corpus.  The oracle brute-forces the cumulative
+    weight with a global window -- affordable for DuckDB at test SF,
+    exactly the plan the distributed form exists to avoid."""
+    from ..operators.selection import rank_select
+
+    d = _docs(spark, sf_dir)
+    v = d.select(
+        F.size(_toks(F.col("text"))).cast("bigint").alias("c")
+    ).select("c", F.col("c").alias("w")).localCheckpoint(eager=True)
+
+    t = v.agg(
+        F.sum("c").cast("bigint").alias("total_tokens"),
+        F.expr("(sum(c) + 1) div 2").cast("bigint").alias("target_w"),
+    )
+    ranks = t.select(
+        F.lit("wmed").alias("qid"), F.col("target_w").alias("rank")
+    )
+    sel = rank_select(v, ranks, rounds=2, bins=64, weight="w")
+    return t.crossJoin(
+        F.broadcast(sel.select(F.col("value").alias("median_token_doc_len")))
+    )

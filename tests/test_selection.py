@@ -138,3 +138,65 @@ def test_influence_diagnostics_matches_numpy(spark):
     assert list(rows["l_linenumber"]) == list(top["l_linenumber"])
     dd = d[order[:15]]
     assert np.allclose(rows["cooks_d"].to_numpy(), dd, rtol=1e-5)
+
+
+def test_rank_select_weighted_matches_repeat_expansion(spark):
+    """Weighted selection == unweighted selection over the
+    weight-expanded multiset (the defining property)."""
+    rng = np.random.RandomState(3)
+    vals = rng.randint(-20, 20, size=120)
+    wts = rng.randint(1, 9, size=120)
+    expanded = np.sort(np.repeat(vals, wts))
+    total = int(wts.sum())
+    ranks = [("a", 1), ("b", (total + 1) // 2), ("c", total)]
+    schema = StructType(
+        [StructField("c", LongType()), StructField("w", LongType())]
+    )
+    v = spark.createDataFrame(
+        [(int(c), int(w)) for c, w in zip(vals, wts)], schema
+    )
+    r = spark.createDataFrame([(q, int(k)) for q, k in ranks], _R_SCHEMA)
+    got = {
+        row["qid"]: row["value"]
+        for row in rank_select(v, r, rounds=3, bins=4, weight="w").collect()
+    }
+    assert got == {q: int(expanded[k - 1]) for q, k in ranks}
+
+
+def test_exact_deciles_match_numpy(spark):
+    rows = entrymod.queries()["exact_deciles"](spark, SF).collect()
+    c = np.sort(
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select(
+            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("c")
+        )
+        .toPandas()["c"]
+        .to_numpy()
+    )
+    n = len(c)
+    assert len(rows) == 9
+    for row in rows:
+        k = row["decile"]
+        rank = -(-n * k // 10)  # ceil
+        assert row["target_rank"] == rank
+        assert row["value_cents"] == int(c[rank - 1])
+
+
+def test_token_weighted_median_crosses_half_the_token_mass(spark):
+    row = (
+        entrymod.queries()["token_weighted_median_len"](spark, SF)
+        .collect()[0]
+        .asDict()
+    )
+    lens = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select(F.size(F.split(F.lower(F.col("text")), r"\s+")).alias("n"))
+        .toPandas()["n"]
+        .to_numpy(dtype=np.int64)
+    )
+    s = np.sort(lens)
+    cum = np.cumsum(s)
+    target = (lens.sum() + 1) // 2
+    expect = int(s[np.searchsorted(cum, target)])
+    assert row["total_tokens"] == int(lens.sum())
+    assert row["median_token_doc_len"] == expect
