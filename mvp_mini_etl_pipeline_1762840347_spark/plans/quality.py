@@ -1311,3 +1311,179 @@ def groupby_sampled_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 groupby_sampled_ci.__doc__ = groupby_sampled_ci.__doc__.replace(
     "{m}", str(_AQP_MOD)
 ).replace("{m1}", str(_AQP_MOD - 1))
+
+
+# ---------------------------------------------------------------------------
+# Token-budget waterfilling across sources (the mixture solver)
+# ---------------------------------------------------------------------------
+_WF_BUDGET_PCT = 60  # spend 60% of the corpus's tokens
+
+# Shared float formula: the water level for j saturated sources.
+# Every input is an exact BIGINT, so both engines compute identical
+# doubles and the consistency comparisons agree bit-for-bit.
+_WF_LEVEL = "(CAST(budget AS DOUBLE) - CAST(cum_avail AS DOUBLE))" \
+            " / nullif(CAST(n_sources AS DOUBLE) - CAST(j AS DOUBLE), 0.0)"
+
+
+@query(
+    "mixture_waterfill",
+    oracle=rf"""
+    WITH per_src AS (
+      SELECT source,
+             CAST(sum(len(string_split_regex(lower(text), '\s+'))) AS BIGINT)
+               AS avail
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_sources,
+             CAST(sum(avail) * {_WF_BUDGET_PCT} // 100 AS BIGINT) AS budget
+      FROM per_src
+    ),
+    ranked AS (
+      SELECT source, avail,
+             row_number() OVER (ORDER BY avail, source) AS j,
+             sum(avail)   OVER (ORDER BY avail, source
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum_avail,
+             lead(avail)  OVER (ORDER BY avail, source) AS next_avail
+      FROM per_src
+    ),
+    cand AS (
+      SELECT j AS sat_j, {_WF_LEVEL} AS level
+      FROM ranked CROSS JOIN tot
+      WHERE avail <= {_WF_LEVEL}
+        AND (next_avail IS NULL OR next_avail > {_WF_LEVEL})
+      UNION ALL
+      SELECT 0 AS sat_j,
+             CAST(budget AS DOUBLE) / CAST(n_sources AS DOUBLE) AS level
+      FROM tot
+      WHERE (SELECT min(avail) FROM per_src)
+            > CAST(budget AS DOUBLE) / CAST(n_sources AS DOUBLE)
+      UNION ALL
+      SELECT n_sources AS sat_j,
+             CAST((SELECT max(avail) FROM per_src) AS DOUBLE) AS level
+      FROM tot
+      WHERE budget >= (SELECT sum(avail) FROM per_src)
+    ),
+    sol AS (SELECT sat_j, level FROM cand ORDER BY sat_j DESC LIMIT 1)
+    SELECT r.source, r.avail AS avail_tokens,
+           r.j <= s.sat_j AS saturated,
+           round(CASE WHEN r.j <= s.sat_j
+                      THEN CAST(r.avail AS DOUBLE) ELSE s.level END, 4)
+             AS allocated_tokens,
+           round(s.level, 4) AS water_level,
+           (SELECT budget FROM tot) AS budget_tokens
+    FROM ranked r CROSS JOIN sol s
+    ORDER BY r.source
+    """,
+)
+def mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-recipe SOLVER: given a total token budget ({p}% of
+    the corpus) and per-source availability, allocate tokens as
+    equally as possible across sources WITHOUT exceeding what any
+    source has -- classic waterfilling.  Sources below the water
+    level contribute everything they have; the surplus redistributes
+    to the rest, and the level is the unique lambda with
+    sum(min(avail_i, lambda)) = budget.  This turns "train on a
+    balanced mix" into per-source sampling targets that
+    sample_token_budget can then execute (its fixed per-source budget
+    is this query's output).
+
+    Closed-form distributed solve, no iteration: one per-source
+    aggregation (the only data-scale pass), then rank/prefix-sum
+    windows over the SOURCE LIST -- bounded by the number of corpus
+    components (dozens), so the unpartitioned windows are over a
+    provably tiny frame.  For each candidate count j of saturated
+    sources, the level lambda_j = (B - cum_avail_j)/(K - j) is
+    consistent iff the j-th smallest source fits under it and the
+    (j+1)-th does not; exactly one j passes (ties at the boundary
+    shift to the larger j by strict/non-strict choice).  All
+    comparisons run on doubles derived from exact BIGINTs via one
+    shared SQL formula, so both engines pick the same j bit-for-bit."""
+    from pyspark.sql.window import Window
+
+    d = read_table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.sum(F.size(F.split(F.lower(F.col("text")), r"\s+")))
+        .cast("bigint")
+        .alias("avail")
+    )
+    tot = per_src.agg(
+        F.count("*").cast("bigint").alias("n_sources"),
+        F.expr(f"sum(avail) * {_WF_BUDGET_PCT} div 100")
+        .cast("bigint")
+        .alias("budget"),
+    )
+    wsrc = Window.orderBy("avail", "source")  # K rows: bounded frame
+    ranked = per_src.select(
+        "source",
+        "avail",
+        F.row_number().over(wsrc).alias("j"),
+        F.sum("avail")
+        .over(wsrc.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_avail"),
+        F.lead("avail").over(wsrc).alias("next_avail"),
+    ).crossJoin(F.broadcast(tot))
+    level = F.expr(_WF_LEVEL)
+    cand = ranked.filter(
+        (F.col("avail") <= level)
+        & (F.col("next_avail").isNull() | (F.col("next_avail") > level))
+    ).select(F.col("j").cast("bigint").alias("sat_j"), level.alias("level"))
+    extremes = F.broadcast(
+        per_src.agg(
+            F.min("avail").alias("min_avail"),
+            F.max("avail").alias("max_avail"),
+            F.sum("avail").alias("sum_avail"),
+        )
+    )
+    base = (
+        tot.crossJoin(extremes)
+        .filter(
+            F.col("min_avail")
+            > F.col("budget").cast("double") / F.col("n_sources").cast("double")
+        )
+        .select(
+            F.lit(0).cast("bigint").alias("sat_j"),
+            (
+                F.col("budget").cast("double")
+                / F.col("n_sources").cast("double")
+            ).alias("level"),
+        )
+    )
+    all_sat = (
+        tot.crossJoin(extremes)
+        .filter(F.col("budget") >= F.col("sum_avail"))
+        .select(
+            F.col("n_sources").alias("sat_j"),
+            F.col("max_avail").cast("double").alias("level"),
+        )
+    )
+    sol = (
+        cand.unionByName(base)
+        .unionByName(all_sat)
+        .orderBy(F.desc("sat_j"))
+        .limit(1)
+    )
+    return (
+        ranked.crossJoin(F.broadcast(sol))
+        .select(
+            "source",
+            F.col("avail").alias("avail_tokens"),
+            (F.col("j") <= F.col("sat_j")).alias("saturated"),
+            F.round(
+                F.when(
+                    F.col("j") <= F.col("sat_j"),
+                    F.col("avail").cast("double"),
+                ).otherwise(F.col("level")),
+                4,
+            ).alias("allocated_tokens"),
+            F.round(F.col("level"), 4).alias("water_level"),
+            F.col("budget").alias("budget_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+mixture_waterfill.__doc__ = mixture_waterfill.__doc__.format(
+    p=_WF_BUDGET_PCT
+)

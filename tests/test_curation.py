@@ -256,3 +256,40 @@ def test_dead_letter_quarantines_exactly_the_corrupted_rows(spark):
     for et, (n, q) in expect.items():
         assert out[et].n_rows == n
         assert out[et].n_quarantined == q
+
+
+def test_mixture_waterfill_invariants(spark):
+    """Waterfilling optimality: allocations sum to the budget,
+    saturated sources give everything, unsaturated ones sit exactly
+    at the common water level, and the level matches a sequential
+    solve."""
+    import numpy as np
+
+    rows = (
+        entrymod.queries()["mixture_waterfill"](
+            spark, "/root/testdata/sf0.001"
+        )
+        .toPandas()
+        .sort_values("source")
+    )
+    avail = rows["avail_tokens"].to_numpy(dtype=np.float64)
+    alloc = rows["allocated_tokens"].to_numpy(dtype=np.float64)
+    budget = float(rows["budget_tokens"].iloc[0])
+    level = float(rows["water_level"].iloc[0])
+    # allocations: min(avail, level), summing to the budget
+    assert np.allclose(alloc, np.minimum(avail, level), atol=1e-3)
+    assert abs(alloc.sum() - budget) < 1.0
+    # saturated flag consistent
+    assert (
+        (rows["saturated"].to_numpy()) == (avail <= level + 1e-9)
+    ).all()
+    # sequential reference solve of the same instance
+    a = np.sort(avail)
+    K = len(a)
+    lam = None
+    for j in range(K):
+        cand = (budget - a[:j].sum()) / (K - j)
+        if (j == 0 or a[j - 1] <= cand) and a[j] > cand:
+            lam = cand
+            break
+    assert lam is not None and abs(lam - level) < 1e-6
