@@ -1399,15 +1399,38 @@ def mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     (j+1)-th does not; exactly one j passes (ties at the boundary
     shift to the larger j by strict/non-strict choice).  All
     comparisons run on doubles derived from exact BIGINTs via one
-    shared SQL formula, so both engines pick the same j bit-for-bit."""
-    from pyspark.sql.window import Window
+    shared SQL formula, so both engines pick the same j bit-for-bit.
 
+    The per-source token census (source_tokens_frame) is ADDITIVE, so
+    the streaming twin (streaming/jobs.py::waterfill_stream)
+    maintains it incrementally and re-solves from the tiny state each
+    micro-batch -- the recipe tracks the corpus as it grows."""
     d = read_table(spark, sf_dir, "documents")
-    per_src = d.groupBy("source").agg(
+    return waterfill_solve(source_tokens_frame(d))
+
+
+mixture_waterfill.__doc__ = mixture_waterfill.__doc__.format(
+    p=_WF_BUDGET_PCT
+)
+
+
+def source_tokens_frame(d: DataFrame) -> DataFrame:
+    """(source, avail) -- per-source token totals, the additive state
+    the waterfilling solve runs on (batch: the whole corpus; stream:
+    merged across micro-batches)."""
+    return d.groupBy("source").agg(
         F.sum(F.size(F.split(F.lower(F.col("text")), r"\s+")))
         .cast("bigint")
         .alias("avail")
     )
+
+
+def waterfill_solve(per_src: DataFrame) -> DataFrame:
+    """Closed-form waterfilling over a (source, avail) frame -- see
+    mixture_waterfill for semantics.  All windows are over the
+    bounded source list."""
+    from pyspark.sql.window import Window
+
     tot = per_src.agg(
         F.count("*").cast("bigint").alias("n_sources"),
         F.expr(f"sum(avail) * {_WF_BUDGET_PCT} div 100")
@@ -1484,6 +1507,82 @@ def mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-mixture_waterfill.__doc__ = mixture_waterfill.__doc__.format(
-    p=_WF_BUDGET_PCT
+# ---------------------------------------------------------------------------
+# Functional-dependency profiling (schema discovery)
+# ---------------------------------------------------------------------------
+_FD_CANDIDATES = (
+    # (table, determinant, dependent) -- hypotheses a profiler tests
+    ("orders", "o_orderkey", "o_custkey"),        # PK: must hold
+    ("orders", "o_custkey", "o_orderpriority"),   # violated
+    ("lineitem", "l_orderkey", "l_returnflag"),   # violated (varies/line)
+    ("lineitem", "l_partkey", "l_suppkey"),       # violated (4 supps/part)
+    ("customer", "c_custkey", "c_nationkey"),     # PK: must hold
+    ("lineitem", "l_orderkey", "l_orderkey"),     # reflexive: must hold
 )
+
+
+def _fd_oracle_one(table: str, det: str, dep: str) -> str:
+    return f"""
+    SELECT '{table}' AS tbl, '{det}' AS determinant, '{dep}' AS dependent,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_keys,
+           round(100.0 * sum(CASE WHEN ndep > 1 THEN 1 ELSE 0 END)
+                 / count(*), 4) AS violation_pct,
+           sum(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) = 0 AS holds
+    FROM (
+      SELECT {det} AS k, count(DISTINCT {dep}) AS ndep
+      FROM {table} GROUP BY {det}
+    )
+    """
+
+
+@query(
+    "fd_profile",
+    oracle="\nUNION ALL\n".join(
+        _fd_oracle_one(t, a, b) for t, a, b in _FD_CANDIDATES
+    )
+    + "\nORDER BY tbl, determinant, dependent",
+)
+def fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency profiling: for each candidate X -> Y,
+    count determinant keys whose dependent takes more than one value
+    -- the violation census a schema-discovery / data-contract tool
+    runs before trusting a column as a lookup key.  Exact holds/fails
+    verdicts plus a violation rate for 'approximate FDs' (the 99.9%
+    dependencies that signal dirty rows rather than a wrong
+    hypothesis).
+
+    Each candidate is one two-level aggregation: partial map-side
+    count-distinct state shuffles on the determinant (the scan reads
+    ONLY the two columns -- parquet-pruned), then the per-key distinct
+    counts reduce to a 1-row verdict.  Candidates on the same table
+    share nothing here for clarity; a production sweep would fuse
+    same-table hypotheses into one grouping-sets pass and pre-screen
+    on a 1% sample before exact-checking survivors at full scale."""
+    out = None
+    for table, det, dep in _FD_CANDIDATES:
+        t = read_table(spark, sf_dir, table)
+        per_key = t.groupBy(F.col(det).alias("k")).agg(
+            F.countDistinct(dep).alias("ndep")
+        )
+        row = per_key.agg(
+            F.lit(table).alias("tbl"),
+            F.lit(det).alias("determinant"),
+            F.lit(dep).alias("dependent"),
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.sum(F.when(F.col("ndep") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violating_keys"),
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("ndep") > 1, 1).otherwise(0))
+                / F.count("*"),
+                4,
+            ).alias("violation_pct"),
+            (
+                F.sum(F.when(F.col("ndep") > 1, 1).otherwise(0)) == 0
+            ).alias("holds"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("tbl", "determinant", "dependent")

@@ -1650,3 +1650,72 @@ def zset_mv_stream(
         .option("checkpointLocation", mv_path + "_chk")
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming mixture waterfilling (the data recipe, tracked live)
+# ---------------------------------------------------------------------------
+def waterfill_merge_step(
+    spark: SparkSession, batch_df: DataFrame, batch_id: int, state_path: str
+) -> bool:
+    """One exactly-once merge of a documents micro-batch into the
+    per-source token census (source, avail) -- purely additive, same
+    full-outer coalesce-sum discipline as the PSI drift state, under
+    the shared replay-guarded staged-swap commit.  Returns False on a
+    replayed no-op."""
+    from ..plans.quality import source_tokens_frame
+
+    def _merge(target: DataFrame | None) -> DataFrame:
+        delta = source_tokens_frame(batch_df)
+        if target is None:
+            return delta
+        t = target.select(
+            F.col("source").alias("t_source"),
+            F.col("avail").alias("t_avail"),
+        )
+        return (
+            delta.join(t, delta.source == t.t_source, "full_outer")
+            .select(
+                F.coalesce(delta.source, t.t_source).alias("source"),
+                (
+                    F.coalesce(delta.avail, F.lit(0))
+                    + F.coalesce(t.t_avail, F.lit(0))
+                ).cast("bigint").alias("avail"),
+            )
+        )
+
+    return exactly_once_table_merge(spark, state_path, batch_id, _merge)
+
+
+def waterfill_render(state: DataFrame) -> DataFrame:
+    """The current training-mix recipe from the census state: the
+    same closed-form solve as the batch mixture_waterfill
+    (plans/quality.py::waterfill_solve), so the streamed answer is
+    definitionally parity with a batch run over the rows seen so far
+    (pinned in tests).  The solve touches only the bounded source
+    list -- recomputing it per readout is cheaper than maintaining it
+    incrementally."""
+    from ..plans.quality import waterfill_solve
+
+    return waterfill_solve(state)
+
+
+def waterfill_stream(
+    spark: SparkSession, docs: DataFrame, state_path: str
+) -> StreamingQuery:
+    """Streaming twin of mixture_waterfill: maintain the additive
+    per-source token census across micro-batches and re-solve the
+    waterfilling recipe from the tiny state at any moment -- "what
+    should the sampling targets be, given everything ingested so
+    far" -- never rescanning document history.  Exactly-once via the
+    shared batch-id high-water mark."""
+
+    def _step(batch_df: DataFrame, batch_id: int) -> None:
+        waterfill_merge_step(spark, batch_df, batch_id, state_path)
+
+    return (
+        docs.writeStream.foreachBatch(_step)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", state_path + "_chk")
+        .start()
+    )

@@ -1360,3 +1360,65 @@ def test_zset_mv_merge_step_replay_and_revival(spark, tmp_path_factory):
     ][0]
     assert (a2.n_live, a2.revenue_cents, a2.inserted_rows,
             a2.retracted_rows) == (1, 7, 3, 2)
+
+
+def test_waterfill_stream_matches_batch(spark, sf_dir, tmp_path_factory):
+    """The streamed per-source token census must equal the batch
+    census over all rows regardless of batching, the rendered recipe
+    must match the batch mixture_waterfill solve, and a replayed
+    batch id must be a no-op."""
+    import os
+
+    from mvp_mini_etl_pipeline_1762840347_spark.io import read_table
+    from mvp_mini_etl_pipeline_1762840347_spark.plans.quality import (
+        source_tokens_frame,
+        waterfill_solve,
+    )
+
+    base = tmp_path_factory.mktemp("waterfill_stream")
+    landing = str(base / "landing")
+    d = read_table(spark, sf_dir, "documents")
+    d.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        landing, mode="overwrite"
+    )
+    d.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        landing, mode="append"
+    )
+    state_path = str(base / "census")
+
+    docs = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    q = jobs.waterfill_stream(spark, docs, state_path)
+    q.awaitTermination(120)
+    n_batches = len(
+        [
+            f
+            for f in os.listdir(state_path + "_chk/offsets")
+            if not f.startswith(".")
+        ]
+    )
+    assert n_batches >= 2, n_batches
+
+    state = spark.read.parquet(state_path)
+    got = {r.source: r.avail for r in state.collect()}
+    want = {r.source: r.avail for r in source_tokens_frame(d).collect()}
+    assert got == want
+
+    got_mix = {
+        r.source: (r.saturated, r.allocated_tokens, r.water_level)
+        for r in jobs.waterfill_render(state).collect()
+    }
+    want_mix = {
+        r.source: (r.saturated, r.allocated_tokens, r.water_level)
+        for r in waterfill_solve(source_tokens_frame(d)).collect()
+    }
+    assert got_mix == want_mix
+
+    # replaying the last committed batch id must not change the state
+    last_id = n_batches - 1
+    assert not jobs.waterfill_merge_step(
+        spark, d.limit(50), last_id, state_path
+    )
