@@ -111,6 +111,12 @@ _PRIORITY: tuple[str, ...] = (
     "text_collocations_pmi", "sketch_kmv_intersect", "graph_kcore_peel",
     "er_golden_record", "groupby_sampled_ci", "late_arriving_dim",
     "events_watermark_audit",
+    # round-5 third wave (order-statistic selection family, recipe
+    # solver, profiling, influence diagnostics -- all tri-scale green
+    # locally)
+    "exact_median_2pass", "trimmed_mean_exact", "exact_deciles",
+    "token_weighted_median_len", "mixture_waterfill", "fd_profile",
+    "influence_diagnostics",
 )
 
 
