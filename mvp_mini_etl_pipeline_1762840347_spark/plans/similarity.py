@@ -2059,3 +2059,103 @@ def label_noise_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 label_noise_knn.__doc__ = label_noise_knn.__doc__.replace(
     "{k}", str(_LN_K)
 )
+
+
+# ---------------------------------------------------------------------------
+# Multi-probe sign-bucket LSH (recall without extra tables)
+# ---------------------------------------------------------------------------
+_MP_PROBES_SQL = ", ".join(
+    ["bucket"] + [f"xor(bucket, {1 << i})" for i in range(BUCKET_BITS)]
+)
+
+
+@query(
+    "similarity_lsh_multiprobe",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    b AS (SELECT vec_id, e, {_BUCKET_SQL} AS bucket FROM v),
+    q AS (SELECT vec_id AS query_id, e AS qe, bucket FROM b
+          WHERE vec_id < 20),
+    probes AS (
+      SELECT query_id, qe, unnest([{_MP_PROBES_SQL}]) AS pbucket FROM q
+    ),
+    scored AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             round({_COS_SQL.format(a="p.qe", b="c.e")}, 4) AS sim
+      FROM probes p JOIN b c
+        ON c.bucket = p.pbucket AND c.vec_id <> p.query_id
+    )
+    SELECT * FROM (
+      SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def similarity_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH: in addition to the query's own sign bucket,
+    probe the {b} buckets at Hamming distance 1 (each sign bit
+    flipped once) -- the standard recall lever that avoids building
+    more hash tables.  A near neighbor that lands across one
+    hyperplane from the query is found by the flipped probe, so
+    recall approaches the {b1}-probe union of {b1} independent
+    tables at the INDEX COST OF ONE: the corpus is still bucketed
+    exactly once, and each vector still lives in exactly one bucket
+    (probes hit disjoint candidate sets -- no dedup step).
+
+    Scale shape: the probe list explodes only the tiny query side
+    ({b1} rows per query, broadcast); candidate generation stays a
+    bucket equi-join touching ~{b1}N/2^{b} corpus rows per query,
+    and the corpus never shuffles.  Compare similarity_lsh_bucket
+    (single probe) and similarity_recall (the measured
+    recall-vs-exact harness)."""
+    v = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("e")
+    )
+    bucket = sum(
+        F.when(F.element_at("e", i + 1) > 0, F.lit(1 << i)).otherwise(0)
+        for i in range(BUCKET_BITS)
+    )
+    b = v.withColumn("bucket", bucket)
+    q = b.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("bucket").alias("qbucket"),
+    )
+    probes = q.select(
+        "query_id",
+        "qe",
+        F.explode(
+            F.array(
+                F.col("qbucket"),
+                *[
+                    F.col("qbucket").bitwiseXOR(F.lit(1 << i))
+                    for i in range(BUCKET_BITS)
+                ],
+            )
+        ).alias("pbucket"),
+    )
+    scored = (
+        b.join(
+            F.broadcast(probes),
+            (F.col("bucket") == F.col("pbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qe"), F.col("e")), 4).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return scored.select(
+        "*", F.row_number().over(w).alias("rank")
+    ).filter(F.col("rank") <= 5)
+
+
+similarity_lsh_multiprobe.__doc__ = similarity_lsh_multiprobe.__doc__.format(
+    b=BUCKET_BITS, b1=BUCKET_BITS + 1
+)

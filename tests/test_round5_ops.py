@@ -308,3 +308,34 @@ def test_rewrite_apply_matches_sequential_rebuild(spark):
         for r in _run(spark, "dedup_span_rewrite").collect()
     }
     assert {k: v[0] for k, v in got.items()} == ledger
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """Multi-probe candidates strictly contain the single-probe
+    bucket's, so per-query recall against the exact top-5 can only
+    improve; verify both the superset property and the recall
+    ordering on the sf0.001 embeddings."""
+    exact = (
+        entrymod.queries()["similarity_topk"](spark, SF)
+        .filter(F.col("rank") <= 5)
+        .collect()
+    )
+    single = entrymod.queries()["similarity_lsh_bucket"](spark, SF).collect()
+    multi = entrymod.queries()["similarity_lsh_multiprobe"](
+        spark, SF
+    ).collect()
+
+    def by_query(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return out
+
+    ex, si, mu = by_query(exact), by_query(single), by_query(multi)
+    # queries 0..4 exist in all three (similarity_topk uses 5 queries)
+    for qid in ex:
+        got_s = si.get(qid, set())
+        got_m = mu.get(qid, set())
+        r_single = len(ex[qid] & got_s) / len(ex[qid])
+        r_multi = len(ex[qid] & got_m) / len(ex[qid])
+        assert r_multi >= r_single, (qid, r_single, r_multi)
