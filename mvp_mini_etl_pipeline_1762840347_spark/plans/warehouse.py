@@ -1601,3 +1601,104 @@ def late_arriving_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 late_arriving_dim.__doc__ = late_arriving_dim.__doc__.replace(
     "{m}", str(_LATE_MOD)
 )
+
+
+# ---------------------------------------------------------------------------
+# Column-encoding advisor (physical design: dict vs RLE vs plain)
+# ---------------------------------------------------------------------------
+_ENC_COLUMNS = (
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_linenumber",
+    "l_returnflag",
+    "l_linestatus",
+)
+
+
+def _enc_oracle_one(col: str) -> str:
+    return f"""
+    SELECT '{col}' AS column_name,
+           CAST(sum(cnt) AS BIGINT) AS n_values,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(sum(vlen * cnt) AS BIGINT) AS plain_bytes,
+           CAST(sum(vlen)
+                + (sum(cnt) * (CASE WHEN count(*) <= 1 THEN 1
+                               ELSE length(bin(count(*) - 1)) END) + 7) // 8
+                AS BIGINT) AS dict_bytes,
+           CAST(sum(vlen) + 4 * count(*) AS BIGINT) AS rle_sorted_bytes
+    FROM (
+      SELECT length(CAST({col} AS VARCHAR)) AS vlen, count(*) AS cnt
+      FROM lineitem GROUP BY {col}
+    )
+    """
+
+
+@query(
+    "encoding_advisor",
+    oracle="WITH m AS (\n"
+    + "\nUNION ALL\n".join(_enc_oracle_one(c) for c in _ENC_COLUMNS)
+    + """
+    )
+    SELECT column_name, n_values, n_distinct, plain_bytes, dict_bytes,
+           rle_sorted_bytes,
+           CASE WHEN dict_bytes <= plain_bytes
+                 AND dict_bytes <= rle_sorted_bytes THEN 'dict'
+                WHEN rle_sorted_bytes <= plain_bytes THEN 'rle_sorted'
+                ELSE 'plain' END AS best_encoding
+    FROM m ORDER BY column_name
+    """,
+)
+def encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical-design advisor: per column, size a PLAIN encoding
+    (raw value bytes), a DICTIONARY encoding (distinct values once +
+    ceil(log2(d))-bit codes per row), and a sorted RLE (one run per
+    distinct value + a 4-byte run length) from exact corpus
+    statistics, and recommend the cheapest -- the estimate a
+    columnar-layout compactor (compare zorder_layout / zone_map)
+    consults before rewriting files.  High-cardinality keys come out
+    'plain' (codes as wide as the data), low-cardinality flags
+    'dict'/'rle_sorted'; the crossover is the real storage-format
+    decision rule.
+
+    One two-level aggregation per column: groupBy(value) partial
+    state shuffles only distinct values (column-pruned scan), then a
+    constant-size reduce derives all three sizes with BIGINT-exact
+    arithmetic (code width via length(bin(d-1)) -- no float log2).
+    A production sweep fuses same-table columns into one
+    grouping-sets pass; kept separate here so each column's plan is
+    independently auditable."""
+    out = None
+    for col in _ENC_COLUMNS:
+        li = read_table(spark, sf_dir, "lineitem")
+        per_val = li.groupBy(F.col(col).alias("v")).agg(
+            F.count("*").alias("cnt")
+        ).select(
+            F.length(F.col("v").cast("string")).alias("vlen"), "cnt"
+        )
+        row = per_val.agg(
+            F.lit(col).alias("column_name"),
+            F.sum("cnt").cast("bigint").alias("n_values"),
+            F.count("*").cast("bigint").alias("n_distinct"),
+            F.sum(F.col("vlen") * F.col("cnt")).cast("bigint")
+            .alias("plain_bytes"),
+            (
+                F.sum("vlen").cast("bigint")
+                + F.expr(
+                    "(sum(cnt) * (CASE WHEN count(*) <= 1 THEN 1"
+                    " ELSE length(bin(count(*) - 1)) END) + 7) div 8"
+                ).cast("bigint")
+            ).alias("dict_bytes"),
+            (F.sum("vlen") + 4 * F.count("*")).cast("bigint")
+            .alias("rle_sorted_bytes"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.select(
+        "*",
+        F.expr(
+            "CASE WHEN dict_bytes <= plain_bytes"
+            " AND dict_bytes <= rle_sorted_bytes THEN 'dict'"
+            " WHEN rle_sorted_bytes <= plain_bytes THEN 'rle_sorted'"
+            " ELSE 'plain' END"
+        ).alias("best_encoding"),
+    ).orderBy("column_name")

@@ -255,3 +255,36 @@ def test_delta_log_ignores_unreferenced_directory(spark, tmp_path_factory):
     # clobbering history semantics (overwrite of the orphan is fine)
     t.append_delta(spark.createDataFrame([(2, "b")], ["k", "v"]))
     assert {(r.k, r.v) for r in t.read().collect()} == {(1, "a"), (2, "b")}
+
+
+def test_encoding_advisor_sizes_are_consistent(spark):
+    """Sanity of the estimator itself: a low-cardinality flag must
+    dictionary- or RLE-encode below plain, a dense unique-ish key
+    must stay plain, and the recommendation is the argmin of the
+    three sizes."""
+    rows = {
+        r.column_name: r
+        for r in QUERIES["encoding_advisor"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    flag = rows["l_returnflag"]
+    assert flag.n_distinct <= 4
+    assert flag.dict_bytes < flag.plain_bytes
+    assert flag.rle_sorted_bytes < flag.plain_bytes
+    # sizes scale with the data: plain grows with rows, dict's
+    # dictionary part with distincts
+    key = rows["l_orderkey"]
+    assert key.n_distinct > 1000
+    assert key.plain_bytes > flag.plain_bytes // 2
+    for r in rows.values():
+        best = min(
+            ("dict", r.dict_bytes),
+            ("rle_sorted", r.rle_sorted_bytes),
+            ("plain", r.plain_bytes),
+            key=lambda kv: kv[1],
+        )[1]
+        assert (
+            {"dict": r.dict_bytes, "rle_sorted": r.rle_sorted_bytes,
+             "plain": r.plain_bytes}[r.best_encoding] == best
+        )
