@@ -22,7 +22,9 @@ Multiple ranks (e.g. the two trim points of a trimmed mean, or a
 whole percentile grid) resolve in the SAME passes: the bounds frame
 carries one row per query id and every histogram/window partitions by
 ``qid``, so selecting 99 percentiles costs the same number of scans
-as selecting one.
+as selecting one.  When ``v`` itself carries a ``qid`` column, each
+query selects over ONLY its own group's rows -- exact per-group
+percentiles (p95 per tenant/event type) in the same passes.
 
 At 100 TB: each round scans the (shrinking) candidate set once with
 constant-size partial state; ``rounds=2`` with 256 bins narrows 10^12
@@ -45,18 +47,24 @@ def rank_select(
     weight: str | None = None,
 ) -> DataFrame:
     """Return one row per rank query: ``(qid, value)`` where
-    ``value`` is the rank-th smallest ``c`` in ``v``.
+    ``value`` is the rank-th smallest ``c`` among the rows the query
+    selects over.
 
-    ``v``: a DataFrame with a single BIGINT column ``c`` (integer
-    domain -- use cents / scaled integers for money), plus a BIGINT
-    ``weight`` column when given.  The caller should
-    ``localCheckpoint`` it when it is derived from a scan, so the
-    per-round re-reads hit materialized blocks instead of
-    re-deriving the projection per branch.
+    ``v``: a DataFrame with a BIGINT column ``c`` (integer domain --
+    use cents / scaled integers for money), optionally a BIGINT
+    ``weight`` column, and optionally a ``qid`` column.  WITHOUT a
+    ``qid`` column every rank query runs over all of ``v``; WITH one,
+    query ``qid`` selects over only the rows whose ``v.qid`` matches
+    (grouped selection -- per-group exact percentiles).  The caller
+    should ``localCheckpoint`` a scan-derived ``v`` so the per-round
+    re-reads hit materialized blocks instead of re-deriving the
+    projection per branch.
 
     ``ranks``: a tiny DataFrame ``(qid: string, rank: bigint)`` with
-    1-based ranks in ``[1, count(v)]``.  It is broadcast; one row per
-    independent selection.
+    1-based ranks in ``[1, count of the query's rows]``.  It is
+    broadcast; one row per independent selection.  In the ungrouped
+    case ``qid`` is just a label; in the grouped case it must match
+    ``v.qid`` values.
 
     ``weight``: optional positive-BIGINT weight column in ``v``.
     Ranks are then in WEIGHT units: the result is the smallest value
@@ -71,20 +79,32 @@ def rank_select(
     width_expr = F.greatest(
         F.expr(f"(hi - lo + {bins}) div {bins}"), F.lit(1)
     )
+    grouped = "qid" in v.columns
+    if grouped:
+        v = v.withColumnRenamed("qid", "vqid")
+        bounds = (
+            v.groupBy(F.col("vqid").alias("qid"))
+            .agg(F.min("c").alias("lo"), F.max("c").alias("hi"))
+            .join(F.broadcast(ranks), "qid")
+            .select("qid", "lo", "hi", "rank")
+        )
+    else:
+        # (qid, lo, hi, rank) -- the full value range per query.
+        bounds = (
+            v.agg(F.min("c").alias("lo"), F.max("c").alias("hi"))
+            .crossJoin(F.broadcast(ranks))
+            .select("qid", "lo", "hi", "rank")
+        )
 
-    # (qid, lo, hi, rank) -- the full value range per query.
-    bounds = (
-        v.agg(F.min("c").alias("lo"), F.max("c").alias("hi"))
-        .crossJoin(F.broadcast(ranks))
-        .select("qid", "lo", "hi", "rank")
-    )
+    def _join_bounds(b: DataFrame) -> DataFrame:
+        cond = (F.col("c") >= F.col("lo")) & (F.col("c") <= F.col("hi"))
+        if grouped:
+            cond = (F.col("vqid") == F.col("qid")) & cond
+        return v.join(F.broadcast(b), cond)
 
     for _ in range(rounds):
         binned = (
-            v.join(
-                F.broadcast(bounds),
-                (F.col("c") >= F.col("lo")) & (F.col("c") <= F.col("hi")),
-            )
+            _join_bounds(bounds)
             .select(
                 "qid",
                 "lo",
@@ -132,10 +152,7 @@ def rank_select(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        v.join(
-            F.broadcast(bounds),
-            (F.col("c") >= F.col("lo")) & (F.col("c") <= F.col("hi")),
-        )
+        _join_bounds(bounds)
         .select("qid", "c", "rank", F.sum(w).over(wsel).alias("runw"))
         .filter(F.col("runw") >= F.col("rank"))
         .groupBy("qid")

@@ -1793,3 +1793,69 @@ def events_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("cum_pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact per-group p95 via grouped rank selection
+# ---------------------------------------------------------------------------
+@query(
+    "events_exact_p95",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+      FROM events
+    ),
+    n AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             CAST((count(*) * 95 + 99) // 100 AS BIGINT) AS target_rank
+      FROM v GROUP BY event_type
+    ),
+    o AS (
+      SELECT event_type, c,
+             row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn
+      FROM v
+    )
+    SELECT n.event_type, n.n_events, n.target_rank,
+           o.c AS p95_cents
+    FROM n JOIN o ON o.event_type = n.event_type
+                 AND o.rn = n.target_rank
+    ORDER BY n.event_type
+    """,
+)
+def events_exact_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT p95 event value per event type -- the latency-SLO
+    readout where percentile_approx's error bound is exactly what an
+    SLO audit cannot accept.  One rank query per group rides the
+    shared histogram-narrowing selector (qid = event_type), so ALL
+    groups resolve in the same two aggregation passes: per-round
+    state is (groups x bins) rows, and no stage ever sorts more than
+    a group's twice-narrowed sliver.  Contrast the textbook
+    row_number-per-group window (the oracle's plan): correct, but its
+    shuffle sorts every group's full history; the selector touches
+    full data only with constant-size combinable state.  Rank
+    ceil(0.95 n) on integer cents -- engine-exact."""
+    from ..operators.selection import rank_select
+
+    e = read_events(spark, sf_dir)
+    v = e.select(
+        F.col("event_type").alias("qid"),
+        F.round(F.col("value") * 100).cast("bigint").alias("c"),
+    ).localCheckpoint(eager=True)
+
+    n = v.groupBy("qid").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.expr("(count(*) * 95 + 99) div 100").cast("bigint").alias("rank"),
+    )
+    sel = rank_select(
+        v, n.select("qid", "rank"), rounds=2, bins=64
+    )
+    return (
+        sel.join(F.broadcast(n), "qid")
+        .select(
+            F.col("qid").alias("event_type"),
+            "n_events",
+            F.col("rank").alias("target_rank"),
+            F.col("value").alias("p95_cents"),
+        )
+        .orderBy("event_type")
+    )

@@ -200,3 +200,56 @@ def test_token_weighted_median_crosses_half_the_token_mass(spark):
     expect = int(s[np.searchsorted(cum, target)])
     assert row["total_tokens"] == int(lens.sum())
     assert row["median_token_doc_len"] == expect
+
+
+def test_rank_select_grouped_matches_per_group_sort(spark):
+    """Grouped selection (v carries qid): each query must select
+    over ONLY its own group's rows."""
+    rng = np.random.RandomState(5)
+    rows = [
+        (chr(ord("a") + int(g)), int(c))
+        for g, c in zip(
+            rng.randint(0, 3, size=300), rng.randint(-100, 100, size=300)
+        )
+    ]
+    schema = StructType(
+        [StructField("qid", StringType()), StructField("c", LongType())]
+    )
+    v = spark.createDataFrame(rows, schema)
+    import collections
+
+    groups = collections.defaultdict(list)
+    for g, c in rows:
+        groups[g].append(c)
+    ranks, want = [], {}
+    for g, vals in groups.items():
+        vals.sort()
+        k = (len(vals) * 95 + 99) // 100  # ceil(0.95 n)
+        ranks.append((g, k))
+        want[g] = vals[k - 1]
+    r = spark.createDataFrame([(g, int(k)) for g, k in ranks], _R_SCHEMA)
+    got = {
+        row["qid"]: row["value"]
+        for row in rank_select(v, r, rounds=2, bins=8).collect()
+    }
+    assert got == want
+
+
+def test_events_exact_p95_matches_numpy(spark):
+    rows = entrymod.queries()["events_exact_p95"](spark, SF).collect()
+    df = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("c"),
+        )
+        .toPandas()
+    )
+    for r in rows:
+        vals = np.sort(
+            df[df["event_type"] == r.event_type]["c"].to_numpy()
+        )
+        k = (len(vals) * 95 + 99) // 100
+        assert r.n_events == len(vals)
+        assert r.target_rank == k
+        assert r.p95_cents == int(vals[k - 1]), r.event_type
