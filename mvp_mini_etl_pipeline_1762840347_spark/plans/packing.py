@@ -295,3 +295,122 @@ def seqlen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket_tokens",
         F.sum("bucket_tokens").over(w).cast("bigint").alias("cum_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Size-class (harmonic) packing: no document straddles a boundary
+# ---------------------------------------------------------------------------
+@query(
+    "pack_sizeclass",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             CAST(length(bin({_PACK_BUDGET} // n_tokens)) - 1 AS BIGINT)
+               AS size_class
+      FROM t
+    ),
+    r AS (
+      SELECT doc_id, size_class, n_tokens,
+             row_number() OVER (PARTITION BY size_class
+                                ORDER BY doc_id) - 1 AS idx
+      FROM c
+    )
+    SELECT size_class,
+           CAST(1 << size_class AS BIGINT) AS docs_per_seq,
+           CAST(idx // (1 << size_class) AS BIGINT) AS seq_in_class,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc,
+           round(100.0 * sum(n_tokens) / {_PACK_BUDGET}, 4)
+             AS utilization_pct
+    FROM r GROUP BY size_class, seq_in_class
+    ORDER BY size_class, seq_in_class
+    """,
+)
+def pack_sizeclass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARMONIC packing: the bin-packing alternative to
+    pack_sequences' offset packing for readers that must NOT split a
+    document across sequences.  Each document joins size class
+    k = floor(log2(budget / tokens)); exactly 2^k class-k documents
+    fill one {budget}-token sequence, and because every class-k
+    document exceeds budget/2^(k+1), every emitted sequence is >50%
+    full by construction -- the harmonic algorithm's utilization
+    guarantee, visible in every emitted sequence's exact
+    `utilization_pct` (the number the packing planner compares
+    against offset packing's 100%-minus-tail); the last sequence of
+    a class may dip below it, carrying the class remainder.
+
+    Scale shape: the size class is a per-row expression (code width
+    via length(bin(b div n)) -- no float log2); the within-class
+    index runs through the PER-GROUP three-level scan
+    (operators/prefix.py::exclusive_cumsum with partition_by), so a
+    popular size class never serializes through one reducer the way
+    row_number() OVER (PARTITION BY class) would -- the oracle states
+    exactly that single-node window.  seq = idx div 2^k needs no
+    second pass; per-sequence accounting shuffles on the
+    (class, seq) key."""
+    d = read_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.size(F.split(F.lower(F.col("text")), r"\s+"))
+        .cast("bigint")
+        .alias("n_tokens"),
+    ).withColumn(
+        "size_class",
+        (
+            F.length(F.expr(f"bin({_PACK_BUDGET} div n_tokens)")) - 1
+        ).cast("bigint"),
+    )
+    idx = exclusive_cumsum(
+        t,
+        "doc_id",
+        F.lit(1),
+        out="idx",
+        bucket_width=_BUCKET_W,
+        super_width=_SUPER_W,
+        partition_by="size_class",
+    )
+    cap = F.expr("shiftleft(1L, cast(size_class as int))")
+    return (
+        idx.select(
+            "doc_id",
+            "size_class",
+            "n_tokens",
+            cap.cast("bigint").alias("docs_per_seq"),
+            F.expr(
+                "idx div shiftleft(1L, cast(size_class as int))"
+            ).cast("bigint").alias("seq_in_class"),
+        )
+        .groupBy("size_class", "docs_per_seq", "seq_in_class")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("seq_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .select(
+            "size_class",
+            "docs_per_seq",
+            "seq_in_class",
+            "n_docs",
+            "seq_tokens",
+            "first_doc",
+            "last_doc",
+            F.round(
+                100.0 * F.col("seq_tokens") / _PACK_BUDGET, 4
+            ).alias("utilization_pct"),
+        )
+        .orderBy("size_class", "seq_in_class")
+    )
+
+
+pack_sizeclass.__doc__ = pack_sizeclass.__doc__.replace(
+    "{budget}", str(_PACK_BUDGET)
+)

@@ -253,3 +253,22 @@ def test_events_exact_p95_matches_numpy(spark):
         assert r.n_events == len(vals)
         assert r.target_rank == k
         assert r.p95_cents == int(vals[k - 1]), r.event_type
+
+
+def test_pack_sizeclass_invariants(spark):
+    """Harmonic packing guarantees: every document lands in exactly
+    one sequence, no sequence exceeds the budget, and every
+    non-final sequence of a class is >50% utilized."""
+    rows = (
+        entrymod.queries()["pack_sizeclass"](spark, SF).toPandas()
+    )
+    n_docs_total = (
+        spark.read.parquet(f"{SF}/documents.parquet").count()
+    )
+    assert int(rows["n_docs"].sum()) == n_docs_total
+    assert (rows["seq_tokens"] <= 512).all()
+    last_seq = rows.groupby("size_class")["seq_in_class"].transform("max")
+    non_final = rows[rows["seq_in_class"] < last_seq]
+    assert (non_final["utilization_pct"] > 50.0).all()
+    # full sequences hold exactly docs_per_seq documents
+    assert (non_final["n_docs"] == non_final["docs_per_seq"]).all()
