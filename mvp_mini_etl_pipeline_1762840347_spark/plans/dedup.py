@@ -1670,3 +1670,70 @@ def dedup_rewrite_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rewritten_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplication matrix (provenance-level dedup insight)
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_source_matrix",
+    oracle=rf"""
+    WITH pairs AS ({_MINHASH_PAIRS_SQL}),
+    src AS (SELECT doc_id, source FROM documents),
+    m AS (
+      SELECT least(sa.source, sb.source) AS source_a,
+             greatest(sa.source, sb.source) AS source_b
+      FROM pairs p
+      JOIN src sa ON sa.doc_id = p.doc_a
+      JOIN src sb ON sb.doc_id = p.doc_b
+    )
+    SELECT source_a, source_b,
+           CAST(count(*) AS BIGINT) AS n_dup_pairs
+    FROM m GROUP BY source_a, source_b
+    HAVING count(*) >= 2
+    ORDER BY n_dup_pairs DESC, source_a, source_b
+    """,
+)
+def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHO duplicates WHOM: aggregate the near-dup candidate pairs to
+    the SOURCE-pair level -- the provenance matrix that turns a
+    document-level dedup run into a curation decision ("src A is a
+    mirror of src B: drop the source, not the documents one by one").
+    Diagonal entries (same source twice) measure within-source
+    duplication; the matrix is symmetrized by least/greatest so each
+    unordered source pair counts once.
+
+    Scale shape: the expensive part is the existing banded LSH
+    candidate generation (minhash_pairs, bucketed equi-join -- never
+    all-pairs); the provenance rollup joins the pair list (tiny
+    relative to the corpus) against the doc->source projection twice
+    and reduces to at most |sources|^2 rows.  The HAVING floor keeps
+    the readout to actionable pairs."""
+    pairs = minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    src = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    m = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("source").alias("sa"),
+            ),
+            "doc_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("source").alias("sb"),
+            ),
+            "doc_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+    )
+    return (
+        m.groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("bigint").alias("n_dup_pairs"))
+        .filter(F.col("n_dup_pairs") >= 2)
+        .orderBy(F.desc("n_dup_pairs"), "source_a", "source_b")
+    )

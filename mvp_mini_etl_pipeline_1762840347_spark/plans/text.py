@@ -1730,3 +1730,107 @@ def token_weighted_median_len(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.crossJoin(
         F.broadcast(sel.select(F.col("value").alias("median_token_doc_len")))
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary growth curve (Heaps' law, by corpus-prefix checkpoints)
+# ---------------------------------------------------------------------------
+@query(
+    "vocab_growth_heaps",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w
+      FROM documents
+    ),
+    bounds AS (
+      SELECT min(doc_id) AS lo, max(doc_id) - min(doc_id) + 1 AS span
+      FROM documents
+    ),
+    first_seen AS (
+      SELECT w, min(doc_id) AS first_doc FROM tok GROUP BY w
+    ),
+    new_types AS (
+      SELECT CAST((first_doc - lo) * 10 // span AS BIGINT) AS decile,
+             count(*) AS n_new
+      FROM first_seen CROSS JOIN bounds GROUP BY 1
+    ),
+    occ AS (
+      SELECT CAST((doc_id - lo) * 10 // span AS BIGINT) AS decile,
+             count(*) AS n_occ
+      FROM tok CROSS JOIN bounds GROUP BY 1
+    )
+    SELECT o.decile,
+           CAST(coalesce(t.n_new, 0) AS BIGINT) AS new_types,
+           CAST(sum(coalesce(t.n_new, 0))
+                OVER (ORDER BY o.decile) AS BIGINT) AS cum_types,
+           CAST(o.n_occ AS BIGINT) AS bucket_tokens,
+           CAST(sum(o.n_occ) OVER (ORDER BY o.decile) AS BIGINT)
+             AS cum_tokens
+    FROM occ o LEFT JOIN new_types t ON t.decile = o.decile
+    ORDER BY o.decile
+    """,
+)
+def vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Heaps'-law vocabulary growth curve: at ten corpus-prefix
+    checkpoints (doc-id range deciles -- ingest order), how many
+    token occurrences have streamed past and how many DISTINCT token
+    types have appeared.  The curve is the tokenizer-planning input
+    (how fast does the vocab grow? is decile 9 still minting types,
+    i.e. is the corpus OOV-heavy?) and an all-integer output, so the
+    oracle match is engine-exact with no fitted float.
+
+    Scale shape: a type's first appearance is min(doc_id) per token
+    -- ONE map-side-combinable aggregation over the exploded token
+    stream (the same explode the inverted index pays); both per-
+    decile counts then reduce to 10 rows, and the cumulative sums are
+    windows over those 10 rows, not over data.  No global sort, no
+    per-prefix rescans (the naive form recounts distinct types per
+    checkpoint -- 10 corpus passes)."""
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id", F.explode(_toks(F.col("text"))).alias("w")
+    )
+    bounds = F.broadcast(
+        d.agg(
+            F.min("doc_id").alias("lo"),
+            (F.max("doc_id") - F.min("doc_id") + 1).alias("span"),
+        )
+    )
+    first_seen = tok.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    new_types = (
+        first_seen.crossJoin(bounds)
+        .select(
+            F.expr("(first_doc - lo) * 10 div span")
+            .cast("bigint")
+            .alias("decile")
+        )
+        .groupBy("decile")
+        .agg(F.count("*").alias("n_new"))
+    )
+    occ = (
+        tok.crossJoin(bounds)
+        .select(
+            F.expr("(doc_id - lo) * 10 div span")
+            .cast("bigint")
+            .alias("decile")
+        )
+        .groupBy("decile")
+        .agg(F.count("*").alias("n_occ"))
+    )
+    w10 = Window.orderBy("decile")  # 10 rows: bounded frame
+    return (
+        occ.join(new_types, "decile", "left")
+        .select(
+            "decile",
+            F.coalesce("n_new", F.lit(0)).cast("bigint").alias("new_types"),
+            "n_occ",
+        )
+        .select(
+            "decile",
+            "new_types",
+            F.sum("new_types").over(w10).cast("bigint").alias("cum_types"),
+            F.col("n_occ").cast("bigint").alias("bucket_tokens"),
+            F.sum("n_occ").over(w10).cast("bigint").alias("cum_tokens"),
+        )
+        .orderBy("decile")
+    )

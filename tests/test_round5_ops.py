@@ -339,3 +339,51 @@ def test_multiprobe_recall_dominates_single_probe(spark):
         r_single = len(ex[qid] & got_s) / len(ex[qid])
         r_multi = len(ex[qid] & got_m) / len(ex[qid])
         assert r_multi >= r_single, (qid, r_single, r_multi)
+
+
+def test_vocab_growth_curve_is_monotone_and_conserves(spark):
+    """Growth-curve invariants: cum_types / cum_tokens are strictly
+    monotone, the last checkpoint equals the corpus totals, and
+    new_types sums to the distinct-type count."""
+    rows = entrymod.queries()["vocab_growth_heaps"](spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    tok = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w")
+    )
+    total_occ = tok.count()
+    total_types = tok.distinct().count()
+    cum_t = [r.cum_types for r in rows]
+    cum_o = [r.cum_tokens for r in rows]
+    assert cum_t == sorted(cum_t) and cum_o == sorted(cum_o)
+    assert cum_o[-1] == total_occ
+    assert cum_t[-1] == total_types
+    assert sum(r.new_types for r in rows) == total_types
+
+
+def test_source_matrix_counts_match_pair_join(spark):
+    """The source matrix is exactly the pair list rolled up through
+    the doc->source map (recomputed via pandas)."""
+    from mvp_mini_etl_pipeline_1762840347_spark.plans.dedup import (
+        minhash_pairs,
+    )
+
+    pairs = minhash_pairs(spark, SF).toPandas()
+    src = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "source")
+        .toPandas()
+        .set_index("doc_id")["source"]
+    )
+    import collections
+
+    want = collections.Counter(
+        tuple(sorted((src[a], src[b])))
+        for a, b in zip(pairs["doc_a"], pairs["doc_b"])
+    )
+    got = {
+        (r.source_a, r.source_b): r.n_dup_pairs
+        for r in entrymod.queries()["dedup_source_matrix"](
+            spark, SF
+        ).collect()
+    }
+    assert got == {k: v for k, v in want.items() if v >= 2}
