@@ -357,3 +357,165 @@ def score_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("norm_score").alias("min_norm"),
         F.max("norm_score").alias("max_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction interval (distribution-free coverage)
+# ---------------------------------------------------------------------------
+_CFP_ALPHA_PCT = 10  # target 90% coverage
+
+# Shared float formulas (exact-integer inputs -> bit-identical
+# doubles in both engines; same discipline as influence_diagnostics).
+_CFP_B = (
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+)
+_CFP_A = "(CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)"
+_CFP_SCORE = (
+    "CAST(round(abs(CAST(y AS DOUBLE)"
+    " - (a + b * CAST(x AS DOUBLE)))) AS BIGINT)"
+)
+
+
+@query(
+    "conformal_interval",
+    oracle=f"""
+    WITH v AS (
+      SELECT l_orderkey % 10 AS fold,
+             CAST(l_quantity AS BIGINT) AS x,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    fit AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM v WHERE fold < 8
+    ),
+    ab AS (SELECT *, {_CFP_B} AS b FROM fit),
+    ab2 AS (SELECT *, {_CFP_A} AS a FROM ab),
+    cal AS (
+      SELECT {_CFP_SCORE} AS s FROM v CROSS JOIN ab2 WHERE fold = 8
+    ),
+    caln AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_cal,
+             CAST(least(((count(*) + 1) * {100 - _CFP_ALPHA_PCT} + 99)
+                        // 100, count(*)) AS BIGINT) AS target_rank
+      FROM cal
+    ),
+    qhat AS (
+      SELECT (SELECT max(s) FROM (SELECT s FROM cal ORDER BY s
+                                  LIMIT (SELECT target_rank FROM caln)))
+               AS q_hat_cents
+    ),
+    test AS (
+      SELECT {_CFP_SCORE} AS s FROM v CROSS JOIN ab2 WHERE fold = 9
+    )
+    SELECT (SELECT n FROM fit) AS n_train,
+           (SELECT n_cal FROM caln) AS n_cal,
+           (SELECT target_rank FROM caln) AS target_rank,
+           (SELECT q_hat_cents FROM qhat) AS q_hat_cents,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN s <= (SELECT q_hat_cents FROM qhat)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+           round(100.0 * sum(CASE WHEN s <= (SELECT q_hat_cents FROM qhat)
+                             THEN 1 ELSE 0 END) / count(*), 4)
+             AS coverage_pct
+    FROM test
+    """,
+)
+def conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal calibration: fit price ~ quantity on the train
+    folds, take the ceil((n_cal+1)(1-alpha))-th smallest absolute
+    residual on a held-out CALIBRATION fold as the interval
+    half-width q_hat, and measure the realized coverage on a disjoint
+    TEST fold -- the distribution-free guarantee (>= {cov}% coverage
+    in expectation, regardless of the model being wrong) that a
+    point-estimate readout like crossval_regression cannot make.
+    Splits are by order key (mod 10: 0-7 train, 8 cal, 9 test), so
+    all three sets are disjoint at the entity level.
+
+    Composition of the repo's own primitives at scale: the fit is one
+    sufficient-statistics aggregation (constant state); scores derive
+    from shared SQL formulas over exact integers (bit-identical
+    doubles in both engines, then rounded to integer cents); the
+    calibration quantile is the histogram-narrowing selector
+    (operators/selection.py::rank_select -- the oracle brute-forces
+    ORDER BY/LIMIT), and coverage is one conditional count.  Nothing
+    sorts more than the twice-narrowed calibration sliver."""
+    from ..operators.selection import rank_select
+
+    li = read_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        (F.col("l_orderkey") % 10).alias("fold"),
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    )
+    fit = v.filter(F.col("fold") < 8).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.expr("x * x")).cast("bigint").alias("sxx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.expr("x * y")).cast("bigint").alias("sxy"),
+    )
+    ab = fit.select("*", F.expr(_CFP_B).alias("b"))
+    ab2 = F.broadcast(ab.select("*", F.expr(_CFP_A).alias("a")))
+    cal = (
+        v.filter(F.col("fold") == 8)
+        .crossJoin(ab2)
+        .select(F.expr(_CFP_SCORE).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    caln = cal.agg(
+        F.count("*").cast("bigint").alias("n_cal"),
+        F.expr(
+            f"least(((count(*) + 1) * {100 - _CFP_ALPHA_PCT} + 99)"
+            " div 100, count(*))"
+        ).cast("bigint").alias("target_rank"),
+    )
+    qhat = rank_select(
+        cal,
+        caln.select(F.lit("q").alias("qid"), F.col("target_rank").alias("rank")),
+        rounds=2,
+        bins=256,
+    ).select(F.col("value").alias("q_hat_cents"))
+    test = (
+        v.filter(F.col("fold") == 9)
+        .crossJoin(ab2)
+        .select(F.expr(_CFP_SCORE).alias("s"))
+    )
+    cov = (
+        test.crossJoin(F.broadcast(qhat))
+        .groupBy("q_hat_cents")
+        .agg(
+            F.count("*").cast("bigint").alias("n_test"),
+            F.sum(
+                F.when(F.col("s") <= F.col("q_hat_cents"), 1).otherwise(0)
+            ).cast("bigint").alias("n_covered"),
+        )
+    )
+    return (
+        fit.select(F.col("n").alias("n_train"))
+        .crossJoin(F.broadcast(caln))
+        .crossJoin(F.broadcast(cov))
+        .select(
+            "n_train",
+            "n_cal",
+            "target_rank",
+            "q_hat_cents",
+            "n_test",
+            "n_covered",
+            F.round(
+                100.0 * F.col("n_covered") / F.col("n_test"), 4
+            ).alias("coverage_pct"),
+        )
+    )
+
+
+conformal_interval.__doc__ = conformal_interval.__doc__.format(
+    cov=100 - _CFP_ALPHA_PCT
+)

@@ -272,3 +272,47 @@ def test_pack_sizeclass_invariants(spark):
     assert (non_final["utilization_pct"] > 50.0).all()
     # full sequences hold exactly docs_per_seq documents
     assert (non_final["n_docs"] == non_final["docs_per_seq"]).all()
+
+
+def test_conformal_interval_matches_sequential(spark):
+    """Sequential recompute of the whole conformal pipeline: same
+    splits, OLS fit, calibration quantile, and coverage."""
+    row = (
+        entrymod.queries()["conformal_interval"](spark, SF)
+        .collect()[0]
+        .asDict()
+    )
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select(
+            (F.col("l_orderkey") % 10).alias("fold"),
+            F.col("l_quantity").cast("bigint").alias("x"),
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("bigint")
+            .alias("y"),
+        )
+        .toPandas()
+    )
+    tr = df[df["fold"] < 8]
+    n = len(tr)
+    sx, sy = tr["x"].sum(), tr["y"].sum()
+    sxx = (tr["x"] * tr["x"]).sum()
+    sxy = (tr["x"] * tr["y"]).sum()
+    b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    a = (sy - b * sx) / n
+
+    def scores(part):
+        return np.round(
+            np.abs(part["y"].to_numpy() - (a + b * part["x"].to_numpy()))
+        ).astype(np.int64)
+
+    cal = np.sort(scores(df[df["fold"] == 8]))
+    k = min(((len(cal) + 1) * 90 + 99) // 100, len(cal))
+    q = int(cal[k - 1])
+    ts = scores(df[df["fold"] == 9])
+    assert row["n_train"] == n and row["n_cal"] == len(cal)
+    assert row["target_rank"] == k and row["q_hat_cents"] == q
+    assert row["n_test"] == len(ts)
+    assert row["n_covered"] == int((ts <= q).sum())
+    # the guarantee itself (finite-sample, so allow slack)
+    assert row["coverage_pct"] > 80.0
