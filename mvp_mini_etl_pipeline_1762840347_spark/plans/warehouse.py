@@ -1702,3 +1702,108 @@ def encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE 'plain' END"
         ).alias("best_encoding"),
     ).orderBy("column_name")
+
+
+# ---------------------------------------------------------------------------
+# Partition-layout advisor (file counts / shuffle sizing from stats)
+# ---------------------------------------------------------------------------
+_PA_TABLES = ("lineitem", "orders", "customer", "documents")
+# Schema-constant bytes per row for the fixed-width columns of each
+# table (BIGINT/DOUBLE/TIMESTAMP = 8, INTEGER = 4); variable-width
+# string columns are measured exactly.
+_PA_FIXED = {"lineitem": 8 * 10 + 4, "orders": 8 * 4, "customer": 8 * 2,
+             "documents": 8 * 2}
+_PA_VARCOLS = {
+    "lineitem": ("l_returnflag", "l_linestatus"),
+    "orders": ("o_orderstatus", "o_orderpriority"),
+    "customer": ("c_name", "c_mktsegment"),
+    "documents": ("text", "lang", "source"),
+}
+_PA_TARGET_FILE = 128 * 1024 * 1024  # 128 MiB scan files
+_PA_TASK_MEM = 64 * 1024 * 1024      # 64 MiB in-memory shuffle task
+
+
+def _pa_oracle_one(table: str) -> str:
+    varlen = " + ".join(
+        f"strlen({c})" for c in _PA_VARCOLS[table]
+    )
+    return f"""
+    SELECT '{table}' AS tbl,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST({_PA_FIXED[table]} * count(*) + sum({varlen}) AS BIGINT)
+             AS est_bytes
+    FROM {table}
+    """
+
+
+@query(
+    "partition_advisor",
+    oracle="WITH s AS (\n"
+    + "\nUNION ALL\n".join(_pa_oracle_one(t) for t in _PA_TABLES)
+    + f"""
+    )
+    SELECT tbl, n_rows, est_bytes,
+           CAST((est_bytes + n_rows // 2) // greatest(n_rows, 1) AS BIGINT)
+             AS avg_row_bytes,
+           CAST(greatest((est_bytes + {_PA_TARGET_FILE} - 1)
+                         // {_PA_TARGET_FILE}, 1) AS BIGINT)
+             AS target_scan_files,
+           CAST(greatest((est_bytes + {_PA_TASK_MEM} - 1)
+                         // {_PA_TASK_MEM}, 1) AS BIGINT)
+             AS target_shuffle_partitions
+    FROM s ORDER BY tbl
+    """,
+)
+def partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-layout advisor: per table, an exact in-memory size
+    model (schema-constant bytes for fixed-width columns + measured
+    bytes for every string column) and the two numbers a layout job
+    derives from it -- how many {fm}-MiB scan files a compaction
+    should emit, and how many shuffle partitions keep a sort/join
+    task under {tm} MiB of input.  This is the sizing arithmetic
+    behind spark.sql.files.maxPartitionBytes /
+    spark.sql.shuffle.partitions: stated as a query so the
+    recommendation is auditable against the stats that produced it
+    (compare table_stats_orders for the optimizer-statistics view and
+    encoding_advisor for the on-disk encoding view; this one sizes
+    the UNENCODED working set that tasks actually hold).
+
+    One column-pruned aggregation per table, constant partial state;
+    integer ceil-division throughout, so the oracle match is
+    engine-exact."""
+    out = None
+    for table in _PA_TABLES:
+        t = read_table(spark, sf_dir, table)
+        varlen = sum(
+            (F.octet_length(c) for c in _PA_VARCOLS[table][1:]),
+            F.octet_length(_PA_VARCOLS[table][0]),
+        )
+        row = t.agg(
+            F.lit(table).alias("tbl"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            (
+                F.lit(_PA_FIXED[table]) * F.count("*") + F.sum(varlen)
+            ).cast("bigint").alias("est_bytes"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.select(
+        "tbl",
+        "n_rows",
+        "est_bytes",
+        F.expr(
+            "(est_bytes + n_rows div 2) div greatest(n_rows, 1)"
+        ).cast("bigint").alias("avg_row_bytes"),
+        F.expr(
+            f"greatest((est_bytes + {_PA_TARGET_FILE} - 1)"
+            f" div {_PA_TARGET_FILE}, 1)"
+        ).cast("bigint").alias("target_scan_files"),
+        F.expr(
+            f"greatest((est_bytes + {_PA_TASK_MEM} - 1)"
+            f" div {_PA_TASK_MEM}, 1)"
+        ).cast("bigint").alias("target_shuffle_partitions"),
+    ).orderBy("tbl")
+
+
+partition_advisor.__doc__ = partition_advisor.__doc__.format(
+    fm=_PA_TARGET_FILE // (1024 * 1024), tm=_PA_TASK_MEM // (1024 * 1024)
+)

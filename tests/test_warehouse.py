@@ -288,3 +288,25 @@ def test_encoding_advisor_sizes_are_consistent(spark):
             {"dict": r.dict_bytes, "rle_sorted": r.rle_sorted_bytes,
              "plain": r.plain_bytes}[r.best_encoding] == best
         )
+
+
+def test_partition_advisor_arithmetic(spark):
+    """The recommendations are exact ceil-divisions of the measured
+    size model, and the size model is bounded below by the
+    fixed-width floor."""
+    rows = {
+        r.tbl: r
+        for r in QUERIES["partition_advisor"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    li = rows["lineitem"]
+    assert li.est_bytes >= 84 * li.n_rows  # fixed-width floor
+    for r in rows.values():
+        assert r.target_scan_files == max(
+            -(-r.est_bytes // (128 * 1024 * 1024)), 1
+        )
+        assert r.target_shuffle_partitions == max(
+            -(-r.est_bytes // (64 * 1024 * 1024)), 1
+        )
+        assert r.avg_row_bytes == (r.est_bytes + r.n_rows // 2) // r.n_rows
