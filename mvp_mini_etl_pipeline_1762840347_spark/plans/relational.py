@@ -1111,3 +1111,94 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bal_conflict",
         "max_intra_dist",
     )
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood ER blocking (windowed candidate pairs, no sort)
+# ---------------------------------------------------------------------------
+_SN_W = 3       # neighborhood window: pair records within W sort ranks
+_SN_PREFIX = 2  # value-based block = first chars of the sort key
+
+
+@query(
+    "er_sorted_neighborhood",
+    oracle=f"""
+    WITH k AS (
+      SELECT c_custkey, reverse(lower(c_name)) AS r FROM customer
+    ),
+    ranked AS (
+      SELECT c_custkey, row_number() OVER (ORDER BY r, c_custkey) AS rn
+      FROM k
+    )
+    SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+           CAST(b.rn - a.rn AS BIGINT) AS rank_dist
+    FROM ranked a JOIN ranked b
+      ON b.rn > a.rn AND b.rn <= a.rn + {_SN_W}
+    ORDER BY custkey_a, custkey_b
+    """,
+)
+def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking for entity resolution: sort
+    records by a fuzzy key (the REVERSED lowercased name -- the
+    classic trick that clusters suffix typos) and emit every pair
+    within {w} sort ranks -- O(n*{w}) candidates instead of O(n^2),
+    the complement of token/LSH blocking for typo-class duplicates
+    that share no token.
+
+    The oracle states the textbook form: one global sort + a
+    rank-distance self-join.  The distributed form never sorts
+    globally: the key space splits into VALUE-BASED blocks (a
+    {p}-char key prefix -- lengthen the prefix until a block fits a
+    task), ranks are per-block windows, and block offsets come from a
+    prefix sum over the bounded block list, so global_rank =
+    block_offset + in-block rank reconstructs the exact global
+    ranking.  Pair generation is then an EQUI-join: the left side
+    explodes j in 1..{w} and matches rank+j against rank -- a unique
+    integer key join, no range predicate, no boundary special-casing
+    (cross-block pairs fall out of the offset arithmetic)."""
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.reverse(F.lower(F.col("c_name"))).alias("r")
+    )
+    blocked = c.withColumn("blk", F.substring("r", 1, _SN_PREFIX))
+    wb = Window.partitionBy("blk").orderBy("r", "c_custkey")
+    ranked = blocked.withColumn(
+        "idx", F.row_number().over(wb) - 1
+    )
+    counts = blocked.groupBy("blk").agg(F.count("*").alias("cnt"))
+    woff = Window.orderBy("blk").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )  # <= 10^prefix rows: bounded frame
+    offs = counts.select(
+        "blk", (F.sum("cnt").over(woff) - F.col("cnt")).alias("off")
+    )
+    g = (
+        ranked.join(F.broadcast(offs), "blk")
+        .select(
+            "c_custkey", (F.col("idx") + F.col("off") + 1).alias("grank")
+        )
+    )
+    left = g.select(
+        F.col("c_custkey").alias("custkey_a"),
+        "grank",
+        F.explode(
+            F.sequence(F.lit(1), F.lit(_SN_W))
+        ).alias("rank_dist"),
+    ).withColumn("partner", F.col("grank") + F.col("rank_dist"))
+    return (
+        left.join(
+            g.select(
+                F.col("c_custkey").alias("custkey_b"),
+                F.col("grank").alias("partner"),
+            ),
+            "partner",
+        )
+        .select(
+            "custkey_a", "custkey_b", F.col("rank_dist").cast("bigint")
+        )
+        .orderBy("custkey_a", "custkey_b")
+    )
+
+
+er_sorted_neighborhood.__doc__ = er_sorted_neighborhood.__doc__.format(
+    w=_SN_W, p=_SN_PREFIX
+)

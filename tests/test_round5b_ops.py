@@ -486,3 +486,17 @@ def test_watermark_audit_matches_sequential_replay(spark):
     for r in rows:  # cumulative coverage is a proper CDF over bands
         cum += r.n_events
         assert r.cum_pct == round(100.0 * cum / len(e), 2)
+
+
+def test_sorted_neighborhood_pair_census(spark):
+    """Sorted-neighborhood blocking emits exactly W*n - W(W+1)/2
+    candidate pairs (each rank distance j contributes n-j pairs) and
+    every pair sits within W ranks."""
+    rows = entrymod.queries()["er_sorted_neighborhood"](
+        spark, SF
+    ).collect()
+    n = spark.read.parquet(f"{SF}/customer.parquet").count()
+    W = 3
+    assert len(rows) == W * n - W * (W + 1) // 2
+    assert all(1 <= r.rank_dist <= W for r in rows)
+    assert all(r.custkey_a != r.custkey_b for r in rows)
