@@ -1807,3 +1807,115 @@ def partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
 partition_advisor.__doc__ = partition_advisor.__doc__.format(
     fm=_PA_TARGET_FILE // (1024 * 1024), tm=_PA_TASK_MEM // (1024 * 1024)
 )
+
+
+# ---------------------------------------------------------------------------
+# Materialized-view advisor (workload-driven, budgeted greedy)
+# ---------------------------------------------------------------------------
+# Candidate group-by views over the fact table with their (assumed)
+# weekly query frequencies -- the workload summary an advisor is fed.
+_MV_CANDIDATES = (
+    ("v_returnflag", "l_returnflag", 500),
+    ("v_flag_status", "l_returnflag, l_linestatus", 300),
+    ("v_partkey", "l_partkey", 120),
+    ("v_suppkey", "l_suppkey", 80),
+    ("v_orderkey", "l_orderkey", 40),
+)
+_MV_BUDGET_PCT = 30  # materialized rows allowed: 30% of fact rows
+
+# Benefit/cost ratio on exact integers -> identical doubles.
+_MV_RATIO = (
+    "CAST(freq AS DOUBLE) * (CAST(fact_rows AS DOUBLE)"
+    " - CAST(view_rows AS DOUBLE)) / CAST(view_rows AS DOUBLE)"
+)
+
+
+def _mv_oracle_one(name: str, keys: str, freq: int) -> str:
+    return f"""
+    SELECT '{name}' AS view_name, {freq} AS freq,
+           CAST(count(*) AS BIGINT) AS view_rows
+    FROM (SELECT DISTINCT {keys} FROM lineitem)
+    """
+
+
+@query(
+    "mv_advisor",
+    oracle="WITH cand AS (\n"
+    + "\nUNION ALL\n".join(_mv_oracle_one(*c) for c in _MV_CANDIDATES)
+    + f"""
+    ),
+    f AS (SELECT CAST(count(*) AS BIGINT) AS fact_rows,
+                 CAST(count(*) * {_MV_BUDGET_PCT} // 100 AS BIGINT)
+                   AS budget_rows
+          FROM lineitem),
+    scored AS (
+      SELECT cand.*, f.fact_rows, f.budget_rows, {_MV_RATIO} AS ratio
+      FROM cand CROSS JOIN f
+    ),
+    ranked AS (
+      SELECT *, sum(view_rows) OVER (ORDER BY ratio DESC, view_name
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_rows
+      FROM scored
+    )
+    SELECT view_name, freq, view_rows, fact_rows,
+           round(ratio, 4) AS benefit_per_row,
+           CAST(cum_rows AS BIGINT) AS cum_rows,
+           cum_rows <= budget_rows AS materialize
+    FROM ranked ORDER BY ratio DESC, view_name
+    """,
+)
+def mv_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Workload-driven materialized-view selection: each candidate
+    group-by view is sized EXACTLY (distinct key count -- what the
+    view would store), scored benefit-per-row = freq * rows_saved /
+    view_rows, and admitted in ratio order while the cumulative
+    materialized rows fit a {b}%-of-fact budget (ordered prefix
+    knapsack -- the deterministic greedy an advisor defends to a DBA,
+    stated as the rule so the choice is auditable).  The coarse
+    rollups win (huge saving, tiny cost); the per-order view prices
+    itself out -- the crossover IS the advisor's output.
+
+    One distinct-count aggregation per candidate (column-pruned
+    scan), a 1-row fact census, then ranking windows over the
+    bounded candidate list.  Ratio floats divide exact integers via
+    a shared SQL formula, so both engines order candidates
+    identically."""
+    cand = None
+    for name, keys, freq in _MV_CANDIDATES:
+        li = read_table(spark, sf_dir, "lineitem")
+        row = (
+            li.select([k.strip() for k in keys.split(",")])
+            .distinct()
+            .agg(
+                F.lit(name).alias("view_name"),
+                F.lit(freq).alias("freq"),
+                F.count("*").cast("bigint").alias("view_rows"),
+            )
+        )
+        cand = row if cand is None else cand.unionByName(row)
+    f = read_table(spark, sf_dir, "lineitem").agg(
+        F.count("*").cast("bigint").alias("fact_rows"),
+        F.expr(f"count(*) * {_MV_BUDGET_PCT} div 100")
+        .cast("bigint")
+        .alias("budget_rows"),
+    )
+    scored = cand.crossJoin(F.broadcast(f)).withColumn(
+        "ratio", F.expr(_MV_RATIO)
+    )
+    wr = Window.orderBy(F.desc("ratio"), "view_name").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )  # bounded: one row per candidate view
+    ranked = scored.withColumn("cum_rows", F.sum("view_rows").over(wr))
+    return ranked.select(
+        "view_name",
+        "freq",
+        "view_rows",
+        "fact_rows",
+        F.round("ratio", 4).alias("benefit_per_row"),
+        F.col("cum_rows").cast("bigint").alias("cum_rows"),
+        (F.col("cum_rows") <= F.col("budget_rows")).alias("materialize"),
+    ).orderBy(F.desc("ratio"), "view_name")
+
+
+mv_advisor.__doc__ = mv_advisor.__doc__.format(b=_MV_BUDGET_PCT)

@@ -310,3 +310,23 @@ def test_partition_advisor_arithmetic(spark):
             -(-r.est_bytes // (64 * 1024 * 1024)), 1
         )
         assert r.avg_row_bytes == (r.est_bytes + r.n_rows // 2) // r.n_rows
+
+
+def test_mv_advisor_greedy_rule(spark):
+    """The admitted set is exactly the ratio-ordered prefix that fits
+    the budget, ratios are correctly computed from exact sizes, and
+    the cheap coarse rollup is always admitted."""
+    rows = QUERIES["mv_advisor"](spark, SF).collect()
+    fact = rows[0].fact_rows
+    budget = fact * 30 // 100
+    ratios = [
+        r.freq * (fact - r.view_rows) / r.view_rows for r in rows
+    ]
+    assert ratios == sorted(ratios, reverse=True)
+    cum = 0
+    for r in rows:
+        cum += r.view_rows
+        assert r.cum_rows == cum
+        assert r.materialize == (cum <= budget)
+    by_name = {r.view_name: r for r in rows}
+    assert by_name["v_returnflag"].materialize  # 4-row view: free win
