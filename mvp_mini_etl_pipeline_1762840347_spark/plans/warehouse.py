@@ -1919,3 +1919,82 @@ def mv_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 mv_advisor.__doc__ = mv_advisor.__doc__.format(b=_MV_BUDGET_PCT)
+
+
+# ---------------------------------------------------------------------------
+# Order-independent table fingerprints (replication validation)
+# ---------------------------------------------------------------------------
+# Canonical column list per table: integer and string columns only
+# (float/timestamp render differently across engines; a production
+# fingerprint canonicalizes them to scaled integers first, as the
+# money queries do).
+_FP_TABLES = (
+    ("region", ("r_regionkey", "r_name")),
+    ("nation", ("n_nationkey", "n_name", "n_regionkey")),
+    ("customer", ("c_custkey", "c_name", "c_nationkey", "c_mktsegment")),
+    ("supplier", ("s_suppkey", "s_name", "s_nationkey")),
+    ("part", ("p_partkey", "p_name", "p_brand", "p_type", "p_size")),
+    ("orders", ("o_orderkey", "o_custkey", "o_orderstatus",
+                "o_orderpriority")),
+    ("lineitem", ("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+                  "l_returnflag", "l_linestatus")),
+    ("documents", ("doc_id", "lang", "source", "n_chars")),
+)
+
+
+def _fp_oracle_one(table: str, cols: tuple) -> str:
+    canon = " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+    return f"""
+    SELECT '{table}' AS tbl,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(h) % 9223372036854775783 AS BIGINT) AS sum_fp,
+           CAST(bit_xor(h) AS BIGINT) AS xor_fp
+    FROM (
+      SELECT ('0x' || substring(md5({canon}), 1, 15))::BIGINT AS h
+      FROM {table}
+    )
+    """
+
+
+@query(
+    "table_fingerprint",
+    oracle="\nUNION ALL\n".join(
+        _fp_oracle_one(t, c) for t, c in _FP_TABLES
+    )
+    + "\nORDER BY tbl",
+)
+def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent content fingerprints per table: each row
+    canonicalizes its integer/string columns to one '|'-joined
+    string, hashes it to a 60-bit integer (md5 prefix), and the table
+    fingerprint is BOTH the modular sum and the bitwise XOR of row
+    hashes -- commutative/associative reductions, so the fingerprint
+    is identical for ANY row order, partitioning, or engine.  This is
+    the replication/migration validator: two copies of a table agree
+    iff (n_rows, sum_fp, xor_fp) agree (sum catches duplicated rows
+    that XOR cancels; XOR catches the even-multiplicity edits a
+    bounded sum could collide on), without ever co-locating the
+    copies -- each side ships 3 integers.
+
+    One scan per table with constant combinable state -- the cheapest
+    possible full-content check; the same mechanics the driver's own
+    cross-engine value hash relies on, registered here as a
+    first-class operator."""
+    out = None
+    for table, cols in _FP_TABLES:
+        t = read_table(spark, sf_dir, table)
+        canon = F.concat_ws(
+            "|", *[F.col(c).cast("string") for c in cols]
+        )
+        h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("bigint")
+        row = t.select(h.alias("h")).agg(
+            F.lit(table).alias("tbl"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            (F.sum(F.col("h").cast("decimal(38,0)"))
+             % F.lit(9223372036854775783).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("sum_fp"),
+            F.expr("bit_xor(h)").cast("bigint").alias("xor_fp"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("tbl")

@@ -330,3 +330,57 @@ def test_mv_advisor_greedy_rule(spark):
         assert r.materialize == (cum <= budget)
     by_name = {r.view_name: r for r in rows}
     assert by_name["v_returnflag"].materialize  # 4-row view: free win
+
+
+def test_table_fingerprint_order_invariant_and_edit_sensitive(spark):
+    """The fingerprint is identical under arbitrary reordering /
+    repartitioning, and any single-row edit changes it."""
+    rows = {
+        r.tbl: r for r in QUERIES["table_fingerprint"](spark, SF).collect()
+    }
+    nat = read_table(spark, SF, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+    def fp(df):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[F.col(c).cast("string") for c in df.columns],
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        r = df.select(h.alias("h")).agg(
+            F.count("*").alias("n"),
+            (
+                F.sum(F.col("h").cast("decimal(38,0)"))
+                % F.lit(9223372036854775783).cast("decimal(38,0)")
+            ).cast("bigint").alias("s"),
+            F.expr("bit_xor(h)").cast("bigint").alias("x"),
+        ).first()
+        return (r.n, r.s, r.x)
+
+    base = fp(nat)
+    shuffled = fp(nat.orderBy(F.rand(7)).repartition(13))
+    assert base == shuffled
+    assert base == (
+        rows["nation"].n_rows,
+        rows["nation"].sum_fp,
+        rows["nation"].xor_fp,
+    )
+    edited = fp(
+        nat.withColumn(
+            "n_name",
+            F.when(F.col("n_nationkey") == 0, F.lit("EDITED")).otherwise(
+                F.col("n_name")
+            ),
+        )
+    )
+    assert edited != base and edited[0] == base[0]
