@@ -1983,18 +1983,29 @@ def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = None
     for table, cols in _FP_TABLES:
         t = read_table(spark, sf_dir, table)
-        canon = F.concat_ws(
-            "|", *[F.col(c).cast("string") for c in cols]
-        )
-        h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("bigint")
-        row = t.select(h.alias("h")).agg(
-            F.lit(table).alias("tbl"),
-            F.count("*").cast("bigint").alias("n_rows"),
-            (F.sum(F.col("h").cast("decimal(38,0)"))
-             % F.lit(9223372036854775783).cast("decimal(38,0)"))
-            .cast("bigint")
-            .alias("sum_fp"),
-            F.expr("bit_xor(h)").cast("bigint").alias("xor_fp"),
+        row = fingerprint_frame(t, cols).select(
+            F.lit(table).alias("tbl"), "n_rows", "sum_fp", "xor_fp"
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("tbl")
+
+
+_FP_MOD = 9223372036854775783  # largest prime < 2^63
+
+
+def fingerprint_frame(df: DataFrame, cols: tuple) -> DataFrame:
+    """1-row (n_rows, sum_fp, xor_fp) content fingerprint of ``df``
+    over ``cols`` -- the commutative/associative reduction shared by
+    the batch query and the streaming maintainer: inserts MERGE as
+    n+n', (sum+sum') mod P, xor^xor', so the streamed state over any
+    batching equals the batch fingerprint of the union."""
+    canon = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+    h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("bigint")
+    return df.select(h.alias("h")).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        (
+            F.sum(F.col("h").cast("decimal(38,0)"))
+            % F.lit(_FP_MOD).cast("decimal(38,0)")
+        ).cast("bigint").alias("sum_fp"),
+        F.expr("bit_xor(h)").cast("bigint").alias("xor_fp"),
+    )

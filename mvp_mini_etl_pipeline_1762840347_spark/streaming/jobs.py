@@ -1719,3 +1719,67 @@ def waterfill_stream(
         .option("checkpointLocation", state_path + "_chk")
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Continuously-maintained content fingerprint (replication validator)
+# ---------------------------------------------------------------------------
+_FPS_COLS = ("doc_id", "lang", "source", "n_chars")
+
+
+def fingerprint_merge_step(
+    spark: SparkSession, batch_df: DataFrame, batch_id: int, state_path: str
+) -> bool:
+    """One exactly-once merge of a documents micro-batch into the
+    running (n_rows, sum_fp, xor_fp) fingerprint state.  The three
+    components are commutative/associative reductions (count, modular
+    sum, XOR), so inserts merge exactly and the streamed state over
+    ANY batching equals the batch fingerprint of all rows -- but they
+    are NOT idempotent (a replayed batch double-counts), which is
+    precisely what the shared batch-id high-water mark guards.
+    Returns False on a replayed no-op."""
+    from ..plans.warehouse import _FP_MOD, fingerprint_frame
+
+    def _merge(target: DataFrame | None) -> DataFrame:
+        delta = fingerprint_frame(batch_df, _FPS_COLS)
+        if target is None:
+            return delta
+        t = target.select(
+            F.col("n_rows").alias("t_n"),
+            F.col("sum_fp").alias("t_s"),
+            F.col("xor_fp").alias("t_x"),
+        )
+        return delta.crossJoin(t).select(
+            (F.col("n_rows") + F.col("t_n")).cast("bigint").alias("n_rows"),
+            (
+                (
+                    F.col("sum_fp").cast("decimal(38,0)")
+                    + F.col("t_s").cast("decimal(38,0)")
+                )
+                % F.lit(_FP_MOD).cast("decimal(38,0)")
+            ).cast("bigint").alias("sum_fp"),
+            F.expr("xor_fp ^ t_x").cast("bigint").alias("xor_fp"),
+        )
+
+    return exactly_once_table_merge(spark, state_path, batch_id, _merge)
+
+
+def fingerprint_stream(
+    spark: SparkSession, docs: DataFrame, state_path: str
+) -> StreamingQuery:
+    """Streaming twin of table_fingerprint for the documents feed:
+    the replication validator maintained continuously, so 'does the
+    replica match the source' is a 3-integer comparison at ANY
+    moment, with no rescan of either side.  Exactly-once via the
+    shared batch-id high-water mark (the merge is additive, not
+    idempotent -- the replay guard is load-bearing here)."""
+
+    def _step(batch_df: DataFrame, batch_id: int) -> None:
+        fingerprint_merge_step(spark, batch_df, batch_id, state_path)
+
+    return (
+        docs.writeStream.foreachBatch(_step)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", state_path + "_chk")
+        .start()
+    )

@@ -1422,3 +1422,61 @@ def test_waterfill_stream_matches_batch(spark, sf_dir, tmp_path_factory):
     assert not jobs.waterfill_merge_step(
         spark, d.limit(50), last_id, state_path
     )
+
+
+def test_fingerprint_stream_matches_batch(spark, sf_dir, tmp_path_factory):
+    """The streamed fingerprint over several micro-batches must equal
+    the batch fingerprint of all rows (commutative reductions merge
+    exactly), and a replayed batch id must be a no-op -- the replay
+    guard is load-bearing because the merge is additive."""
+    import os
+
+    from mvp_mini_etl_pipeline_1762840347_spark.io import read_table
+    from mvp_mini_etl_pipeline_1762840347_spark.plans.warehouse import (
+        fingerprint_frame,
+    )
+    from mvp_mini_etl_pipeline_1762840347_spark.streaming.jobs import (
+        _FPS_COLS,
+    )
+
+    base = tmp_path_factory.mktemp("fp_stream")
+    landing = str(base / "landing")
+    d = read_table(spark, sf_dir, "documents")
+    d.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        landing, mode="overwrite"
+    )
+    d.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        landing, mode="append"
+    )
+    state_path = str(base / "fp")
+
+    docs = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    q = jobs.fingerprint_stream(spark, docs, state_path)
+    q.awaitTermination(120)
+    n_batches = len(
+        [
+            f
+            for f in os.listdir(state_path + "_chk/offsets")
+            if not f.startswith(".")
+        ]
+    )
+    assert n_batches >= 2, n_batches
+
+    got = spark.read.parquet(state_path).first()
+    want = fingerprint_frame(d, _FPS_COLS).first()
+    assert (got.n_rows, got.sum_fp, got.xor_fp) == (
+        want.n_rows,
+        want.sum_fp,
+        want.xor_fp,
+    )
+    # replay: additive merge MUST be rejected by the high-water mark
+    before = (got.n_rows, got.sum_fp, got.xor_fp)
+    assert not jobs.fingerprint_merge_step(
+        spark, d.limit(10), n_batches - 1, state_path
+    )
+    after = spark.read.parquet(state_path).first()
+    assert (after.n_rows, after.sum_fp, after.xor_fp) == before
