@@ -384,3 +384,43 @@ def test_table_fingerprint_order_invariant_and_edit_sensitive(spark):
         )
     )
     assert edited != base and edited[0] == base[0]
+
+
+def test_result_cache_fingerprint_invalidation(spark, tmp_path_factory):
+    """Same inputs -> cache hit with identical values and no
+    recompute; any content change -> miss and fresh result; a
+    reordered/repartitioned input is still a hit (fingerprints are
+    order-independent)."""
+    from mvp_mini_etl_pipeline_1762840347_spark.operators.result_cache import (
+        ResultCache,
+    )
+
+    root = str(tmp_path_factory.mktemp("rc") / "cache")
+    cache = ResultCache(spark, root)
+    nat = read_table(spark, SF, "nation")
+    cols = ("n_nationkey", "n_name", "n_regionkey")
+    calls = {"n": 0}
+
+    def compute():
+        calls["n"] += 1
+        return nat.groupBy("n_regionkey").count()
+
+    r1 = cache.get_or_compute("by_region", {"nation": (nat, cols)}, compute)
+    v1 = {r.n_regionkey: r["count"] for r in r1.collect()}
+    assert cache.last_hit is False and calls["n"] == 1
+
+    shuffled = nat.orderBy(F.rand(3)).repartition(7)
+    r2 = cache.get_or_compute(
+        "by_region", {"nation": (shuffled, cols)}, compute
+    )
+    assert cache.last_hit is True and calls["n"] == 1
+    assert {r.n_regionkey: r["count"] for r in r2.collect()} == v1
+
+    edited = nat.withColumn(
+        "n_name",
+        F.when(F.col("n_nationkey") == 1, F.lit("X")).otherwise(
+            F.col("n_name")
+        ),
+    )
+    cache.get_or_compute("by_region", {"nation": (edited, cols)}, compute)
+    assert cache.last_hit is False and calls["n"] == 2
