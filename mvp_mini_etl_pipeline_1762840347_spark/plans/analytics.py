@@ -3021,3 +3021,80 @@ def exact_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@query(
+    "weighted_median_delay",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderpriority AS priority,
+             CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                            CAST(l_shipdate AS DATE)) AS BIGINT) AS c,
+             CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+               AS w
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    t AS (
+      SELECT priority, CAST(sum(w) AS BIGINT) AS total_weight_cents,
+             CAST((sum(w) + 1) // 2 AS BIGINT) AS target_w
+      FROM v GROUP BY priority
+    ),
+    o AS (
+      SELECT priority, c,
+             sum(w) OVER (PARTITION BY priority ORDER BY c
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS runw
+      FROM v
+    )
+    SELECT t.priority, t.total_weight_cents, t.target_w,
+           (SELECT min(c) FROM o
+            WHERE o.priority = t.priority AND o.runw >= t.target_w)
+             AS median_delay_days
+    FROM t ORDER BY t.priority
+    """,
+)
+def weighted_median_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REVENUE-weighted median ship delay per order priority: the
+    number of days within which HALF THE REVENUE (not half the line
+    items) has shipped -- the logistics SLO that matters when line
+    values span orders of magnitude, where the unweighted median is
+    dominated by cheap lines.  Exercises the grouped AND weighted
+    modes of the shared selector together: one rank query per
+    priority, ranks in revenue-cent units, all five groups resolved
+    in the same two histogram passes
+    (operators/selection.py::rank_select with qid + weight).  The
+    oracle brute-forces the per-group cumulative-weight window."""
+    from ..operators.selection import rank_select
+
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    v = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_orderpriority").alias("qid"),
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            ).cast("bigint").alias("c"),
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("bigint").alias("w"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    t = v.groupBy("qid").agg(
+        F.sum("w").cast("bigint").alias("total_weight_cents"),
+        F.expr("(sum(w) + 1) div 2").cast("bigint").alias("rank"),
+    )
+    sel = rank_select(v, t.select("qid", "rank"), rounds=2, bins=64,
+                      weight="w")
+    return (
+        sel.join(F.broadcast(t), "qid")
+        .select(
+            F.col("qid").alias("priority"),
+            "total_weight_cents",
+            F.col("rank").alias("target_w"),
+            F.col("value").alias("median_delay_days"),
+        )
+        .orderBy("priority")
+    )

@@ -316,3 +316,39 @@ def test_conformal_interval_matches_sequential(spark):
     assert row["n_covered"] == int((ts <= q).sum())
     # the guarantee itself (finite-sample, so allow slack)
     assert row["coverage_pct"] > 80.0
+
+
+def test_weighted_median_delay_matches_numpy(spark):
+    """Grouped+weighted selection: per-priority revenue-weighted
+    median delay recomputed densely."""
+    rows = {
+        r.priority: r
+        for r in entrymod.queries()["weighted_median_delay"](
+            spark, SF
+        ).collect()
+    }
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    df = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_orderpriority").alias("p"),
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            ).cast("bigint").alias("c"),
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("bigint").alias("w"),
+        )
+        .toPandas()
+    )
+    for p, grp in df.groupby("p"):
+        g = grp.sort_values("c")
+        cum = g["w"].cumsum().to_numpy()
+        target = (int(g["w"].sum()) + 1) // 2
+        expect = int(g["c"].to_numpy()[np.searchsorted(cum, target)])
+        r = rows[p]
+        assert r.total_weight_cents == int(g["w"].sum())
+        assert r.target_w == target
+        assert r.median_delay_days == expect, p
