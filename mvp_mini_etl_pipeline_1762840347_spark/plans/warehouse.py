@@ -2009,3 +2009,149 @@ def fingerprint_frame(df: DataFrame, cols: tuple) -> DataFrame:
         ).cast("bigint").alias("sum_fp"),
         F.expr("bit_xor(h)").cast("bigint").alias("xor_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve layout (stronger locality than Z-order)
+# ---------------------------------------------------------------------------
+_H_N = 256  # 8 bits per dimension, 2^16 curve positions
+
+
+def _hilbert_stage_sqls() -> list:
+    """The classic xy->d Hilbert transform unrolled into SQL stage
+    pairs (one per bit, most-significant first).  Stage A extracts
+    the two quadrant bits; stage B accumulates the distance and
+    applies the quadrant rotation/reflection.  Everything is %, *, -
+    and CASE on BIGINTs -- the same strings run on Spark and DuckDB
+    (no engine-specific div/xor: the XOR of the two quadrant bits is
+    the arithmetic 3*rx + ry - 2*rx*ry)."""
+    stages = []
+    s = _H_N // 2
+    while s > 0:
+        a = [
+            "x", "y", "hx", "hy", "hd",
+            f"CASE WHEN hx % {2 * s} >= {s} THEN 1 ELSE 0 END AS rx",
+            f"CASE WHEN hy % {2 * s} >= {s} THEN 1 ELSE 0 END AS ry",
+        ]
+        # Quadrant-LOCAL coordinates: the textbook recursion reflects
+        # with s-1-x, which goes negative when the discarded high bit
+        # is set and SQL's sign-preserving % then diverges from the
+        # two's-complement bit test.  Keeping x,y reduced into [0, s)
+        # after every stage (the higher bits are consumed exactly
+        # once, by rx/ry) is algebraically identical mod s and stays
+        # nonnegative, so plain % is safe in both engines.
+        b = [
+            "x", "y",
+            f"CASE WHEN ry = 1 THEN hx % {s}"
+            f" WHEN rx = 1 THEN {s - 1} - (hy % {s})"
+            f" ELSE hy % {s} END AS hx",
+            f"CASE WHEN ry = 1 THEN hy % {s}"
+            f" WHEN rx = 1 THEN {s - 1} - (hx % {s})"
+            f" ELSE hx % {s} END AS hy",
+            f"hd + {s * s} * (3 * rx + ry - 2 * rx * ry) AS hd",
+        ]
+        stages.append((a, b))
+        s //= 2
+    return stages
+
+
+def _hilbert_oracle() -> str:
+    ctes = [
+        f"""c0 AS (
+      SELECT x, y, x AS hx, y AS hy, CAST(0 AS BIGINT) AS hd FROM q
+    )"""
+    ]
+    prev = "c0"
+    for i, (a, b) in enumerate(_hilbert_stage_sqls(), 1):
+        ctes.append(f"a{i} AS (SELECT {', '.join(a)} FROM {prev})")
+        ctes.append(f"b{i} AS (SELECT {', '.join(b)} FROM a{i})")
+        prev = f"b{i}"
+    return ",\n    ".join(ctes), prev
+
+
+_H_CTES, _H_LAST = _hilbert_oracle()
+
+
+@query(
+    "hilbert_layout",
+    oracle=f"""
+    WITH st AS (
+      SELECT min(o_orderdate) AS dmn, max(o_orderdate) AS dmx,
+             min(o_totalprice) AS pmn, max(o_totalprice) AS pmx
+      FROM orders
+    ), q AS (
+      SELECT (date_diff('day', dmn, o_orderdate) * {_H_N})
+               // (date_diff('day', dmn, dmx) + 1) AS x,
+             CAST(least(floor((o_totalprice - pmn)
+                 / ((pmx - pmn) / {float(_H_N)})),
+               {_H_N - 1}) AS BIGINT) AS y
+      FROM orders, st
+    ),
+    {_H_CTES}
+    SELECT CAST(hd >> {_Z_BLOCK_SHIFT} AS BIGINT) AS block_id,
+           count(*) AS n,
+           min(x) AS min_x, max(x) AS max_x,
+           min(y) AS min_y, max(y) AS max_y
+    FROM {_H_LAST} GROUP BY 1
+    """,
+)
+def hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout keys over (order date, total price) --
+    the upgrade over zorder_layout when locality is what pays:
+    consecutive Hilbert positions are ALWAYS adjacent cells (Morton
+    order jumps at quadrant seams), so equal-size blocks of the curve
+    cover tighter rectangles and every range filter prunes more
+    files.  tests pin the measured advantage: the worst per-block
+    bounding box is strictly smaller than Z-order's on the same data
+    and block count.
+
+    The xy->d transform is the textbook per-bit rotate/reflect
+    recursion, unrolled into 8 stage pairs of pure integer-CASE
+    arithmetic SHARED verbatim with the DuckDB oracle (no bit ops:
+    quadrant-bit XOR is written arithmetically), so the whole key
+    derivation is whole-stage-codegen JVM work.  Same
+    stats-broadcast + one block_id shuffle shape as zorder_layout;
+    the write-path twin is a sort on the emitted key."""
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderdate", "o_totalprice"
+    )
+    st = o.agg(
+        F.min("o_orderdate").alias("dmn"),
+        F.max("o_orderdate").alias("dmx"),
+        F.min("o_totalprice").alias("pmn"),
+        F.max("o_totalprice").alias("pmx"),
+    )
+    q = o.join(F.broadcast(st)).select(
+        F.expr(
+            f"CAST((datediff(o_orderdate, dmn) * {_H_N})"
+            f" div (datediff(dmx, dmn) + 1) AS BIGINT)"
+        ).alias("x"),
+        F.least(
+            F.floor(
+                (F.col("o_totalprice") - F.col("pmn"))
+                / ((F.col("pmx") - F.col("pmn")) / F.lit(float(_H_N)))
+            ),
+            F.lit(_H_N - 1),
+        )
+        .cast("bigint")
+        .alias("y"),
+    )
+    h = q.selectExpr(
+        "x", "y", "x AS hx", "y AS hy", "CAST(0 AS BIGINT) AS hd"
+    )
+    for a, b in _hilbert_stage_sqls():
+        h = h.selectExpr(*a).selectExpr(*b)
+    return (
+        h.groupBy(
+            F.shiftright(F.col("hd"), _Z_BLOCK_SHIFT)
+            .cast("bigint")
+            .alias("block_id")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+    )

@@ -424,3 +424,62 @@ def test_result_cache_fingerprint_invalidation(spark, tmp_path_factory):
     )
     cache.get_or_compute("by_region", {"nation": (edited, cols)}, compute)
     assert cache.last_hit is False and calls["n"] == 2
+
+
+def _xy2d_ref(n, x, y):
+    rx = ry = 0
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_transform_matches_reference(spark):
+    """The unrolled SQL stage pairs compute the textbook xy2d
+    Hilbert distance for random cells."""
+    import random
+
+    from mvp_mini_etl_pipeline_1762840347_spark.plans.warehouse import (
+        _hilbert_stage_sqls,
+    )
+
+    random.seed(11)
+    pts = [(random.randrange(256), random.randrange(256)) for _ in range(300)]
+    df = spark.createDataFrame(pts, "x: long, y: long").selectExpr(
+        "x", "y", "x AS hx", "y AS hy", "CAST(0 AS BIGINT) AS hd"
+    )
+    for a, b in _hilbert_stage_sqls():
+        df = df.selectExpr(*a).selectExpr(*b)
+    got = {(r.x, r.y): r.hd for r in df.collect()}
+    for x, y in pts:
+        assert got[(x, y)] == _xy2d_ref(256, x, y), (x, y)
+
+
+def test_hilbert_blocks_tighter_than_zorder(spark):
+    """The locality claim: on the same data, quantization, and block
+    count, the worst per-block bounding-box span of the Hilbert
+    layout is <= Z-order's in BOTH dimensions (and every Hilbert
+    block stays within the 32-cell quadrant bound)."""
+    hz = QUERIES["hilbert_layout"](spark, SF).collect()
+    zz = QUERIES["zorder_layout"](spark, SF).collect()
+
+    def worst(rows):
+        return (
+            max(r.max_x - r.min_x for r in rows),
+            max(r.max_y - r.min_y for r in rows),
+        )
+
+    hx, hy = worst(hz)
+    zx, zy = worst(zz)
+    assert hx <= zx and hy <= zy, (hx, hy, zx, zy)
+    assert hx < 32 and hy < 32
+    assert sum(r.n for r in hz) == sum(r.n for r in zz)
