@@ -110,9 +110,11 @@ def rank_select(
                 "lo",
                 "hi",
                 "rank",
-                ((F.col("c") - F.col("lo")) / width_expr)
-                .cast("bigint")
-                .alias("bin"),
+                # Exact integer division: float `/` then cast loses
+                # ULPs once (c - lo) exceeds 2^53 and can misbin.
+                F.expr(
+                    f"(c - lo) div greatest((hi - lo + {bins}) div {bins}, 1)"
+                ).alias("bin"),
                 w.alias("w"),
             )
             .groupBy("qid", "lo", "hi", "rank", "bin")

@@ -207,10 +207,10 @@ class DeltaLogTable:
         df = self.spark.read.parquet(
             os.path.join(self.root, entries[start][1])
         )
-        if entries[start][0] == "delta":  # no checkpoint yet
-            tail = entries[start + 1:]
-        else:
-            tail = entries[start + 1:]
+        # Whether entries[start] is the newest checkpoint or (when the
+        # log has no checkpoint yet) the first delta, the remaining
+        # entries fold on top of it the same way.
+        tail = entries[start + 1:]
         for kind, d in tail:
             delta = self.spark.read.parquet(os.path.join(self.root, d))
             df = merge_upsert(df, delta, self.key)

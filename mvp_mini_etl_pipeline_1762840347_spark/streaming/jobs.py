@@ -421,15 +421,29 @@ def incremental_dedup_stream(
     ingest batch pipeline, driven by the stream scheduler -- batch
     backfill and live processing share one code path.  At deploy the
     store is a bucketed (band, sig) table (SCALE.md) or a Delta table
-    via SnapshotTable semantics."""
+    via SnapshotTable semantics.
+
+    Exactly-once: both the pairs and the store updates go through
+    exactly_once_table_merge (batch-id replay guard + staged swap), so
+    a crashed-then-replayed micro-batch cannot duplicate pairs or
+    signatures.  A crash BETWEEN the two merges is safe: the replay
+    recomputes from the still-unchanged pre-batch store, no-ops the
+    already-committed table, and applies the identical delta to the
+    other."""
     from ..plans.dedup import incremental_lsh_candidates
 
     def _step(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         store = spark.read.parquet(store_path)
         pairs, new_sigs = incremental_lsh_candidates(store, batch_df)
-        pairs.write.mode("append").parquet(pairs_path)
-        new_sigs.write.mode("append").parquet(store_path)
+        exactly_once_table_merge(
+            spark, pairs_path, batch_id,
+            lambda t: pairs if t is None else t.unionByName(pairs),
+        )
+        exactly_once_table_merge(
+            spark, store_path, batch_id,
+            lambda t: new_sigs if t is None else t.unionByName(new_sigs),
+        )
 
     return (
         docs_stream.writeStream.foreachBatch(_step)
@@ -462,7 +476,15 @@ def span_rewrite_stream(
     store is a bucketed-by-span table (or SnapshotTable for the
     atomic-commit discipline of exactly_once_table_merge); the store
     grows only by genuinely novel spans, so a boilerplate-heavy
-    stream appends little."""
+    stream appends little.
+
+    Exactly-once: ledger and store updates both route through
+    exactly_once_table_merge (batch-id replay guard + staged swap)
+    like the module's other stateful twins, so a replayed micro-batch
+    cannot duplicate ledger rows or store spans.  A crash BETWEEN the
+    two merges is safe: the replay recomputes from the still-unchanged
+    pre-batch store, no-ops the already-committed table, and applies
+    the identical delta to the other."""
     from ..plans.dedup import span_firsts, span_frame, span_ledger
 
     def _step(batch_df: DataFrame, batch_id: int) -> None:
@@ -475,10 +497,16 @@ def span_rewrite_stream(
             .groupBy("span")
             .agg(F.min("first_key").alias("first_key"))
         )
-        span_ledger(spans, combined).write.mode("append").parquet(ledger_path)
-        batch_firsts.join(store, "span", "left_anti").write.mode(
-            "append"
-        ).parquet(store_path)
+        ledger = span_ledger(spans, combined)
+        exactly_once_table_merge(
+            spark, ledger_path, batch_id,
+            lambda t: ledger if t is None else t.unionByName(ledger),
+        )
+        novel = batch_firsts.join(store, "span", "left_anti")
+        exactly_once_table_merge(
+            spark, store_path, batch_id,
+            lambda t: novel if t is None else t.unionByName(novel),
+        )
 
     return (
         docs_stream.writeStream.foreachBatch(_step)
