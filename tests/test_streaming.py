@@ -627,28 +627,18 @@ def test_snapshot_table_stream_merge_exactly_once(
     assert v0 == {u: n for u, (n, _) in want.items()}
 
 
-def _tws_runtime_available() -> bool:
-    # transformWithStateInPandas spawns a dedicated streaming Python
-    # runner that talks protobuf to the JVM; without google.protobuf
-    # the runner crashes at init, independent of our operator code.
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-
-        return True
-    except ImportError:
-        return False
-
-
-@pytest.mark.skipif(
-    not _tws_runtime_available(),
-    reason="transformWithState needs google.protobuf in the Python worker",
-)
 def test_transform_with_state_running_totals(spark, sf_dir, events_dir):
-    """transformWithState twin == the same batch aggregate (and thus
-    == the applyInPandasWithState form tested above)."""
+    """The arbitrary-state running-totals operator == the same batch
+    aggregate.  Runs UNCONDITIONALLY: the dispatch wrapper picks the
+    transformWithState body when its protobuf runner is importable
+    (covering the TWS path end-to-end there) and the semantically
+    identical applyInPandasWithState body otherwise, so no container
+    skips this parity pin."""
     ev = jobs.stream_events(spark, events_dir)
     q = jobs.run_to_memory(
-        jobs.running_user_totals_tws(ev), "totals_tws_out", output_mode="update"
+        jobs.running_user_totals_arbitrary_state(ev),
+        "totals_tws_out",
+        output_mode="update",
     )
     try:
         rows = spark.sql(
