@@ -500,3 +500,26 @@ def test_important_parts_reuses_exchange(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert "ReusedExchange" in final, "global total must reuse the group-by exchange"
     assert final.count("lineitem.parquet") == 1, "fact table must be read once"
+
+
+# ---------------------------------------------------------------------------
+# fd_profile: same-table FD hypotheses are FUSED -- each profiled
+# table is scanned exactly once (6 candidates over 3 tables -> 3
+# scans), the map-side explode fanning every row into its table's
+# (candidate, key, value) records before one shared shuffle
+# ---------------------------------------------------------------------------
+def test_fd_profile_fused_scans(spark):
+    from mvp_mini_etl_pipeline_1762840347_spark import plans
+    from mvp_mini_etl_pipeline_1762840347_spark.plans.quality import (
+        _FD_CANDIDATES,
+    )
+
+    assert len(_FD_CANDIDATES) == 6
+    df = plans.QUERIES["fd_profile"](spark, SF)
+    df.collect()  # finalize the adaptive plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    for tbl in ("orders", "lineitem", "customer"):
+        assert final.count(f"{tbl}.parquet") == 1, (
+            f"{tbl} candidates must share one scan"
+        )
