@@ -1427,6 +1427,60 @@ _BJ_SEGMENT = "BUILDING"
 _BJ_WORD = 32  # bits per packed word (stays positive in any engine)
 
 
+def bloom_prune(
+    dim: DataFrame, dim_key: str, fact: DataFrame, fact_key: str
+) -> DataFrame:
+    """Pre-filter ``fact`` to rows whose ``fact_key`` MIGHT appear in
+    ``dim[dim_key]``, via a Bloom filter built from the dim side and
+    broadcast as one map row -- the runtime-join-filter core of
+    join_bloom_pruned, exposed so the pruning rate itself is testable
+    (tests/test_scale.py pins surviving rows << |fact| at sf0.1).
+    False positives survive (callers verify with a real join); no
+    true match is ever dropped."""
+
+    def _pos(j: int, key: Column) -> Column:
+        return (
+            _h60(F.concat(F.lit(str(j)), F.lit("_"), key.cast("string")))
+            % _BLOOM_M
+        )
+
+    # Pack dim-key bit positions into 32-bit words: (word_idx, bits).
+    pos_rows = dim.select(
+        F.explode(
+            F.array(
+                *[_pos(j, F.col(dim_key)).alias("p") for j in range(_BLOOM_K)]
+            )
+        ).alias("pos")
+    )
+    words = pos_rows.groupBy(
+        (F.col("pos") / _BJ_WORD).cast("bigint").alias("w")
+    ).agg(
+        F.bit_or(
+            F.pow(F.lit(2.0), (F.col("pos") % _BJ_WORD)).cast("bigint")
+        ).alias("bits")
+    )
+    bloom = words.agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("w", "bits")))
+        ).alias("bloom")
+    )
+
+    def _hit(j: int) -> Column:
+        p = _pos(j, F.col(fact_key))
+        word = F.coalesce(
+            F.element_at(F.col("bloom"), (p / _BJ_WORD).cast("bigint")),
+            F.lit(0).cast("bigint"),
+        )
+        mask = F.pow(F.lit(2.0), (p % _BJ_WORD)).cast("bigint")
+        return word.bitwiseAND(mask) != 0
+
+    might_contain = _hit(0)
+    for j in range(1, _BLOOM_K):
+        might_contain = might_contain & _hit(j)
+
+    return fact.join(F.broadcast(bloom)).filter(might_contain).drop("bloom")
+
+
 @query(
     "join_bloom_pruned",
     oracle=f"""
@@ -1465,52 +1519,7 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = cust.filter(F.col("c_mktsegment") == _BJ_SEGMENT).select(
         "c_custkey"
     )
-
-    def _pos(j: int, key: Column) -> Column:
-        return (
-            _h60(
-                F.concat(
-                    F.lit(str(j)), F.lit("_"), key.cast("string")
-                )
-            )
-            % _BLOOM_M
-        )
-
-    # Pack dim-key bit positions into 32-bit words: (word_idx, bits).
-    pos_rows = dim.select(
-        F.explode(
-            F.array(
-                *[_pos(j, F.col("c_custkey")).alias("p") for j in range(_BLOOM_K)]
-            )
-        ).alias("pos")
-    )
-    words = pos_rows.groupBy(
-        (F.col("pos") / _BJ_WORD).cast("bigint").alias("w")
-    ).agg(
-        F.bit_or(
-            F.pow(F.lit(2.0), (F.col("pos") % _BJ_WORD)).cast("bigint")
-        ).alias("bits")
-    )
-    bloom = words.agg(
-        F.map_from_entries(
-            F.array_sort(F.collect_list(F.struct("w", "bits")))
-        ).alias("bloom")
-    )
-
-    def _hit(j: int) -> Column:
-        p = _pos(j, F.col("o_custkey"))
-        word = F.coalesce(
-            F.element_at(F.col("bloom"), (p / _BJ_WORD).cast("bigint")),
-            F.lit(0).cast("bigint"),
-        )
-        mask = F.pow(F.lit(2.0), (p % _BJ_WORD)).cast("bigint")
-        return word.bitwiseAND(mask) != 0
-
-    might_contain = _hit(0)
-    for j in range(1, _BLOOM_K):
-        might_contain = might_contain & _hit(j)
-
-    pruned = orders.join(F.broadcast(bloom)).filter(might_contain)
+    pruned = bloom_prune(dim, "c_custkey", orders, "o_custkey")
     return (
         pruned.join(F.broadcast(dim), pruned.o_custkey == dim.c_custkey)
         .groupBy("o_orderpriority")

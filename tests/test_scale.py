@@ -523,3 +523,35 @@ def test_fd_profile_fused_scans(spark):
         assert final.count(f"{tbl}.parquet") == 1, (
             f"{tbl} candidates must share one scan"
         )
+
+
+# ---------------------------------------------------------------------------
+# join_bloom_pruned: the Bloom runtime filter must actually FIRE --
+# the pruned fact scan emits only rows that can match (the selective
+# segment's ~1/5 of orders, plus ~0.6% false positives), never the
+# full table, and never drops a true match
+# ---------------------------------------------------------------------------
+def test_bloom_prune_discards_at_scan(spark):
+    from mvp_mini_etl_pipeline_1762840347_spark.io import read_table
+    from mvp_mini_etl_pipeline_1762840347_spark.plans.sketches import (
+        _BJ_SEGMENT,
+        bloom_prune,
+    )
+
+    sf = "/root/testdata/sf0.1"
+    cust = read_table(spark, sf, "customer")
+    orders = read_table(spark, sf, "orders")
+    dim = cust.filter(F.col("c_mktsegment") == _BJ_SEGMENT).select("c_custkey")
+
+    pruned = bloom_prune(dim, "c_custkey", orders, "o_custkey")
+    n_orders = orders.count()
+    n_pruned = pruned.count()
+    n_true = orders.join(dim, orders.o_custkey == dim.c_custkey, "left_semi").count()
+
+    # pruning fires: survivors are a small fraction of the fact table
+    assert n_pruned < 0.25 * n_orders, (n_pruned, n_orders)
+    # lossless: every true match survives; overshoot is only Bloom fps
+    assert n_true <= n_pruned <= n_true + int(0.02 * n_orders) + 1, (
+        n_true,
+        n_pruned,
+    )
