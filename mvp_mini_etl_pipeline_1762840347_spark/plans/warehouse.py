@@ -2155,3 +2155,67 @@ def hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("y").alias("max_y"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-addressed result cache: serve a repeated query from cache
+# ---------------------------------------------------------------------------
+@query(
+    "result_cache_serve",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents,
+           FALSE AS first_call_hit,
+           TRUE  AS served_from_cache
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def result_cache_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The content-addressed result cache, value-checked end to end:
+    the per-priority revenue rollup is requested TWICE through
+    operators/result_cache.py::ResultCache.  The first call misses
+    (no manifest), computes, and persists result + input fingerprints;
+    the second call validates the orders table's content fingerprint
+    against the manifest and serves the PERSISTED parquet without
+    re-running the aggregate.  The returned rows are the served (hit)
+    frame plus the observed hit/miss flags, so a cache that serves
+    stale bytes, fails to hit on identical content, or "hits" without
+    a first miss all fail the driver's value hash.  Miss/hit/
+    invalidation state transitions stay pinned in
+    tests/test_warehouse.py::test_result_cache_fingerprint_invalidation.
+
+    Scale: validation costs ONE fingerprint scan of the input (count +
+    two commutative reductions -- far cheaper than the shuffle/agg it
+    guards); deployments amortize even that by reading the fingerprint
+    the ingest job already maintains (fingerprint_stream), making a
+    hit zero-scan.  The cache directory is a per-run temp dir: the
+    query is a pure function of its inputs."""
+    import tempfile
+
+    from ..operators.result_cache import ResultCache
+
+    orders = read_table(spark, sf_dir, "orders")
+    fp_cols = ("o_orderkey", "o_orderpriority", "o_totalprice")
+
+    def compute() -> DataFrame:
+        return orders.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n_orders"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("revenue_cents"),
+        )
+
+    cache = ResultCache(spark, tempfile.mkdtemp(prefix="rescache-"))
+    inputs = {"orders": (orders, fp_cols)}
+    cache.get_or_compute("orders_by_priority", inputs, compute)
+    first_hit = cache.last_hit
+    served = cache.get_or_compute("orders_by_priority", inputs, compute)
+    return served.select(
+        "o_orderpriority",
+        "n_orders",
+        "revenue_cents",
+        F.lit(first_hit).alias("first_call_hit"),
+        F.lit(cache.last_hit).alias("served_from_cache"),
+    )
