@@ -69,12 +69,16 @@ def main() -> None:
             passes_done = r + 1
 
     total = round(sum(timings.values()), 3)
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf_dir  # non-testdata layout (e.g. tools/bench_layout.py)
     payload = {
         "metric": "total_wall_sec_all_queries",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf),
+        "sf": sf_val,
         "n_queries": len(timings),
         "reps": max(1, reps),
         "full_passes": max(1, passes_done),
@@ -85,15 +89,16 @@ def main() -> None:
     # full result next to this script so every round's complete
     # per-query history is diffable (BENCH_LOCAL_latest.json is
     # committed per round).
-    out_path = os.path.join(
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL_latest.json"
     )
-    try:
-        with open(out_path, "w") as f:
-            json.dump(payload, f, indent=1, sort_keys=True)
-            f.write("\n")
-    except OSError:
-        pass  # read-only checkout: stdout line is still the contract
+    if out_path != "-":  # "-": stdout only (layout experiments must not
+        try:             # clobber the committed per-round artifact)
+            with open(out_path, "w") as f:
+                json.dump(payload, f, indent=1, sort_keys=True)
+                f.write("\n")
+        except OSError:
+            pass  # read-only checkout: stdout line is still the contract
     print(json.dumps(payload))
 
 

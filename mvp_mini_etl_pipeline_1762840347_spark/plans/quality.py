@@ -1616,3 +1616,105 @@ def fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("tbl", "determinant", "dependent")
+
+
+# ---------------------------------------------------------------------------
+# One-pass correlation-matrix profiling (exact sufficient statistics)
+# ---------------------------------------------------------------------------
+# Scaled-to-integer projections of lineitem's numeric columns: exact
+# BIGINTs, so every sum below is order-free and engine-identical.
+_CORR_COLS = (
+    ("quantity", "CAST(l_quantity AS BIGINT)"),
+    ("price_cents", "CAST(round(l_extendedprice * 100) AS BIGINT)"),
+    ("discount_pct", "CAST(round(l_discount * 100) AS BIGINT)"),
+    ("tax_pct", "CAST(round(l_tax * 100) AS BIGINT)"),
+)
+_CORR_PAIRS = tuple(
+    (_CORR_COLS[i][0], _CORR_COLS[j][0])
+    for i in range(len(_CORR_COLS))
+    for j in range(i + 1, len(_CORR_COLS))
+)
+
+
+def _corr_formula(a: str, b: str) -> str:
+    """Pearson r from integer sufficient statistics, stated ONCE as
+    SQL and parsed by both engines: every operand is an exact integer
+    (BIGINT / decimal / HUGEINT) cast to DOUBLE first, then the same
+    IEEE op sequence runs on both sides -- bit-identical doubles."""
+    n, sa, sb = "CAST(n AS DOUBLE)", f"CAST(s_{a} AS DOUBLE)", f"CAST(s_{b} AS DOUBLE)"
+    ssa, ssb = f"CAST(ss_{a} AS DOUBLE)", f"CAST(ss_{b} AS DOUBLE)"
+    sp = f"CAST(sp_{a}_{b} AS DOUBLE)"
+    return (
+        f"round(({n} * {sp} - {sa} * {sb})"
+        f" / sqrt(({n} * {ssa} - {sa} * {sa})"
+        f" * ({n} * {ssb} - {sb} * {sb})), 6)"
+    )
+
+
+def _corr_stats_sql_duckdb() -> str:
+    """The one-scan sufficient-statistics aggregation, DuckDB side
+    (sum(BIGINT) widens to HUGEINT, so squares/cross-products of
+    price cents cannot overflow)."""
+    proj = ", ".join(f"{expr} AS {name}" for name, expr in _CORR_COLS)
+    aggs = ["CAST(count(*) AS BIGINT) AS n"]
+    for name, _ in _CORR_COLS:
+        aggs.append(f"sum({name}) AS s_{name}")
+        aggs.append(f"sum({name} * {name}) AS ss_{name}")
+    for a, b in _CORR_PAIRS:
+        aggs.append(f"sum({a} * {b}) AS sp_{a}_{b}")
+    return f"SELECT {', '.join(aggs)} FROM (SELECT {proj} FROM lineitem)"
+
+
+@query(
+    "correlation_profile",
+    oracle="WITH s AS (" + _corr_stats_sql_duckdb() + ")\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT '{a}' AS col_x, '{b}' AS col_y, n AS n_rows,"
+        f" {_corr_formula(a, b)} AS pearson_r FROM s"
+        for a, b in _CORR_PAIRS
+    )
+    + "\nORDER BY col_x, col_y",
+)
+def correlation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-correlation profiling: the full Pearson matrix over
+    lineitem's four numeric columns (quantity, price, discount, tax)
+    from ONE scan -- the data-profiling / feature-selection census a
+    pipeline runs before trusting columns as independent signals.
+
+    All 15 sufficient statistics (count, 4 sums, 4 sums of squares, 6
+    cross-products) accumulate in a single aggregation over scaled
+    exact-integer projections: constant state, map-side partial,
+    order-free -- adding a pair costs one more counter, never another
+    scan (contrast fd_profile's pre-fusion shape).  Sums of squares
+    ride in decimal(38,0) (Spark) / HUGEINT (DuckDB) because
+    price-cents squared times 6e6 rows exceeds 2^63.  The r formula
+    is stated once as SQL over the exact integer states and parsed by
+    both engines, so the resulting doubles are bit-identical
+    (SCALE.md float discipline).  At 100 TB this is one shuffle of
+    15 numbers."""
+    li = read_table(spark, sf_dir, "lineitem")
+    scaled = li.select(
+        *[F.expr(expr).alias(name) for name, expr in _CORR_COLS]
+    )
+    dec = "decimal(38,0)"
+    aggs = [F.count("*").cast("bigint").alias("n")]
+    for name, _ in _CORR_COLS:
+        aggs.append(F.sum(F.col(name).cast(dec)).alias(f"s_{name}"))
+        aggs.append(
+            F.sum((F.col(name) * F.col(name)).cast(dec)).alias(f"ss_{name}")
+        )
+    for a, b in _CORR_PAIRS:
+        aggs.append(
+            F.sum((F.col(a) * F.col(b)).cast(dec)).alias(f"sp_{a}_{b}")
+        )
+    stats = scaled.agg(*aggs)
+    out = None
+    for a, b in _CORR_PAIRS:
+        row = stats.select(
+            F.lit(a).alias("col_x"),
+            F.lit(b).alias("col_y"),
+            F.col("n").alias("n_rows"),
+            F.expr(_corr_formula(a, b)).alias("pearson_r"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("col_x", "col_y")

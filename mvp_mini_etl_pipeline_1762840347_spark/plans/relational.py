@@ -1202,3 +1202,71 @@ def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
 er_sorted_neighborhood.__doc__ = er_sorted_neighborhood.__doc__.format(
     w=_SN_W, p=_SN_PREFIX
 )
+
+
+# ---------------------------------------------------------------------------
+# Eager aggregation (partial group-by pushed below the join)
+# ---------------------------------------------------------------------------
+@query(
+    "eager_agg_pushdown",
+    oracle="""
+    SELECT c.c_mktsegment,
+           count(*) AS n_lineitems,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def eager_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eager aggregation (Yan-Larson): the revenue-by-market-segment
+    rollup with the group-by PUSHED BELOW both joins.  The oracle
+    states the lazy form (join everything, then aggregate); the
+    engine pre-aggregates lineitem per order key BEFORE touching
+    orders, then per customer key before touching customer, because
+    every aggregate here (count, sum) is decomposable and the join
+    keys functionally determine the final group.
+
+    Why it matters at 100 TB: the lazy plan shuffles EVERY lineitem
+    row into the join and carries the full joined width into the
+    aggregation; the eager plan's first shuffle already carries one
+    row per order key (6e9 -> 1.5e9 at SF-1000) and each later join
+    input shrinks by another cardinality step, with the final
+    aggregation reduced to |customer| rows.  Catalyst does not apply
+    this rewrite itself (it only pushes partial aggregation one
+    exchange deep), so stating it in the plan is the difference
+    between shuffling lineitem and shuffling per-order partials.
+    Value-identity with the lazy form is exactly what the driver's
+    oracle verifies; an inner join drops keyless rows identically in
+    both shapes."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count("*").alias("pn"),
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("bigint")
+        ).alias("pc"),
+    )
+    per_cust = (
+        per_order.join(
+            orders.select("o_orderkey", "o_custkey"),
+            per_order.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("pn").alias("pn"), F.sum("pc").alias("pc"))
+    )
+    return (
+        per_cust.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            per_cust.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("pn").cast("bigint").alias("n_lineitems"),
+            F.sum("pc").cast("bigint").alias("revenue_cents"),
+        )
+    )

@@ -43,6 +43,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..io import read_events, read_table
 from .registry import query
@@ -2235,4 +2236,128 @@ def sketch_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 sketch_kmv_intersect.__doc__ = sketch_kmv_intersect.__doc__.format(
     k=_KI_K, y1=_KI_Y1, y2=_KI_Y2
+)
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries / SpaceSaving heavy hitters: mergeable compressed counts
+# ---------------------------------------------------------------------------
+_MG_K = 16       # summary capacity per shard
+_MG_SHARDS = 8   # deterministic data shards (stand-in for executors)
+_MG_TOP = 10
+
+
+@query(
+    "sketch_spacesaving_merge",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id % {_MG_SHARDS} AS shard,
+             unnest(string_split_regex(lower(text), '\\s+')) AS item
+      FROM documents
+    ),
+    counts AS (
+      SELECT shard, item, CAST(count(*) AS BIGINT) AS c
+      FROM toks GROUP BY shard, item
+    ),
+    ranked AS (
+      SELECT shard, item, c,
+             row_number() OVER (PARTITION BY shard
+                                ORDER BY c DESC, item) AS rnk
+      FROM counts
+    ),
+    err AS (
+      SELECT shard,
+             CAST(coalesce(max(CASE WHEN rnk = {_MG_K + 1} THEN c END), 0)
+                  AS BIGINT) AS e
+      FROM ranked WHERE rnk <= {_MG_K + 1} GROUP BY shard
+    ),
+    kept AS (
+      SELECT r.item, r.c - err.e AS cc
+      FROM ranked r JOIN err ON err.shard = r.shard
+      WHERE r.rnk <= {_MG_K} AND r.c - err.e > 0
+    ),
+    total_err AS (SELECT CAST(sum(e) AS BIGINT) AS te FROM err),
+    merged AS (
+      SELECT item, CAST(sum(cc) AS BIGINT) AS est_lo FROM kept GROUP BY item
+    ),
+    exact AS (
+      SELECT item, CAST(count(*) AS BIGINT) AS exact_n FROM toks GROUP BY item
+    )
+    SELECT m.item, m.est_lo, m.est_lo + t.te AS est_hi, x.exact_n,
+           x.exact_n BETWEEN m.est_lo AND m.est_lo + t.te AS within_bounds
+    FROM merged m CROSS JOIN total_err t JOIN exact x ON x.item = m.item
+    ORDER BY m.est_lo DESC, m.item LIMIT {_MG_TOP}
+    """,
+)
+def sketch_spacesaving_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable Misra-Gries / SpaceSaving heavy hitters over document
+    tokens: each of {shards} deterministic data shards compresses its
+    exact token histogram to a capacity-{k} summary (keep the top {k}
+    rows, subtract the (k+1)-th count -- the Misra-Gries compression
+    of a count vector, whose per-shard error is exactly that
+    subtracted count), the shard summaries MERGE by plain per-item
+    addition, and the merged estimate brackets the true frequency:
+    sum of compressed counts <= true count <= sum + sum of per-shard
+    errors.  The driver-checked rows carry both bounds AND the exact
+    count with a within_bounds verdict, so the guarantee itself is
+    what the oracle verifies -- completing the sketch family's merge
+    algebra (KMV/HLL/CM/quantile) with the deterministic-error
+    heavy-hitter summary.
+
+    Scale: the summary is {k} rows per shard regardless of token
+    cardinality; per-shard top-(k+1) selection is a rank-filtered
+    window that Spark executes as WindowGroupLimit (per-partition
+    top-k, no full sort), and everything after the compression
+    touches {shards} x {k} rows.  The exact-count verification join
+    exists to CHECK the sketch locally; production serves from the
+    summary alone."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        (F.col("doc_id") % _MG_SHARDS).alias("shard"),
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("item"),
+    )
+    counts = toks.groupBy("shard", "item").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    w = Window.partitionBy("shard").orderBy(F.desc("c"), F.col("item"))
+    ranked = counts.select("*", F.row_number().over(w).alias("rnk")).filter(
+        F.col("rnk") <= _MG_K + 1
+    )
+    err = ranked.groupBy("shard").agg(
+        F.coalesce(
+            F.max(F.when(F.col("rnk") == _MG_K + 1, F.col("c"))), F.lit(0)
+        ).cast("bigint").alias("e")
+    )
+    kept = (
+        ranked.filter(F.col("rnk") <= _MG_K)
+        .join(F.broadcast(err), "shard")
+        .select("item", (F.col("c") - F.col("e")).alias("cc"))
+        .filter(F.col("cc") > 0)
+    )
+    total_err = err.agg(F.sum("e").cast("bigint").alias("te"))
+    merged = kept.groupBy("item").agg(
+        F.sum("cc").cast("bigint").alias("est_lo")
+    )
+    exact = toks.groupBy("item").agg(
+        F.count("*").cast("bigint").alias("exact_n")
+    )
+    return (
+        merged.crossJoin(F.broadcast(total_err))
+        .join(exact, "item")
+        .select(
+            "item",
+            "est_lo",
+            (F.col("est_lo") + F.col("te")).alias("est_hi"),
+            "exact_n",
+            F.col("exact_n").between(
+                F.col("est_lo"), F.col("est_lo") + F.col("te")
+            ).alias("within_bounds"),
+        )
+        .orderBy(F.desc("est_lo"), "item")
+        .limit(_MG_TOP)
+    )
+
+
+sketch_spacesaving_merge.__doc__ = sketch_spacesaving_merge.__doc__.format(
+    shards=_MG_SHARDS, k=_MG_K
 )

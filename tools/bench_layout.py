@@ -98,5 +98,117 @@ def main() -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# ---------------------------------------------------------------------------
+# Full-layout mode: rewrite EVERY table multi-file/multi-row-group and
+# run the whole driver bench against it, warm AND genuinely cold
+# ---------------------------------------------------------------------------
+_BIG_TABLES = (
+    "customer", "supplier", "part", "orders", "lineitem",
+    "events", "documents", "embeddings",
+)
+_TINY_TABLES = ("region", "nation")
+
+
+def _drop_page_cache() -> bool:
+    """Flush dirty pages and evict the OS page cache so the next read
+    is real disk I/O (needs root; returns False where unavailable)."""
+    os.sync()
+    try:
+        with open("/proc/sys/vm/drop_caches", "w") as f:
+            f.write("3")
+        return True
+    except (PermissionError, FileNotFoundError):
+        return False
+
+
+def rewrite_all_tables(sf_dir: str, out_dir: str, n_files: int) -> None:
+    """Mirror ``sf_dir`` into ``out_dir`` with every big table split
+    into ``n_files`` parquet files of multiple row groups (small
+    parquet block size), the layout a real ingest produces -- the
+    committed testdata is one row group per table, which serializes
+    cold scans into one task."""
+    spark = get_spark("layout_rewrite")
+    spark.conf.set("spark.hadoop.parquet.block.size", str(1 << 20))
+    for name in _BIG_TABLES:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        df.repartition(n_files).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{name}.parquet")
+        )
+    for name in _TINY_TABLES:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{name}.parquet")
+        )
+    spark.stop()
+
+
+def full_bench(sf_dir: str, n_files: int, keep: str | None = None) -> None:
+    """Rewrite the whole scale factor into a multi-file layout, then
+    run the driver bench (bench.py, unchanged) against it twice:
+
+    * COLD: page cache dropped first, one rep -- every first scan is
+      real disk I/O split across ``n_files`` tasks per table (the
+      1000-executor cold-read shape, shrunk to one box);
+    * WARM: three reps, minima -- the plan-shape number comparable to
+      BENCH_LOCAL_latest.json over the committed single-row-group
+      layout.
+
+    Prints one JSON line per phase plus a summary line.  ``keep``
+    preserves the rewritten layout at that path for reuse."""
+    import subprocess
+
+    out_dir = keep or tempfile.mkdtemp(prefix="layout_full_")
+    t0 = time.perf_counter()
+    rewrite_all_tables(sf_dir, out_dir, n_files)
+    rewrite_s = round(time.perf_counter() - t0, 1)
+
+    def _run(reps: int, budget: str) -> dict:
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_SF_DIR=out_dir,
+            SPARK_GRAFT_BENCH_REPS=str(reps),
+            SPARK_GRAFT_BENCH_BUDGET=budget,
+            SPARK_GRAFT_BENCH_OUT="-",  # don't clobber the committed artifact
+        )
+        here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        out = subprocess.run(
+            [sys.executable, os.path.join(here, "bench.py")],
+            env=env, capture_output=True, text=True,
+        )
+        if out.returncode != 0:
+            sys.stderr.write(out.stderr[-4000:] + "\n")
+            raise RuntimeError(f"bench.py failed (rc={out.returncode})")
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    try:
+        cold_dropped = _drop_page_cache()
+        cold = _run(reps=1, budget="1200")
+        warm = _run(reps=3, budget="420")
+        print(json.dumps({
+            "metric": "full_bench_multifile_layout",
+            "sf_dir": sf_dir,
+            "n_files": n_files,
+            "rewrite_sec": rewrite_s,
+            "page_cache_dropped": cold_dropped,
+            "cold_total_sec": cold["value"],
+            "warm_total_sec": warm["value"],
+            "n_queries": len(warm["queries"]),
+        }))
+        print("COLD " + json.dumps(cold))
+        print("WARM " + json.dumps(warm))
+    finally:
+        if not keep:
+            shutil.rmtree(out_dir, ignore_errors=True)
+
+
 if __name__ == "__main__":
-    main()
+    if "--full" in sys.argv:
+        args = [a for a in sys.argv[1:] if a != "--full" and not a.startswith("--keep")]
+        keep = next((a.split("=", 1)[1] for a in sys.argv if a.startswith("--keep=")), None)
+        full_bench(
+            args[0] if args else "/root/testdata/sf0.1",
+            int(args[1]) if len(args) > 1 else 16,
+            keep=keep,
+        )
+    else:
+        main()
