@@ -237,6 +237,68 @@ def decode_media_headers(media: DataFrame) -> DataFrame:
     )
 
 
+def audio_sample_features(media: DataFrame) -> DataFrame:
+    """REAL audio feature extraction from genuine PCM bytes: parse the
+    RIFF data chunk, reinterpret it as little-endian signed 16-bit
+    mono samples, and reduce to the classic clip descriptors (sample
+    sum, total absolute amplitude, peak, zero-crossing count).  The
+    parse is byte-level (struct offset 40 for the data size, samples
+    from offset 44) so a header or endianness bug changes the values;
+    the oracle reconstructs the same samples arithmetically from the
+    generation parameters and must agree exactly.  Arrow-batched
+    mapInPandas with a numpy inner loop -- per-byte decoding is the
+    one place builtins cannot express the work; everything after the
+    per-clip reduction is ordinary DataFrame algebra.
+
+    Scale: embarrassingly parallel, zero shuffles; one output row per
+    clip regardless of clip length, so downstream state is bounded by
+    clip count, not sample count."""
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        for pdf in batches:
+            rows = []
+            for mid, kind, content in zip(
+                pdf["media_id"], pdf["kind"], pdf["content"]
+            ):
+                if kind != "audio" or content is None:
+                    continue
+                b = bytes(content)
+                data_size = struct.unpack_from("<I", b, 40)[0]
+                s = np.frombuffer(
+                    b[44:44 + data_size], dtype="<i2"
+                ).astype(np.int64)
+                neg = s < 0
+                zc = int(np.count_nonzero(neg[1:] != neg[:-1]))
+                rows.append(
+                    (
+                        int(mid),
+                        int(s.size),
+                        int(s.sum()),
+                        int(np.abs(s).sum()),
+                        int(np.abs(s).max()) if s.size else 0,
+                        zc,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_samples", "sample_sum",
+                    "abs_sum", "peak_abs", "zero_crossings",
+                ],
+            )
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        op,
+        schema=(
+            "media_id long, n_samples long, sample_sum long, "
+            "abs_sum long, peak_abs long, zero_crossings long"
+        ),
+    )
+
+
 def _fake_feature_vector(content: bytes) -> list[float]:
     """Deterministic stand-in for a real encoder: FEATURE_DIM floats
     derived from the sha256 of the payload.  Stable across runs and

@@ -317,3 +317,68 @@ def multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL audio feature extraction (PCM sample statistics)
+# ---------------------------------------------------------------------------
+@query(
+    "multimodal_audio_features",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id, 64 + n_chars % 128 AS nf,
+             lower(hex(encode(text))) AS hx,
+             octet_length(encode(text)) AS L
+      FROM documents WHERE doc_id % 3 = 1
+    ),
+    smp AS (
+      SELECT doc_id, nf, t.i,
+             ('0x' || substr(hx, 2 * ((2 * t.i) % L) + 1, 2))::BIGINT
+             + 256 * ('0x' || substr(hx, 2 * ((2 * t.i + 1) % L) + 1, 2))::BIGINT
+               AS u
+      FROM a, unnest(range(a.nf)) AS t(i)
+    ),
+    sg AS (
+      SELECT doc_id, nf, i,
+             u - 65536 * (CASE WHEN u >= 32768 THEN 1 ELSE 0 END) AS s
+      FROM smp
+    ),
+    zc AS (
+      SELECT doc_id, nf, s,
+             CASE WHEN lag(s < 0) OVER w IS NOT NULL
+                   AND (s < 0) <> lag(s < 0) OVER w
+                  THEN 1 ELSE 0 END AS z
+      FROM sg WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+    )
+    SELECT doc_id AS media_id,
+           CAST(max(nf) AS BIGINT) AS n_samples,
+           CAST(sum(s) AS BIGINT) AS sample_sum,
+           CAST(sum(abs(s)) AS BIGINT) AS abs_sum,
+           CAST(max(abs(s)) AS BIGINT) AS peak_abs,
+           CAST(sum(z) AS BIGINT) AS zero_crossings
+    FROM zc GROUP BY doc_id
+    """,
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio feature extraction, value-checked at the SAMPLE
+    level: the audio payloads are genuine RIFF/WAVE files whose PCM
+    bytes cycle the document's UTF-8 text, the engine parses the real
+    data chunk into signed 16-bit samples and reduces each clip to
+    amplitude statistics (sum, total |amplitude|, peak, zero-crossing
+    count), and the oracle re-derives every sample arithmetically
+    from the generation parameters (byte j of the text, little-endian
+    pairing, two's-complement sign) -- so a codec bug at ANY byte
+    offset, an endianness slip, or a sign error changes some clip's
+    statistics and fails the value hash.  Extends the decode /
+    resize / pixel trio with feature extraction over real sample
+    bytes (operators/multimodal.py::audio_sample_features); the
+    reference has no media path at all (its only binary handling is
+    JSON strings), so this whole family is the engine's own
+    100-TB-pipeline surface."""
+    from ..operators.multimodal import (
+        audio_sample_features,
+        real_media_from_documents,
+    )
+
+    media = real_media_from_documents(read_table(spark, sf_dir, "documents"))
+    return audio_sample_features(media)

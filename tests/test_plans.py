@@ -22,6 +22,7 @@ ARROW_ALLOWED = {
     "multimodal_decode",
     "multimodal_resize",
     "multimodal_pixels",
+    "multimodal_audio_features",
 }
 
 
