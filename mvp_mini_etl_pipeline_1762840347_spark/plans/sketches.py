@@ -2247,6 +2247,33 @@ _MG_SHARDS = 8   # deterministic data shards (stand-in for executors)
 _MG_TOP = 10
 
 
+def mg_shard_compress(counts: DataFrame, k: int = _MG_K):
+    """Misra-Gries compression of per-shard count vectors: keep each
+    shard's top-``k`` rows by (count desc, item asc), subtract the
+    (k+1)-th count, drop non-positive survivors.  Returns
+    ``(kept(shard, item, cc), err(shard, e))`` with the per-shard
+    error ``e`` = the subtracted count, the summary's deterministic
+    accuracy bound.  Shared by the batch query and the streaming twin
+    (each micro-batch is one shard).  The rank filter executes as
+    WindowGroupLimit -- per-partition top-k, no full sort."""
+    w = Window.partitionBy("shard").orderBy(F.desc("c"), F.col("item"))
+    ranked = counts.select(
+        "*", F.row_number().over(w).alias("rnk")
+    ).filter(F.col("rnk") <= k + 1)
+    err = ranked.groupBy("shard").agg(
+        F.coalesce(
+            F.max(F.when(F.col("rnk") == k + 1, F.col("c"))), F.lit(0)
+        ).cast("bigint").alias("e")
+    )
+    kept = (
+        ranked.filter(F.col("rnk") <= k)
+        .join(F.broadcast(err), "shard")
+        .select("shard", "item", (F.col("c") - F.col("e")).alias("cc"))
+        .filter(F.col("cc") > 0)
+    )
+    return kept, err
+
+
 @query(
     "sketch_spacesaving_merge",
     oracle=f"""
@@ -2319,21 +2346,7 @@ def sketch_spacesaving_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = toks.groupBy("shard", "item").agg(
         F.count("*").cast("bigint").alias("c")
     )
-    w = Window.partitionBy("shard").orderBy(F.desc("c"), F.col("item"))
-    ranked = counts.select("*", F.row_number().over(w).alias("rnk")).filter(
-        F.col("rnk") <= _MG_K + 1
-    )
-    err = ranked.groupBy("shard").agg(
-        F.coalesce(
-            F.max(F.when(F.col("rnk") == _MG_K + 1, F.col("c"))), F.lit(0)
-        ).cast("bigint").alias("e")
-    )
-    kept = (
-        ranked.filter(F.col("rnk") <= _MG_K)
-        .join(F.broadcast(err), "shard")
-        .select("item", (F.col("c") - F.col("e")).alias("cc"))
-        .filter(F.col("cc") > 0)
-    )
+    kept, err = mg_shard_compress(counts)
     total_err = err.agg(F.sum("e").cast("bigint").alias("te"))
     merged = kept.groupBy("item").agg(
         F.sum("cc").cast("bigint").alias("est_lo")

@@ -1838,3 +1838,77 @@ def fingerprint_stream(
         .option("checkpointLocation", state_path + "_chk")
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Misra-Gries / SpaceSaving heavy-hitter summary maintenance
+# ---------------------------------------------------------------------------
+def spacesaving_merge_step(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    summary_path: str,
+    err_path: str,
+) -> bool:
+    """One exactly-once SpaceSaving maintenance step (the foreachBatch
+    body of spacesaving_stream, exposed for replay testing): compress
+    the micro-batch's exact token histogram to a capacity-k summary
+    with the SAME core the batch query uses
+    (plans/sketches.py::mg_shard_compress, this batch as one shard),
+    then MERGE additively -- per-item sum into the summary table, the
+    batch's error bound appended to the error ledger.  Both merges
+    ride exactly_once_table_merge; the batch's summary is a pure
+    function of the batch alone, so a crash between the two merges
+    replays to identical deltas.  The accumulated state brackets every
+    true frequency: sum(cc) <= true <= sum(cc) + sum(e) -- the same
+    guarantee the driver checks on the batch query, maintained
+    incrementally with at most k rows of state added per batch."""
+    from ..plans.sketches import mg_shard_compress
+
+    toks = batch_df.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("item")
+    )
+    counts = toks.groupBy("item").agg(
+        F.count("*").cast("bigint").alias("c")
+    ).select(F.lit(batch_id).cast("bigint").alias("shard"), "item", "c")
+    kept, err = mg_shard_compress(counts)
+    delta = kept.select("item", "cc").localCheckpoint(eager=True)
+    err_row = err.select("shard", "e").localCheckpoint(eager=True)
+
+    applied = exactly_once_table_merge(
+        spark, summary_path, batch_id,
+        lambda t: delta if t is None else (
+            t.unionByName(delta)
+            .groupBy("item")
+            .agg(F.sum("cc").cast("bigint").alias("cc"))
+        ),
+    )
+    exactly_once_table_merge(
+        spark, err_path, batch_id,
+        lambda t: err_row if t is None else t.unionByName(err_row),
+    )
+    return applied
+
+
+def spacesaving_stream(
+    docs_stream: DataFrame, summary_path: str, err_path: str, checkpoint_dir: str
+) -> StreamingQuery:
+    """Streaming twin of sketch_spacesaving_merge: maintain the
+    mergeable heavy-hitter summary continuously.  Because the summary
+    algebra is shard-associative and order-free (per-item addition;
+    error bounds accumulate), the streamed state over ANY batching
+    where each micro-batch coincides with one batch-query shard equals
+    the batch query's merged summary exactly -- parity pinned in
+    tests/test_streaming.py."""
+
+    def _step(batch_df: DataFrame, batch_id: int) -> None:
+        spacesaving_merge_step(
+            batch_df.sparkSession, batch_df, batch_id, summary_path, err_path
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(_step)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

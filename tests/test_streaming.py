@@ -1470,3 +1470,79 @@ def test_fingerprint_stream_matches_batch(spark, sf_dir, tmp_path_factory):
     )
     after = spark.read.parquet(state_path).first()
     assert (after.n_rows, after.sum_fp, after.xor_fp) == before
+
+
+# ---------------------------------------------------------------------------
+# Streaming SpaceSaving summary (mergeable heavy-hitter state)
+# ---------------------------------------------------------------------------
+def test_spacesaving_stream_matches_batch(spark, sf_dir, tmp_path_factory):
+    """The incrementally merged summary equals the batch query's
+    shard-merged summary when each micro-batch is one shard (the
+    algebra is order-free per-item addition), the accumulated bracket
+    still contains every exact count, and a replayed batch id is a
+    no-op."""
+    from mvp_mini_etl_pipeline_1762840347_spark.io import read_table
+    from mvp_mini_etl_pipeline_1762840347_spark.plans.sketches import (
+        _MG_SHARDS,
+        mg_shard_compress,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    base = tmp_path_factory.mktemp("spacesaving_stream")
+    landing = str(base / "landing")
+    summary_path = str(base / "summary")
+    err_path = str(base / "errs")
+    for shard in range(_MG_SHARDS):
+        docs.filter(F.col("doc_id") % _MG_SHARDS == shard).coalesce(
+            1
+        ).write.mode("append").parquet(landing)
+
+    q = jobs.spacesaving_stream(
+        jobs.stream_documents(spark, landing, max_files_per_trigger=1),
+        summary_path,
+        err_path,
+        str(base / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["item"]: r["cc"]
+        for r in spark.read.parquet(summary_path).collect()
+    }
+    toks = docs.select(
+        (F.col("doc_id") % _MG_SHARDS).alias("shard"),
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("item"),
+    )
+    kept, err = mg_shard_compress(
+        toks.groupBy("shard", "item").agg(F.count("*").alias("c"))
+    )
+    want = {
+        r["item"]: r["cc"]
+        for r in kept.groupBy("item")
+        .agg(F.sum("cc").alias("cc"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+    # bracket still valid over the streamed state
+    te = spark.read.parquet(err_path).agg(F.sum("e")).first()[0]
+    exact = {
+        r["item"]: r["n"]
+        for r in toks.groupBy("item").agg(F.count("*").alias("n")).collect()
+    }
+    for item, cc in got.items():
+        assert cc <= exact[item] <= cc + te, (item, cc, exact[item], te)
+
+    # replayed batch id: exactly-once no-op on both tables
+    n_sum = spark.read.parquet(summary_path).count()
+    n_err = spark.read.parquet(err_path).count()
+    last_batch = _MG_SHARDS - 1
+    replay = docs.filter(F.col("doc_id") % _MG_SHARDS == last_batch)
+    assert (
+        jobs.spacesaving_merge_step(
+            spark, replay, last_batch, summary_path, err_path
+        )
+        is False
+    )
+    assert spark.read.parquet(summary_path).count() == n_sum
+    assert spark.read.parquet(err_path).count() == n_err
