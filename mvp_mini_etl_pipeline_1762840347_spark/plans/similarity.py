@@ -2159,3 +2159,145 @@ def similarity_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 similarity_lsh_multiprobe.__doc__ = similarity_lsh_multiprobe.__doc__.format(
     b=BUCKET_BITS, b1=BUCKET_BITS + 1
 )
+
+
+# ---------------------------------------------------------------------------
+# Deflated second principal direction (exact-integer orthogonalization)
+# ---------------------------------------------------------------------------
+_PCA2_GRID = 1000  # rescale grid for the iterate vectors
+
+# Shared rescale formula (both engines): integer iterate -> small
+# integer grid via one double division stated once as SQL.
+_PCA2_RESCALE = (
+    "CAST(round(CAST({v} AS DOUBLE) / CAST({mx} AS DOUBLE)"
+    f" * {_PCA2_GRID}.0) AS BIGINT)"
+)
+
+
+@query(
+    "embedding_pca2_deflation",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, p.pos AS dim,
+             CAST(round(embedding[p.pos]::DOUBLE * {_POW_SCALE}) AS BIGINT)
+               AS qv
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS pos) p
+    ),
+    r AS (
+      SELECT vec_id,
+             CAST(sum(qv) AS BIGINT) AS rs,
+             CAST(sum(qv * (CASE WHEN dim % 2 = 1 THEN 1 ELSE -1 END))
+                  AS BIGINT) AS rw
+      FROM q GROUP BY 1
+    ),
+    it AS (
+      SELECT q.dim,
+             CAST(sum(q.qv * r.rs) AS BIGINT) AS v1,
+             CAST(sum(q.qv * r.rw) AS BIGINT) AS u
+      FROM q JOIN r USING (vec_id) GROUP BY 1
+    ),
+    mx AS (
+      SELECT CAST(max(abs(v1)) AS BIGINT) AS m1,
+             CAST(max(abs(u))  AS BIGINT) AS mu
+      FROM it
+    ),
+    sc AS (
+      SELECT dim,
+             {_PCA2_RESCALE.format(v='v1', mx='m1')} AS v1s,
+             {_PCA2_RESCALE.format(v='u', mx='mu')} AS us
+      FROM it CROSS JOIN mx
+    ),
+    dots AS (
+      SELECT CAST(sum(v1s * v1s) AS BIGINT) AS d11,
+             CAST(sum(v1s * us)  AS BIGINT) AS d1u
+      FROM sc
+    ),
+    pc2 AS (
+      SELECT dim, v1s, d11 * us - d1u * v1s AS v2
+      FROM sc CROSS JOIN dots
+    )
+    SELECT dim, v1s AS v1_scaled, CAST(v2 AS BIGINT) AS pc2_raw,
+           (SELECT CAST(sum(v1s * v2) AS BIGINT) FROM pc2) AS orth_dot
+    FROM pc2
+    """,
+)
+def embedding_pca2_deflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SECOND principal direction by deflation, exact to the last
+    bit: one power step from the all-ones start gives the dominant
+    iterate v1 = X^T(X*1) (embedding_power_iteration); a second step
+    from an independent alternating-sign start gives u = X^T(X*w);
+    both rescale to a small integer grid, and u is orthogonalized
+    against v1 WITHOUT division by clearing denominators --
+    pc2 = (v1.v1) * u - (v1.u) * v1, plain BIGINT arithmetic whose
+    orthogonality is an algebraic identity: v1.pc2 = 0 EXACTLY, and
+    the query outputs that dot as a value-checked column (any
+    arithmetic slip anywhere upstream makes it nonzero and fails the
+    oracle, not just a tolerance).
+
+    Exactness: fixed-point components (1/{ps} grid) keep both power
+    steps in BIGINT; the only division is the grid rescale, stated
+    once as shared SQL over exact integers (bit-identical doubles).
+    After rescaling to +-{grid}, every product fits comfortably in
+    int64 (|dots| <= 64e6, |pc2 terms| <= 6.4e10) at ANY corpus size
+    -- the rescale is what makes deflation overflow-free at 100 TB.
+
+    Scale: ONE posexplode pass computes both iterates in the same
+    64-key aggregation (map-side combine, 64-row shuffle); everything
+    after is algebra on 64-row broadcast frames.  Further components
+    repeat the deflation against the accumulated basis -- one extra
+    64-row pass each."""
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * _POW_SCALE).cast("bigint"),
+    )
+    sign = lambda i: F.when((i + 1) % 2 == 1, F.lit(1)).otherwise(F.lit(-1))  # noqa: E731
+    rows = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        q.alias("q"),
+        F.aggregate(q, F.lit(0).cast("bigint"), lambda a, x: a + x).alias("rs"),
+        F.aggregate(
+            F.transform(q, lambda x, i: x * sign(i)),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        ).alias("rw"),
+    )
+    it = (
+        rows.select("rs", "rw", F.posexplode("q").alias("idx0", "qv"))
+        .groupBy((F.col("idx0") + 1).alias("dim"))
+        .agg(
+            F.sum(F.col("qv") * F.col("rs")).cast("bigint").alias("v1"),
+            F.sum(F.col("qv") * F.col("rw")).cast("bigint").alias("u"),
+        )
+    )
+    mx = it.agg(
+        F.max(F.abs(F.col("v1"))).cast("bigint").alias("m1"),
+        F.max(F.abs(F.col("u"))).cast("bigint").alias("mu"),
+    )
+    sc = it.crossJoin(F.broadcast(mx)).select(
+        "dim",
+        F.expr(_PCA2_RESCALE.format(v="v1", mx="m1")).alias("v1s"),
+        F.expr(_PCA2_RESCALE.format(v="u", mx="mu")).alias("us"),
+    )
+    dots = sc.agg(
+        F.sum(F.col("v1s") * F.col("v1s")).cast("bigint").alias("d11"),
+        F.sum(F.col("v1s") * F.col("us")).cast("bigint").alias("d1u"),
+    )
+    pc2 = sc.crossJoin(F.broadcast(dots)).select(
+        "dim",
+        "v1s",
+        (F.col("d11") * F.col("us") - F.col("d1u") * F.col("v1s")).alias("v2"),
+    )
+    orth = pc2.agg(
+        F.sum(F.col("v1s") * F.col("v2")).cast("bigint").alias("orth_dot")
+    )
+    return pc2.crossJoin(F.broadcast(orth)).select(
+        "dim",
+        F.col("v1s").alias("v1_scaled"),
+        F.col("v2").cast("bigint").alias("pc2_raw"),
+        "orth_dot",
+    )
+
+
+embedding_pca2_deflation.__doc__ = embedding_pca2_deflation.__doc__.replace(
+    "{ps}", str(_POW_SCALE)
+).replace("{grid}", str(_PCA2_GRID))
