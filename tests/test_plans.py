@@ -232,3 +232,11 @@ def test_sample_neyman_rank_is_group_limited(spark):
     must compile to WindowGroupLimit (map-side bounded top-K, no
     stratum-sized sort)."""
     assert "WindowGroupLimit" in _plan(spark, "sample_neyman")
+
+
+def test_spacesaving_compression_is_group_limited(spark):
+    """mg_shard_compress's rank filter must compile to WindowGroupLimit
+    (per-shard top-(k+1) selected map-side, no shard-sized sort) --
+    the property that keeps the summary build bounded however large
+    the token stream."""
+    assert "WindowGroupLimit" in _plan(spark, "sketch_spacesaving_merge")

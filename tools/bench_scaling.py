@@ -67,6 +67,11 @@ QUERIES = [
     "mixture_waterfill",        # census agg + bounded-list solve
     "er_sorted_neighborhood",   # block ranks + rank+j equi-join
     "table_fingerprint",        # 8-table commutative reduction
+    "correlation_profile",      # one-scan 15-stat sufficient census
+    "eager_agg_pushdown",       # group-by below the join (Yan-Larson)
+    "sketch_spacesaving_merge", # MG compression + additive merge
+    "multimodal_audio_features",  # Arrow PCM codec path
+    "embedding_pca2_deflation", # 2-component mat-vec + deflation
 ]
 
 
