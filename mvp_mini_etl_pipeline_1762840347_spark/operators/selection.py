@@ -76,8 +76,15 @@ def rank_select(
     either way.
     """
     w = F.col(weight) if weight else F.lit(1).cast("bigint")
-    width_expr = F.greatest(
-        F.expr(f"(hi - lo + {bins}) div {bins}"), F.lit(1)
+    # All range arithmetic runs in DECIMAL(38,0): a candidate range
+    # spanning most of the BIGINT domain makes (hi - lo) itself
+    # overflow int64, and float division loses ULPs past 2^53 --
+    # decimal keeps every step exact for ANY bigint input, and each
+    # final bound lands back inside [lo, hi] so the closing CAST to
+    # BIGINT is always safe.
+    width_sql = (
+        f"greatest(CAST((CAST(hi AS DECIMAL(38,0)) - lo + {bins})"
+        f" div {bins} AS BIGINT), CAST(1 AS BIGINT))"
     )
     grouped = "qid" in v.columns
     if grouped:
@@ -110,10 +117,9 @@ def rank_select(
                 "lo",
                 "hi",
                 "rank",
-                # Exact integer division: float `/` then cast loses
-                # ULPs once (c - lo) exceeds 2^53 and can misbin.
                 F.expr(
-                    f"(c - lo) div greatest((hi - lo + {bins}) div {bins}, 1)"
+                    f"CAST((CAST(c AS DECIMAL(38,0)) - lo)"
+                    f" div ({width_sql}) AS BIGINT)"
                 ).alias("bin"),
                 w.alias("w"),
             )
@@ -130,9 +136,16 @@ def rank_select(
         )
         bounds = chosen.select(
             "qid",
-            (F.col("lo") + F.col("bin") * width_expr).alias("new_lo"),
-            F.least(
-                F.col("hi"), F.col("lo") + (F.col("bin") + 1) * width_expr - 1
+            F.expr(
+                "CAST(CAST(lo AS DECIMAL(38,0))"
+                f" + CAST(bin AS DECIMAL(38,0)) * ({width_sql})"
+                " AS BIGINT)"
+            ).alias("new_lo"),
+            F.expr(
+                "CAST(least(CAST(hi AS DECIMAL(38,0)),"
+                " CAST(lo AS DECIMAL(38,0))"
+                f" + (CAST(bin AS DECIMAL(38,0)) + 1) * ({width_sql}) - 1)"
+                " AS BIGINT)"
             ).alias("new_hi"),
             (F.col("rank") - F.col("before")).alias("rank"),
         ).select(

@@ -352,3 +352,19 @@ def test_weighted_median_delay_matches_numpy(spark):
         assert r.total_weight_cents == int(g["w"].sum())
         assert r.target_w == target
         assert r.median_delay_days == expect, p
+
+
+def test_rank_select_wide_domain_beyond_double_precision(spark):
+    """Values spanning more than 2^53: the old float-division binning
+    could misbin (a double cannot represent every integer out here);
+    the integer-div form must still select exactly.  Adjacent odd
+    values near 2^62 differ below double resolution, so any float
+    round-trip in the binning shows up as a wrong order statistic."""
+    base = 1 << 62
+    rng = np.random.RandomState(3)
+    offs = rng.choice(2_000_000, size=501, replace=False)
+    values = [base + int(o) for o in offs] + [-base - int(o) for o in offs]
+    s = sorted(values)
+    ranks = [("lo", 1), ("q1", 250), ("med", 501), ("q3", 750), ("hi", 1002)]
+    got = _select(spark, values, ranks, rounds=3)
+    assert got == {q: s[k - 1] for q, k in ranks}
