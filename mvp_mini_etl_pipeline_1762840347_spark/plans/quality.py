@@ -1718,3 +1718,79 @@ def correlation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("col_x", "col_y")
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit (data-quality / anomaly profiling)
+# ---------------------------------------------------------------------------
+# log10(1 + 1/d) in parts-per-million, precomputed so BOTH engines
+# compare against identical integer constants (libm log10 may differ
+# in the last ulp between the JVM and DuckDB).  Sums to exactly 1e6.
+_BENFORD_PPM = (301030, 176091, 124939, 96910, 79181, 66947, 57992,
+                51153, 45757)
+_BENFORD_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {ppm}" for d, ppm in enumerate(_BENFORD_PPM, start=1)
+) + " END"
+
+
+@query(
+    "benford_digit_audit",
+    oracle=f"""
+    WITH c AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      FROM orders
+    ),
+    g AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(count(*)) OVER () AS BIGINT) AS total
+      FROM c GROUP BY digit
+    )
+    SELECT digit, n_orders,
+           CAST((n_orders * 1000000) // total AS BIGINT) AS obs_ppm,
+           CAST({_BENFORD_CASE} AS BIGINT) AS benford_ppm,
+           CAST(abs((n_orders * 1000000) // total
+                    - ({_BENFORD_CASE})) AS BIGINT) AS abs_dev_ppm
+    FROM g ORDER BY digit
+    """,
+)
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit over order totals: the
+    classic forensic/data-quality screen (fabricated or truncated
+    numeric feeds deviate from the log-law digit distribution).  One
+    narrow scan reduces to a 9-row digit histogram; observed shares
+    are exact integer parts-per-million (integer div, no float
+    rounding boundary), and the expected Benford shares are
+    PRECOMPUTED ppm constants embedded identically in both engines --
+    libm's log10 may differ in the last ulp between runtimes, so the
+    constants are data, not computation.  The checked rows carry
+    observed vs expected ppm and the absolute deviation per digit;
+    downstream monitors alert on the deviation mass (drift_psi-style),
+    which for TPC-H's synthetic uniform-ish prices is legitimately
+    LARGE -- the audit measures, it does not assume conformance.
+
+    Scale: first digit via string head of the exact integer cents
+    (identical semantics in both engines, no log/pow float path);
+    map-side partial count to 9 groups; the share computation is a
+    window over the 9-row histogram."""
+    o = read_table(spark, sf_dir, "orders")
+    digits = o.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+            1, 1,
+        ).cast("int").alias("digit")
+    )
+    g = digits.groupBy("digit").agg(
+        F.count("*").cast("bigint").alias("n_orders")
+    )
+    total = g.agg(F.sum("n_orders").cast("bigint").alias("total"))
+    g = g.crossJoin(F.broadcast(total))
+    return g.select(
+        "digit",
+        "n_orders",
+        F.expr("(n_orders * 1000000) div total").cast("bigint").alias("obs_ppm"),
+        F.expr(_BENFORD_CASE).cast("bigint").alias("benford_ppm"),
+        F.expr(
+            f"abs((n_orders * 1000000) div total - ({_BENFORD_CASE}))"
+        ).cast("bigint").alias("abs_dev_ppm"),
+    ).orderBy("digit")
