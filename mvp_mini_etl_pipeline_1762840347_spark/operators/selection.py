@@ -76,15 +76,26 @@ def rank_select(
     either way.
     """
     w = F.col(weight) if weight else F.lit(1).cast("bigint")
-    # All range arithmetic runs in DECIMAL(38,0): a candidate range
-    # spanning most of the BIGINT domain makes (hi - lo) itself
-    # overflow int64, and float division loses ULPs past 2^53 --
-    # decimal keeps every step exact for ANY bigint input, and each
-    # final bound lands back inside [lo, hi] so the closing CAST to
-    # BIGINT is always safe.
+    # Range arithmetic must stay exact for ANY bigint input: a
+    # candidate range spanning most of the BIGINT domain makes
+    # (hi - lo) itself overflow int64, and float division loses ULPs
+    # past 2^53.  DECIMAL(38,0) handles both -- but decimal ops cost
+    # ~5-10x a long op, so decimal is confined to the places that are
+    # per-QID (the bucket width, the bound updates: a handful of rows)
+    # or provably rare (the per-row offset only when the range really
+    # does straddle more than half the domain -- the CASE guard below
+    # keeps every realistic dataset on the all-long fast path).
     width_sql = (
-        f"greatest(CAST((CAST(hi AS DECIMAL(38,0)) - lo + {bins})"
-        f" div {bins} AS BIGINT), CAST(1 AS BIGINT))"
+        f"CAST(greatest((CAST(hi AS DECIMAL(38,0)) - lo + {bins})"
+        f" div {bins}, 1) AS BIGINT)"
+    )
+    # Sequential CASE branches (not OR) so the `max + lo` probe is only
+    # evaluated when lo < 0 -- under ANSI mode the addition itself
+    # would overflow for nonnegative lo.
+    bin_sql = (
+        "CASE WHEN lo >= 0 THEN (c - lo) div bw"
+        " WHEN c <= 9223372036854775807 + lo THEN (c - lo) div bw"
+        " ELSE CAST((CAST(c AS DECIMAL(38,0)) - lo) div bw AS BIGINT) END"
     )
     grouped = "qid" in v.columns
     if grouped:
@@ -110,20 +121,21 @@ def rank_select(
         return v.join(F.broadcast(b), cond)
 
     for _ in range(rounds):
+        # width computed ONCE per qid row (decimal, trivially few rows),
+        # then joined in as a plain long for the per-row binning
+        b = bounds.select("*", F.expr(width_sql).alias("bw"))
         binned = (
-            _join_bounds(bounds)
+            _join_bounds(b)
             .select(
                 "qid",
                 "lo",
                 "hi",
                 "rank",
-                F.expr(
-                    f"CAST((CAST(c AS DECIMAL(38,0)) - lo)"
-                    f" div ({width_sql}) AS BIGINT)"
-                ).alias("bin"),
+                "bw",
+                F.expr(bin_sql).alias("bin"),
                 w.alias("w"),
             )
-            .groupBy("qid", "lo", "hi", "rank", "bin")
+            .groupBy("qid", "lo", "hi", "rank", "bw", "bin")
             .agg(F.sum("w").alias("bn"))
         )
         wcum = Window.partitionBy("qid").orderBy("bin")  # <= bins rows/qid
@@ -138,13 +150,13 @@ def rank_select(
             "qid",
             F.expr(
                 "CAST(CAST(lo AS DECIMAL(38,0))"
-                f" + CAST(bin AS DECIMAL(38,0)) * ({width_sql})"
+                " + CAST(bin AS DECIMAL(38,0)) * bw"
                 " AS BIGINT)"
             ).alias("new_lo"),
             F.expr(
                 "CAST(least(CAST(hi AS DECIMAL(38,0)),"
                 " CAST(lo AS DECIMAL(38,0))"
-                f" + (CAST(bin AS DECIMAL(38,0)) + 1) * ({width_sql}) - 1)"
+                " + (CAST(bin AS DECIMAL(38,0)) + 1) * bw - 1)"
                 " AS BIGINT)"
             ).alias("new_hi"),
             (F.col("rank") - F.col("before")).alias("rank"),
