@@ -1559,39 +1559,60 @@ def fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     value) record per hypothesis via explode, and a single shuffle
     keyed on (candidate, key) computes all per-key distinct counts
     together -- 3 scans / 3 shuffles for 6 candidates instead of one
-    aggregation pipeline per candidate.  The fan-out multiplies rows
-    by the table's candidate count but each record is two string
-    columns and partial aggregation collapses them before the
-    exchange.  At 100 TB a profiler would pre-screen candidates on a
-    1% sample and exact-check survivors with this same fused pass.
+    aggregation pipeline per candidate.  The fan-out stays TYPED: the
+    candidate is a 1-byte ordinal (names re-attached to the 6 result
+    rows at the end), the determinant key rides as its native BIGINT,
+    and the dependent value occupies exactly one of a (v_long, v_str)
+    pair so no per-row cast-to-string ever runs -- countDistinct over
+    the struct of the pair is exact, and partial aggregation collapses
+    duplicates before the exchange.  At 100 TB a profiler would
+    pre-screen candidates on a 1% sample and exact-check survivors
+    with this same fused pass.
     Scan-count pin: tests/test_scale.py::test_fd_profile_fused_scans."""
-    by_table: dict[str, list[tuple[str, str]]] = {}
-    for table, det, dep in _FD_CANDIDATES:
-        by_table.setdefault(table, []).append((det, dep))
+    from pyspark.sql.types import IntegralType, StringType
+
+    by_table: dict[str, list[tuple[int, str, str]]] = {}
+    for idx, (table, det, dep) in enumerate(_FD_CANDIDATES):
+        by_table.setdefault(table, []).append((idx, det, dep))
 
     out = None
     for table, cands in by_table.items():
         t = read_table(spark, sf_dir, table)
-        fanout = F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(det).alias("determinant"),
-                        F.lit(dep).alias("dependent"),
-                        F.col(det).cast("string").alias("k"),
-                        F.col(dep).cast("string").alias("v"),
-                    )
-                    for det, dep in cands
-                ]
+
+        def _val_pair(dep: str):
+            # exactly one of (v_long, v_str) is non-null per candidate;
+            # no row-level cast -- the column's native type decides.
+            dtype = t.schema[dep].dataType
+            if isinstance(dtype, IntegralType):
+                # widening int->bigint is exact and register-cheap,
+                # unlike the old cast-everything-to-string fan-out
+                return F.col(dep).cast("bigint"), F.lit(None).cast("string")
+            if isinstance(dtype, StringType):
+                return F.lit(None).cast("bigint"), F.col(dep)
+            raise TypeError(f"unsupported FD dependent type: {dtype}")
+
+        def _struct(idx: int, det: str, dep: str):
+            v_long, v_str = _val_pair(dep)
+            return F.struct(
+                F.lit(idx).cast("tinyint").alias("cand"),
+                # bigint->bigint is optimizer-eliminated; int->bigint widens
+                F.col(det).cast("bigint").alias("k"),
+                v_long.alias("v_long"),
+                v_str.alias("v_str"),
             )
+
+        fanout = F.explode(
+            F.array(*[_struct(i, det, dep) for i, det, dep in cands])
         )
         per_key = (
             t.select(fanout.alias("p"))
             .select("p.*")
-            .groupBy("determinant", "dependent", "k")
-            .agg(F.countDistinct("v").alias("ndep"))
+            .groupBy("cand", "k")
+            .agg(
+                F.countDistinct(F.struct("v_long", "v_str")).alias("ndep")
+            )
         )
-        row = per_key.groupBy("determinant", "dependent").agg(
+        row = per_key.groupBy("cand").agg(
             F.count("*").cast("bigint").alias("n_keys"),
             F.sum(F.when(F.col("ndep") > 1, 1).otherwise(0))
             .cast("bigint")
@@ -1605,8 +1626,26 @@ def fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.sum(F.when(F.col("ndep") > 1, 1).otherwise(0)) == 0
             ).alias("holds"),
-        ).select(
-            F.lit(table).alias("tbl"),
+        )
+        out = row if out is None else out.unionByName(row)
+
+    # Re-attach the 6 candidate names driver-side: a 6-row broadcast
+    # lookup, never a per-row literal through the shuffle.
+    names = spark.createDataFrame(
+        [
+            (idx, table, det, dep)
+            for idx, (table, det, dep) in enumerate(_FD_CANDIDATES)
+        ],
+        "cand int, tbl string, determinant string, dependent string",
+    )
+    return (
+        out.join(
+            F.broadcast(names),
+            out.cand.cast("int") == names.cand,
+            "inner",
+        )
+        .select(
+            "tbl",
             "determinant",
             "dependent",
             "n_keys",
@@ -1614,8 +1653,8 @@ def fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "violation_pct",
             "holds",
         )
-        out = row if out is None else out.unionByName(row)
-    return out.orderBy("tbl", "determinant", "dependent")
+        .orderBy("tbl", "determinant", "dependent")
+    )
 
 
 # ---------------------------------------------------------------------------
