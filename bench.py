@@ -55,9 +55,15 @@ def main() -> None:
     bench_t0 = time.perf_counter()
     timings: dict[str, float] = {}
     passes_done = 0
+    # Per-pass audit trail: 1-min loadavg at pass start/end plus the
+    # pass wall time, so a noisy-machine artifact is self-diagnosing
+    # (ambient-load adjudication from data, not narrative).
+    pass_audit: list[dict[str, float]] = []
     for r in range(max(1, reps)):
         if r > 0 and time.perf_counter() - bench_t0 > budget:
             break
+        pass_t0 = time.perf_counter()
+        load_start = round(os.getloadavg()[0], 2)
         for name, fn in sorted(plans.QUERIES.items()):
             if r > 0 and time.perf_counter() - bench_t0 > budget:
                 break
@@ -67,22 +73,34 @@ def main() -> None:
             timings[name] = min(timings.get(name, wall), wall)
         else:
             passes_done = r + 1
+        pass_audit.append(
+            {
+                "pass": r + 1,
+                "wall_sec": round(time.perf_counter() - pass_t0, 1),
+                "loadavg_start": load_start,
+                "loadavg_end": round(os.getloadavg()[0], 2),
+            }
+        )
 
     total = round(sum(timings.values()), 3)
     try:
-        sf_val = float(sf)
+        sf_val: float | None = float(sf)
     except ValueError:
-        sf_val = sf_dir  # non-testdata layout (e.g. tools/bench_layout.py)
+        # non-testdata layout (e.g. tools/bench_layout.py): keep the
+        # numeric field's type contract -- sf_dir carries the path.
+        sf_val = None
     payload = {
         "metric": "total_wall_sec_all_queries",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "sf_dir": sf_dir,
         "n_queries": len(timings),
         "reps": max(1, reps),
         "full_passes": max(1, passes_done),
         "budget_sec": budget,
+        "passes": pass_audit,
     }
     # The driver's log keeps only the tail of long stdout lines, which
     # truncates the per-query map to the alphabetical tail; persist the

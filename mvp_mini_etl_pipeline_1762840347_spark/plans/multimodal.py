@@ -326,9 +326,14 @@ def multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_audio_features",
     oracle="""
     WITH a AS (
+      -- mirror the engine's empty-payload fallback (build_wav uses
+      -- b"\\x00" when the text encodes to zero bytes): NULL/'' text
+      -- becomes the single zero byte, so L >= 1 always
       SELECT doc_id, 64 + n_chars % 128 AS nf,
-             lower(hex(encode(text))) AS hx,
-             octet_length(encode(text)) AS L
+             CASE WHEN octet_length(encode(coalesce(text, ''))) = 0
+                  THEN '00'
+                  ELSE lower(hex(encode(text))) END AS hx,
+             greatest(octet_length(encode(coalesce(text, ''))), 1) AS L
       FROM documents WHERE doc_id % 3 = 1
     ),
     smp AS (

@@ -128,7 +128,14 @@ def rewrite_all_tables(sf_dir: str, out_dir: str, n_files: int) -> None:
     committed testdata is one row group per table, which serializes
     cold scans into one task."""
     spark = get_spark("layout_rewrite")
-    spark.conf.set("spark.hadoop.parquet.block.size", str(1 << 20))
+    # parquet.block.size must land on the HADOOP conf object the
+    # ParquetOutputFormat reads -- setting "spark.hadoop.parquet.
+    # block.size" via spark.conf.set AFTER session creation never
+    # reaches it (newHadoopConf() copies the key verbatim with its
+    # spark.hadoop. prefix, leaving the 128 MiB default in force).
+    spark.sparkContext._jsc.hadoopConfiguration().set(
+        "parquet.block.size", str(1 << 20)
+    )
     for name in _BIG_TABLES:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         df.repartition(n_files).write.mode("overwrite").parquet(
