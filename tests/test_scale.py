@@ -555,3 +555,74 @@ def test_bloom_prune_discards_at_scan(spark):
         n_true,
         n_pruned,
     )
+
+
+# ---------------------------------------------------------------------------
+# eager_agg_pushdown: the Yan-Larson rewrite is IN the executed plan --
+# the operator that consumes the lineitem scan is a partial
+# HashAggregate keyed on l_orderkey, so the only lineitem-derived
+# exchange carries per-order partials, never raw lineitem rows
+# ---------------------------------------------------------------------------
+def test_eager_agg_preaggregates_before_join(spark):
+    from mvp_mini_etl_pipeline_1762840347_spark import plans
+
+    df = plans.QUERIES["eager_agg_pushdown"](spark, SF)
+    df.collect()  # finalize the adaptive plan
+    final = (
+        df._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    lines = final.splitlines()
+    scan_i = next(
+        i for i, ln in enumerate(lines) if "lineitem.parquet" in ln
+    )
+    # walk up from the scan to its nearest aggregate/join ancestor
+    # (tree pre-order: ancestors print before the scan line)
+    anc = next(
+        i
+        for i in range(scan_i - 1, -1, -1)
+        if "HashAggregate" in lines[i] or "Join" in lines[i]
+    )
+    assert "HashAggregate" in lines[anc], (
+        "lineitem must feed a pre-aggregate, not a join:\n" + lines[anc]
+    )
+    assert "keys=[l_orderkey" in lines[anc] and "partial_" in lines[anc], (
+        "the scan's aggregate must be the per-order partial:\n" + lines[anc]
+    )
+    # the shuffle of lineitem-derived data is keyed on the order key
+    # (i.e. it moves per-order partials)
+    assert "Exchange hashpartitioning(l_orderkey" in final
+    assert final.count("lineitem.parquet") == 1
+
+
+# ---------------------------------------------------------------------------
+# sketch_hll_cube: the lattice fan-out multiplies REGISTERS, never
+# facts -- every Generate(explode) in the executed plan sits above an
+# aggregate, not above a raw scan, and orders is read exactly twice
+# (register build + the exact-distinct accuracy yardstick)
+# ---------------------------------------------------------------------------
+def test_hll_cube_fans_out_registers_not_facts(spark):
+    from mvp_mini_etl_pipeline_1762840347_spark import plans
+
+    df = plans.QUERIES["sketch_hll_cube"](spark, SF)
+    df.collect()  # finalize the adaptive plan
+    final = (
+        df._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    lines = final.splitlines()
+    gen_lines = [i for i, ln in enumerate(lines) if "Generate explode" in ln]
+    assert gen_lines, "cube lattice fan-out missing from the plan"
+    for g in gen_lines:
+        below = next(
+            ln
+            for ln in lines[g + 1:]
+            if "HashAggregate" in ln or "FileScan" in ln
+        )
+        assert "HashAggregate" in below, (
+            "explode must consume aggregated registers, not the raw "
+            "fact scan:\n" + lines[g]
+        )
+    assert final.count("orders.parquet") == 2, (
+        "register build + exact yardstick = exactly two orders scans"
+    )
