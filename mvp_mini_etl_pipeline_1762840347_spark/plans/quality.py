@@ -895,7 +895,11 @@ sample_neyman.__doc__ = sample_neyman.__doc__.format(b=_NEYMAN_BUDGET)
 _PACK_BUDGET_DISP = 512
 
 
-def _disposition_oracle() -> str:
+def _disposition_cte() -> str:
+    """The shared curation-pipeline CTE chain ending in ``disp``
+    (per-document: disposition, n_tokens, source, and the 60-bit
+    content hash h) -- consumed by corpus_disposition's census and
+    training_data_release's manifest."""
     from .dedup import (
         _DECON_THRESHOLD,
         _EVAL_SOURCE,
@@ -915,6 +919,9 @@ def _disposition_oracle() -> str:
                                                        '', 'g')) AS DOUBLE)
                / length(text)                              AS punct_ratio,
              md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_fp,
+             ('0x' || substring(
+                 md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15))::BIGINT
+               AS h,
              {_bucket_sql("doc_id")} AS bucket
       FROM documents
     ),
@@ -973,9 +980,16 @@ def _disposition_oracle() -> str:
                WHEN bucket < 4 THEN '5_val'
                ELSE '5_train'
              END AS disposition,
-             n_tokens
+             n_tokens, source, h
       FROM flagged
     )
+    """
+
+
+def _disposition_oracle() -> str:
+    return (
+        _disposition_cte()
+        + f"""
     SELECT disposition,
            count(*) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
@@ -985,35 +999,13 @@ def _disposition_oracle() -> str:
                 ELSE 0 END AS n_sequences
     FROM disp GROUP BY 1
     """
+    )
 
 
-@query("corpus_disposition", oracle=_disposition_oracle())
-def corpus_disposition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The COMPLETE pre-training curation pipeline as one declarative
-    DAG: every document is assigned exactly one fate -- held-out eval
-    source, quality-gate drop (language/length/punctuation, the
-    corpus_quality_funnel thresholds), exact duplicate (non-canonical
-    for its normalized fingerprint), near-duplicate (non-canonical
-    member of a MinHash-LSH connected component), contaminated
-    (decontaminate_eval_overlap rule), or its final train/val/test
-    split -- with per-fate document, token, and packed-sequence
-    accounting (ceil(tokens/budget), the pack_sequences budget).  The
-    dispositions PARTITION the corpus: n_docs sums to the table size,
-    which makes shrinkage at every stage auditable in one readout.
-
-    Composition keeps each stage's scale shape: exact-dup keepers are
-    a per-fingerprint min window (partitioned by a data key), the
-    near-dup drop set and the contamination set are tiny and broadcast
-    back onto the corpus (dedup_apply / corpus_clean_split shapes),
-    and the final pass is one narrow scan + a groupBy over at most 8
-    disposition rows.  The corpus is scanned three times (flags,
-    minhash signatures, decontamination shingles); at 100 TB the
-    shingle stream is computed once and checkpointed between the two
-    consumers, and each drop set lands in a table -- the natural
-    multi-day ingest checkpoints.  Stage precedence is explicit (a doc
-    that is both a near-dup and contaminated counts once, as the
-    earlier stage), so the numbers reconcile exactly with the
-    stand-alone stage queries."""
+def _disposition_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document curation outcome: one row per document with its
+    disposition, token count, source, and 60-bit content hash h --
+    the Spark twin of the ``disp`` CTE in _disposition_cte()."""
     from pyspark.sql.window import Window
 
     from .dedup import _EVAL_SOURCE, decontaminate_frame, minhash_pairs
@@ -1040,6 +1032,23 @@ def corpus_disposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")).alias(
             "norm_fp"
         ),
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.col("text"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
         hash_bucket(F.col("doc_id")).alias("bucket"),
     )
 
@@ -1081,8 +1090,40 @@ def corpus_disposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("bucket") < 4, "5_val")
         .otherwise("5_train")
     )
+    return flagged.select(
+        "doc_id", disposition.alias("disposition"), "n_tokens", "source", "h"
+    )
+
+
+@query("corpus_disposition", oracle=_disposition_oracle())
+def corpus_disposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE pre-training curation pipeline as one declarative
+    DAG: every document is assigned exactly one fate -- held-out eval
+    source, quality-gate drop (language/length/punctuation, the
+    corpus_quality_funnel thresholds), exact duplicate (non-canonical
+    for its normalized fingerprint), near-duplicate (non-canonical
+    member of a MinHash-LSH connected component), contaminated
+    (decontaminate_eval_overlap rule), or its final train/val/test
+    split -- with per-fate document, token, and packed-sequence
+    accounting (ceil(tokens/budget), the pack_sequences budget).  The
+    dispositions PARTITION the corpus: n_docs sums to the table size,
+    which makes shrinkage at every stage auditable in one readout.
+
+    Composition keeps each stage's scale shape: exact-dup keepers are
+    a per-fingerprint min window (partitioned by a data key), the
+    near-dup drop set and the contamination set are tiny and broadcast
+    back onto the corpus (dedup_apply / corpus_clean_split shapes),
+    and the final pass is one narrow scan + a groupBy over at most 8
+    disposition rows.  The corpus is scanned three times (flags,
+    minhash signatures, decontamination shingles); at 100 TB the
+    shingle stream is computed once and checkpointed between the two
+    consumers, and each drop set lands in a table -- the natural
+    multi-day ingest checkpoints.  Stage precedence is explicit (a doc
+    that is both a near-dup and contaminated counts once, as the
+    earlier stage), so the numbers reconcile exactly with the
+    stand-alone stage queries."""
     agg = (
-        flagged.select(disposition.alias("disposition"), "n_tokens")
+        _disposition_frame(spark, sf_dir)
         .groupBy("disposition")
         .agg(
             F.count("*").alias("n_docs"),
@@ -1103,6 +1144,82 @@ def corpus_disposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .cast("bigint")
         .alias("n_sequences"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data RELEASE: the full curation pipeline ending in the
+# shippable per-split manifest (the flagship end-to-end composite)
+# ---------------------------------------------------------------------------
+@query(
+    "training_data_release",
+    oracle=_disposition_cte()
+    + f"""
+    SELECT substring(disposition, 3) AS split,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           (CAST(sum(n_tokens) AS BIGINT) + {_PACK_BUDGET_DISP - 1})
+             // {_PACK_BUDGET_DISP} AS n_sequences,
+           count(DISTINCT source) AS n_sources,
+           bit_xor(h) AS content_fingerprint
+    FROM disp WHERE disposition LIKE '5_%'
+    GROUP BY 1
+    """,
+)
+def training_data_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END training-data release: the complete curation
+    pipeline (eval holdout -> quality gate -> exact dedup -> near-dup
+    LSH -> decontamination -> hash split, exactly corpus_disposition's
+    stage precedence) chained THROUGH to the shippable artifact -- one
+    manifest row per released split (train/val/test) carrying document
+    / token / packed-sequence accounting, the number of contributing
+    sources, and the release_manifest-style XOR content fingerprint of
+    exactly the documents that survived every gate.  This is the
+    reference's full E1 extract->transform->load lifecycle
+    (`src/lib/users.js:39-63`, metrics at `:71-78`) re-stated at LLM
+    scale: the "load" is a versioned dataset release whose manifest a
+    consumer can verify byte-for-byte.
+
+    Consistency by construction: the per-split n_docs / n_tokens /
+    n_sequences equal corpus_disposition's 5_* rows (both aggregate
+    the SAME _disposition_frame; pinned by
+    tests/test_round7_ops.py::test_release_reconciles_with_disposition)
+    and the fingerprint XOR-combines the same 60-bit per-document
+    hashes release_manifest publishes per source -- so release rows
+    reconcile against both stage queries with no extra scan.
+
+    Scale: everything rides the corpus_disposition shapes (bounded
+    broadcast drop-sets, fingerprint window keyed by a data column,
+    three corpus scans at most); the manifest aggregation adds one
+    map-side-combinable groupBy over <= 3 splits whose XOR fingerprint
+    is partition-order independent, incrementally maintainable, and
+    mergeable across ingest batches."""
+    kept = _disposition_frame(spark, sf_dir).filter(
+        F.col("disposition").startswith("5_")
+    )
+    return (
+        kept.groupBy(
+            F.col("disposition").substr(F.lit(3), F.lit(16)).alias("split")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.countDistinct("source").alias("n_sources"),
+            F.expr("bit_xor(h)").alias("content_fingerprint"),
+        )
+        .select(
+            "split",
+            "n_docs",
+            "n_tokens",
+            F.expr(
+                f"(n_tokens + {_PACK_BUDGET_DISP - 1})"
+                f" div {_PACK_BUDGET_DISP}"
+            )
+            .cast("bigint")
+            .alias("n_sequences"),
+            "n_sources",
+            "content_fingerprint",
+        )
     )
 
 
