@@ -582,7 +582,14 @@ def release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     one XOR against the published fingerprint, no rescan.  All other
     columns are integer-exact aggregates; one shuffle of
     O(|sources|) rows."""
-    d = read_table(spark, sf_dir, "documents")
+    return manifest_frame(read_table(spark, sf_dir, "documents"))
+
+
+def manifest_frame(docs: DataFrame) -> DataFrame:
+    """Per-source manifest aggregation over any documents frame --
+    shared by release_manifest (whole table) and the streaming twin's
+    per-batch delta (every column is a commutative/associative
+    reduction, so per-batch manifests MERGE into the table manifest)."""
     h = F.conv(
         F.substring(
             F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text"))),
@@ -593,7 +600,7 @@ def release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         10,
     ).cast("bigint")
     return (
-        d.select(
+        docs.select(
             "source",
             "doc_id",
             "n_chars",

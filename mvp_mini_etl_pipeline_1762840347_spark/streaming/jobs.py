@@ -1912,3 +1912,85 @@ def spacesaving_stream(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Continuously-maintained per-source release manifest (streaming twin
+# of release_manifest / the training_data_release "load" stage)
+# ---------------------------------------------------------------------------
+def release_manifest_merge_step(
+    spark: SparkSession, batch_df: DataFrame, batch_id: int, state_path: str
+) -> bool:
+    """One exactly-once merge of a documents micro-batch into the
+    per-source release manifest: every column is a commutative/
+    associative reduction (count, sums, min/max, XOR fingerprint), so
+    the per-batch manifest delta MERGES into the running table via a
+    full-outer join on source -- counts add, ranges widen, and the
+    XOR fingerprint composes because XOR is self-inverse (this is the
+    property release_manifest's docstring sells: adding a document is
+    one XOR, no rescan).  Like the fingerprint stream, the merge is
+    additive rather than idempotent, so the shared batch-id
+    high-water mark is load-bearing.  Returns False on a replay."""
+    from ..plans.scrub import manifest_frame
+
+    def _merge(target: DataFrame | None) -> DataFrame:
+        delta = manifest_frame(batch_df)
+        if target is None:
+            return delta
+        t = target.select(
+            F.col("source"),
+            F.col("n_docs").alias("t_docs"),
+            F.col("n_tokens").alias("t_tok"),
+            F.col("n_chars").alias("t_ch"),
+            F.col("min_doc_id").alias("t_min"),
+            F.col("max_doc_id").alias("t_max"),
+            F.col("content_fingerprint").alias("t_fp"),
+        )
+        z = F.lit(0).cast("bigint")
+        return delta.join(t, "source", "full_outer").select(
+            "source",
+            (F.coalesce("n_docs", z) + F.coalesce("t_docs", z))
+            .cast("bigint")
+            .alias("n_docs"),
+            (F.coalesce("n_tokens", z) + F.coalesce("t_tok", z))
+            .cast("bigint")
+            .alias("n_tokens"),
+            (F.coalesce("n_chars", z) + F.coalesce("t_ch", z))
+            .cast("bigint")
+            .alias("n_chars"),
+            F.least(
+                F.coalesce("min_doc_id", "t_min"),
+                F.coalesce("t_min", "min_doc_id"),
+            ).alias("min_doc_id"),
+            F.greatest(
+                F.coalesce("max_doc_id", "t_max"),
+                F.coalesce("t_max", "max_doc_id"),
+            ).alias("max_doc_id"),
+            F.expr(
+                "coalesce(content_fingerprint, 0L) ^ coalesce(t_fp, 0L)"
+            )
+            .cast("bigint")
+            .alias("content_fingerprint"),
+        )
+
+    return exactly_once_table_merge(spark, state_path, batch_id, _merge)
+
+
+def release_manifest_stream(
+    spark: SparkSession, docs: DataFrame, state_path: str
+) -> StreamingQuery:
+    """Streaming twin of release_manifest: the shippable per-source
+    dataset manifest maintained continuously as documents land, so a
+    release cut is a zero-scan read of the state table at ANY moment
+    and a replica/rebuild check is a per-source fingerprint compare.
+    Exactly-once via the shared atomic staged-swap merge."""
+
+    def _step(batch_df: DataFrame, batch_id: int) -> None:
+        release_manifest_merge_step(spark, batch_df, batch_id, state_path)
+
+    return (
+        docs.writeStream.foreachBatch(_step)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", state_path + "_chk")
+        .start()
+    )

@@ -83,3 +83,54 @@ def test_dispositions_partition_the_corpus(spark):
     n_total = sum(r["n_docs"] for r in disp)
     n_docs = pq.read_metadata(SF + "/documents.parquet").num_rows
     assert n_total == n_docs, (n_total, n_docs)
+
+
+def test_release_manifest_stream_matches_batch(spark, tmp_path_factory):
+    """The streamed per-source manifest over several micro-batches
+    must equal the batch release_manifest of all rows (every column
+    is a commutative reduction; XOR composes batch fingerprints), and
+    a replayed batch id must be a no-op."""
+    from pyspark.sql import functions as F
+
+    from mvp_mini_etl_pipeline_1762840347_spark import plans
+    from mvp_mini_etl_pipeline_1762840347_spark.io import read_table
+    from mvp_mini_etl_pipeline_1762840347_spark.streaming import jobs
+
+    base = tmp_path_factory.mktemp("release_stream")
+    landing = str(base / "landing")
+    d = read_table(spark, SF, "documents")
+    d.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        landing, mode="overwrite"
+    )
+    d.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        landing, mode="append"
+    )
+    state_path = str(base / "manifest")
+
+    docs = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    q = jobs.release_manifest_stream(spark, docs, state_path)
+    q.awaitTermination(120)
+
+    got = {
+        r["source"]: r.asDict()
+        for r in spark.read.parquet(state_path).collect()
+    }
+    want = {
+        r["source"]: r.asDict()
+        for r in plans.QUERIES["release_manifest"](spark, SF).collect()
+    }
+    assert got == want
+
+    # replayed batch id: exactly-once no-op
+    assert not jobs.release_manifest_merge_step(
+        spark, d.limit(3), 0, state_path
+    )
+    still = {
+        r["source"]: r.asDict()
+        for r in spark.read.parquet(state_path).collect()
+    }
+    assert still == want
