@@ -72,6 +72,8 @@ QUERIES = [
     "sketch_spacesaving_merge", # MG compression + additive merge
     "multimodal_audio_features",  # Arrow PCM codec path
     "embedding_pca2_deflation", # 2-component mat-vec + deflation
+    "fd_profile",               # typed fused FD census (round-7 form)
+    "training_data_release",    # full curation -> release manifest
 ]
 
 
