@@ -280,3 +280,55 @@ def test_m4_merge_is_partition_invariant(spark, raw, n_parts):
             F.max_by("v_last", F.col("last_key")).alias("v_last"),
         )
     assert key(merged) == key(oneshot)
+
+
+# ---------------------------------------------------------------------------
+# Release-manifest merge law: for ANY split of a document set into
+# micro-batches, sequentially merging per-batch manifests equals the
+# whole-set manifest (counts add, ranges widen, XOR composes) -- the
+# algebra release_manifest_stream depends on, beyond the one
+# file-split parity test.
+# ---------------------------------------------------------------------------
+_DOC = st.tuples(
+    st.integers(0, 10**6),                      # doc_id
+    st.text(max_size=10),                       # text
+    st.sampled_from(["web", "wiki", "code"]),   # source
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    docs=st.lists(_DOC, min_size=1, max_size=12, unique_by=lambda d: d[0]),
+    n_batches=st.integers(1, 4),
+)
+def test_release_manifest_merge_law(spark, docs, n_batches, tmp_path_factory):
+    from mvp_mini_etl_pipeline_1762840347_spark.plans.scrub import (
+        manifest_frame,
+    )
+    from mvp_mini_etl_pipeline_1762840347_spark.streaming.jobs import (
+        release_manifest_merge_step,
+    )
+
+    def frame(rows):
+        return spark.createDataFrame(
+            [(i, t, s, len(t)) for i, t, s in rows],
+            "doc_id long, text string, source string, n_chars long",
+        )
+
+    state = str(tmp_path_factory.mktemp("mml") / "state")
+    batches = [docs[i::n_batches] for i in range(n_batches)]
+    applied = 0
+    for bid, batch in enumerate(b for b in batches if b):
+        assert release_manifest_merge_step(spark, frame(batch), bid, state)
+        applied += 1
+    assert applied >= 1
+
+    got = {
+        r["source"]: r.asDict()
+        for r in spark.read.parquet(state).collect()
+        if r["source"] is not None
+    }
+    want = {
+        r["source"]: r.asDict() for r in manifest_frame(frame(docs)).collect()
+    }
+    assert got == want, (got, want)
