@@ -519,3 +519,133 @@ def conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
 conformal_interval.__doc__ = conformal_interval.__doc__.format(
     cov=100 - _CFP_ALPHA_PCT
 )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka prefix-dimension recall (can truncated embeddings serve?)
+# ---------------------------------------------------------------------------
+_MRL_DIMS = (8, 16, 32, 64)
+_MRL_NQ = 5
+_MRL_K = 10
+
+_MRL_COS = (
+    "list_dot_product(q.qe[1:dims.d], v.e[1:dims.d]) / "
+    "sqrt(list_dot_product(q.qe[1:dims.d], q.qe[1:dims.d]) "
+    "* list_dot_product(v.e[1:dims.d], v.e[1:dims.d]))"
+)
+
+
+@query(
+    "embedding_prefix_recall",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    dims(d) AS (VALUES {", ".join(f"({d})" for d in _MRL_DIMS)}),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < {_MRL_NQ}),
+    scored AS (
+      SELECT dims.d, q.query_id, v.vec_id AS neighbor_id,
+             round({_MRL_COS}, 4) AS sim
+      FROM q JOIN v ON v.vec_id <> q.query_id CROSS JOIN dims
+    ),
+    ranked AS (
+      SELECT d, query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY d, query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored
+    ),
+    topk AS (SELECT d, query_id, neighbor_id FROM ranked WHERE rank <= {_MRL_K}),
+    full_k AS (SELECT query_id, neighbor_id FROM topk WHERE d = {_MRL_DIMS[-1]}),
+    hits AS (
+      SELECT t.d, t.query_id, count(f.neighbor_id) AS n_hit
+      FROM topk t LEFT JOIN full_k f
+        ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+      GROUP BY t.d, t.query_id
+    )
+    SELECT d AS prefix_dim,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST({_MRL_K} AS BIGINT) AS k,
+           CAST(sum(n_hit) AS BIGINT) AS n_overlap,
+           round(100.0 * sum(n_hit) / ({_MRL_K} * count(*)), 4) AS recall_pct
+    FROM hits GROUP BY 1
+    """,
+)
+def embedding_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style prefix-dimension evaluation (Kusupati et al.
+    2022, public): for each candidate prefix length d, the exact
+    top-{k} cosine neighbors computed on only the FIRST d dimensions
+    are compared against the full-dimension top-{k}, yielding
+    recall@{k} per prefix -- the measurement that decides whether an
+    embedding store can serve ANN from truncated vectors (1/8th the
+    memory and FLOPs at d=8) without retraining.  The full-dimension
+    row rides along at 100% as the self-check.
+
+    Plan shape: ONE scan of the embedding table fans out map-side to
+    the |dims| prefix lengths via explode (the register-fanout
+    discipline -- the multiplier is the constant 4, never data), the
+    {nq}-query side is broadcast, and ranking is over (rounded sim,
+    neighbor_id) so both engines order identically.  At 100 TB the
+    same plan evaluates over a hash-sampled query set; the scan side
+    stays the one full pass any exact-recall evaluation needs."""
+    v = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("e"),
+    )
+    q = v.filter(F.col("vec_id") < _MRL_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    fan = v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.explode(F.array(*[F.lit(d) for d in _MRL_DIMS])).alias("d"),
+        "e",
+        "qe",
+    )
+    pe = F.expr("slice(e, 1, d)")
+    pq_ = F.expr("slice(qe, 1, d)")
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = fan.select(
+        "d",
+        "query_id",
+        "neighbor_id",
+        F.round(
+            dot(pq_, pe) / F.sqrt(dot(pq_, pq_) * dot(pe, pe)), 4
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("d", "query_id").orderBy(
+        F.col("sim").desc(), "neighbor_id"
+    )
+    topk = (
+        scored.select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= _MRL_K)
+        .select("d", "query_id", "neighbor_id")
+    )
+    full_k = topk.filter(F.col("d") == _MRL_DIMS[-1]).select(
+        F.col("query_id").alias("f_query"),
+        F.col("neighbor_id").alias("f_neighbor"),
+    )
+    hits = (
+        topk.join(
+            F.broadcast(full_k),
+            (F.col("query_id") == F.col("f_query"))
+            & (F.col("neighbor_id") == F.col("f_neighbor")),
+            "left",
+        )
+        .groupBy("d", "query_id")
+        .agg(F.count("f_neighbor").alias("n_hit"))
+    )
+    return hits.groupBy(F.col("d").alias("prefix_dim")).agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        F.lit(_MRL_K).cast("bigint").alias("k"),
+        F.sum("n_hit").cast("bigint").alias("n_overlap"),
+        F.round(
+            100.0 * F.sum("n_hit") / (_MRL_K * F.count("*")), 4
+        ).alias("recall_pct"),
+    )
+
+
+embedding_prefix_recall.__doc__ = embedding_prefix_recall.__doc__.format(
+    k=_MRL_K, nq=_MRL_NQ
+)
