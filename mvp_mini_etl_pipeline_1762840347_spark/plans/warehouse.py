@@ -2249,3 +2249,158 @@ def result_cache_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(first_hit).alias("first_call_hit"),
         F.lit(cache.last_hit).alias("served_from_cache"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cost-based join-order advisor (left-deep enumeration from exact stats)
+# ---------------------------------------------------------------------------
+# The 4-table chain nation - customer - orders - lineitem, with the
+# textbook estimator |A >< B| = |A| * |B| / max(ndv_A(k), ndv_B(k))
+# (containment assumption; base-table NDVs preserved through joins).
+_JOA_EDGES = {
+    frozenset(("nation", "customer")): ("d_n_nk", "d_c_nk"),
+    frozenset(("customer", "orders")): ("d_c_ck", "d_o_ck"),
+    frozenset(("orders", "lineitem")): ("d_o_ok", "d_l_ok"),
+}
+_JOA_CHAIN = ("nation", "customer", "orders", "lineitem")
+
+
+def _joa_orders() -> list[tuple[str, ...]]:
+    """Left-deep join orders whose every prefix is connected in the
+    chain (cross products excluded) -- deterministic enumeration."""
+    import itertools
+
+    out = []
+    for perm in itertools.permutations(_JOA_CHAIN):
+        joined = {perm[0]}
+        ok = True
+        for t in perm[1:]:
+            if not any(frozenset((t, s)) in _JOA_EDGES for s in joined):
+                ok = False
+                break
+            joined.add(t)
+        if ok:
+            out.append(perm)
+    return out
+
+
+def _joa_cost_sql(
+    order: tuple[str, ...], intdiv: str
+) -> tuple[str, list[str]]:
+    """(SQL expr for the summed intermediate cardinality, per-step
+    exprs) for one left-deep order -- the SAME integer arithmetic
+    over the stats columns in both dialects, differing only in the
+    integer-division spelling (`div` Spark, `//` DuckDB)."""
+    card = f"n_{order[0]}"
+    joined = {order[0]}
+    steps = []
+    for t in order[1:]:
+        peer = next(s for s in joined if frozenset((t, s)) in _JOA_EDGES)
+        da, db = _JOA_EDGES[frozenset((t, peer))]
+        card = f"(({card}) * n_{t} {intdiv} greatest({da}, {db}))"
+        steps.append(card)
+        joined.add(t)
+    # cost = sum of INTERMEDIATE result sizes (the final result is
+    # produced once however the plan is shaped)
+    return " + ".join(steps[:-1]), steps
+
+
+_JOA_STATS_SQL = """
+      (SELECT count(*) FROM nation)   AS n_nation,
+      (SELECT count(*) FROM customer) AS n_customer,
+      (SELECT count(*) FROM orders)   AS n_orders,
+      (SELECT count(*) FROM lineitem) AS n_lineitem,
+      (SELECT count(DISTINCT n_nationkey) FROM nation)    AS d_n_nk,
+      (SELECT count(DISTINCT c_nationkey) FROM customer)  AS d_c_nk,
+      (SELECT count(DISTINCT c_custkey)   FROM customer)  AS d_c_ck,
+      (SELECT count(DISTINCT o_custkey)   FROM orders)    AS d_o_ck,
+      (SELECT count(DISTINCT o_orderkey)  FROM orders)    AS d_o_ok,
+      (SELECT count(DISTINCT l_orderkey)  FROM lineitem)  AS d_l_ok
+"""
+
+
+def _joa_oracle() -> str:
+    branches = []
+    for order in _joa_orders():
+        cost, steps = _joa_cost_sql(order, "//")
+        branches.append(
+            f"SELECT '{','.join(order)}' AS join_order,"
+            f" CAST({cost} AS BIGINT) AS est_intermediate_rows,"
+            f" CAST({steps[-1]} AS BIGINT) AS est_final_rows FROM s"
+        )
+    return (
+        "WITH s AS (SELECT " + _JOA_STATS_SQL + "),\n"
+        "enum AS (" + "\nUNION ALL\n".join(branches) + ")\n"
+        """
+    SELECT join_order, est_intermediate_rows, est_final_rows,
+           CAST(ROW_NUMBER() OVER (ORDER BY est_intermediate_rows,
+                                   join_order) AS BIGINT) AS cost_rank,
+           est_intermediate_rows = min(est_intermediate_rows) OVER ()
+             AS is_best
+    FROM enum
+    """
+    )
+
+
+@query("join_order_advisor", oracle=_joa_oracle())
+def join_order_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based join-order advisor: every valid left-deep order of
+    the nation-customer-orders-lineitem chain (cross products pruned)
+    costed with the textbook estimator |A><B| = |A|*|B| /
+    max(ndv(a), ndv(b)) from EXACT base-table statistics, ranked by
+    total intermediate cardinality -- the enumeration a cost-based
+    optimizer runs before committing a 100-TB plan, stated as an
+    auditable query (completes the advisor family: encoding_advisor
+    sizes storage, partition_advisor sizes tasks, mv_advisor picks
+    materializations, this one orders joins).  The estimator's
+    containment assumption is exactly why fact-first orders price out
+    worst here: starting from lineitem carries the fact table through
+    every intermediate.
+
+    Scale shape: statistics are one count + count-distinct pass per
+    table (the stats store a deployment already maintains --
+    table_stats_orders); the enumeration is driver-side over a
+    constant order list, each cost a closed-form integer expression
+    evaluated on the broadcast 1-row stats frame.  Integer division
+    throughout, so the oracle match is engine-exact."""
+    stats = None
+    specs = (
+        ("nation", "n_nationkey", "n_nation", "d_n_nk"),
+        ("customer", "c_nationkey", "n_customer", "d_c_nk"),
+        ("customer", "c_custkey", None, "d_c_ck"),
+        ("orders", "o_custkey", "n_orders", "d_o_ck"),
+        ("orders", "o_orderkey", None, "d_o_ok"),
+        ("lineitem", "l_orderkey", "n_lineitem", "d_l_ok"),
+    )
+    frames = {}
+    for table, key, n_alias, d_alias in specs:
+        aggs = [F.countDistinct(key).cast("bigint").alias(d_alias)]
+        if n_alias:
+            aggs.insert(0, F.count("*").cast("bigint").alias(n_alias))
+        part = read_table(spark, sf_dir, table).agg(*aggs)
+        frames.setdefault(table, []).append(part)
+    for parts in frames.values():
+        for part in parts:
+            stats = part if stats is None else stats.crossJoin(
+                F.broadcast(part)
+            )
+    enum = None
+    for order in _joa_orders():
+        cost, steps = _joa_cost_sql(order, "div")
+        row = stats.select(
+            F.lit(",".join(order)).alias("join_order"),
+            F.expr(cost).cast("bigint").alias("est_intermediate_rows"),
+            F.expr(steps[-1]).cast("bigint").alias("est_final_rows"),
+        )
+        enum = row if enum is None else enum.unionByName(row)
+    w = Window.orderBy("est_intermediate_rows", "join_order")
+    return enum.select(
+        "*",
+        F.row_number().over(w).cast("bigint").alias("cost_rank"),
+        (
+            F.col("est_intermediate_rows")
+            == F.min("est_intermediate_rows").over(
+                Window.partitionBy(F.lit(1))
+            )
+        ).alias("is_best"),
+    )
