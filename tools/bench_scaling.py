@@ -74,6 +74,8 @@ QUERIES = [
     "embedding_pca2_deflation", # 2-component mat-vec + deflation
     "fd_profile",               # typed fused FD census (round-7 form)
     "training_data_release",    # full curation -> release manifest
+    "embedding_prefix_recall",  # Matryoshka 4-prefix fan-out eval
+    "join_order_advisor",       # stats passes + constant enumeration
 ]
 
 
