@@ -2363,36 +2363,51 @@ def join_order_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant order list, each cost a closed-form integer expression
     evaluated on the broadcast 1-row stats frame.  Integer division
     throughout, so the oracle match is engine-exact."""
-    stats = None
+    # one column-pruned aggregation pass per table -- multiple
+    # count-distincts fuse into a single scan via Spark's Expand
+    # (scan-count pinned in tests/test_scale.py)
     specs = (
-        ("nation", "n_nationkey", "n_nation", "d_n_nk"),
-        ("customer", "c_nationkey", "n_customer", "d_c_nk"),
-        ("customer", "c_custkey", None, "d_c_ck"),
-        ("orders", "o_custkey", "n_orders", "d_o_ck"),
-        ("orders", "o_orderkey", None, "d_o_ok"),
-        ("lineitem", "l_orderkey", "n_lineitem", "d_l_ok"),
+        ("nation", "n_nation", (("n_nationkey", "d_n_nk"),)),
+        (
+            "customer",
+            "n_customer",
+            (("c_nationkey", "d_c_nk"), ("c_custkey", "d_c_ck")),
+        ),
+        (
+            "orders",
+            "n_orders",
+            (("o_custkey", "d_o_ck"), ("o_orderkey", "d_o_ok")),
+        ),
+        ("lineitem", "n_lineitem", (("l_orderkey", "d_l_ok"),)),
     )
-    frames = {}
-    for table, key, n_alias, d_alias in specs:
-        aggs = [F.countDistinct(key).cast("bigint").alias(d_alias)]
-        if n_alias:
-            aggs.insert(0, F.count("*").cast("bigint").alias(n_alias))
-        part = read_table(spark, sf_dir, table).agg(*aggs)
-        frames.setdefault(table, []).append(part)
-    for parts in frames.values():
-        for part in parts:
-            stats = part if stats is None else stats.crossJoin(
-                F.broadcast(part)
-            )
-    enum = None
-    for order in _joa_orders():
+    stats = None
+    for table, n_alias, dcols in specs:
+        part = read_table(spark, sf_dir, table).agg(
+            F.count("*").cast("bigint").alias(n_alias),
+            *[
+                F.countDistinct(key).cast("bigint").alias(alias)
+                for key, alias in dcols
+            ],
+        )
+        stats = part if stats is None else stats.crossJoin(
+            F.broadcast(part)
+        )
+    # all 8 candidate rows fan out of the ONE 1-row stats frame via an
+    # array-of-structs explode (a union of 8 branches would copy the
+    # stats subtree per branch and re-scan the tables)
+    def _branch(order: tuple[str, ...]):
         cost, steps = _joa_cost_sql(order, "div")
-        row = stats.select(
+        return F.struct(
             F.lit(",".join(order)).alias("join_order"),
             F.expr(cost).cast("bigint").alias("est_intermediate_rows"),
             F.expr(steps[-1]).cast("bigint").alias("est_final_rows"),
         )
-        enum = row if enum is None else enum.unionByName(row)
+
+    enum = stats.select(
+        F.explode(
+            F.array(*[_branch(order) for order in _joa_orders()])
+        ).alias("b")
+    ).select("b.*")
     w = Window.orderBy("est_intermediate_rows", "join_order")
     return enum.select(
         "*",

@@ -626,3 +626,49 @@ def test_hll_cube_fans_out_registers_not_facts(spark):
     assert final.count("orders.parquet") == 2, (
         "register build + exact yardstick = exactly two orders scans"
     )
+
+
+# ---------------------------------------------------------------------------
+# round-7 additions: scan-count pins -- the composites must not
+# re-derive their scan subtrees (the self-join / union-per-branch
+# forms measured 3-8 scans before restructuring)
+# ---------------------------------------------------------------------------
+def test_release_and_recall_scan_counts(spark):
+    from mvp_mini_etl_pipeline_1762840347_spark import plans
+
+    df = plans.QUERIES["training_data_release"](spark, SF)
+    df.collect()
+    final = (
+        df._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    # flags + minhash signatures + decontamination shingles, same
+    # budget as corpus_disposition
+    assert final.count("documents.parquet") == 3, "release: three corpus scans"
+
+    df = plans.QUERIES["embedding_prefix_recall"](spark, SF)
+    df.collect()
+    final = (
+        df._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    # ranking side + broadcast query side; the full-dim reference is
+    # derived from the SAME top-k rows, never a re-ranked self-join
+    assert final.count("embeddings.parquet") == 2, (
+        "prefix recall: one ranking scan + the broadcast query side"
+    )
+
+
+def test_join_order_advisor_one_scan_per_table(spark):
+    from mvp_mini_etl_pipeline_1762840347_spark import plans
+
+    df = plans.QUERIES["join_order_advisor"](spark, SF)
+    df.collect()
+    final = (
+        df._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    for tbl in ("nation", "customer", "orders", "lineitem"):
+        assert final.count(f"{tbl}.parquet") == 1, (
+            f"{tbl}: stats must come from one fused aggregation pass"
+        )
