@@ -112,16 +112,7 @@ _DRIVER_CHECKED: tuple[str, ...] = (
     "bpe_encode_fixed", "text_zipf_slope", "langid_confusion",
     "vocab_growth_heaps", "join_salted", "er_sorted_neighborhood",
     "cohort_ltv_triangle",
-)
-
-
-# The 49 registered queries that have never had a driver CORRECTNESS
-# row (42 backlog + the 7 round-6 registrations).  49 <= the driver's
-# ~50-checks/round cap, so round 7 closes the registry at 289/289
-# driver-proven.  Any round-7 addition must land AFTER this block in
-# queries() order (it falls into the unchecked bucket of
-# _coverage_ordered, which sorts after _PRIORITY).
-_PRIORITY: tuple[str, ...] = (
+    # Round-7 greens (CORRECTNESS_r07.json: 50/50 green, folded r8).
     "embedding_pca2_deflation", "multimodal_audio_features",
     "eager_agg_pushdown", "orders_seasonality", "bootstrap_ci",
     "lorenz_curve_revenue", "order_interarrival",
@@ -140,6 +131,18 @@ _PRIORITY: tuple[str, ...] = (
     "k_anonymity_audit", "dp_noisy_counts", "release_manifest",
     "crossval_regression", "classifier_auc", "classifier_calibration",
     "score_quantile_normalize", "conformal_interval",
+    "training_data_release",
+)
+
+
+# The 2 registered queries that have never had a driver CORRECTNESS
+# row (both registered after the r7 oracle run, by design — round-6
+# task #2).  Checked first in r8 so CORRECTNESS_r08 closes the
+# registry at 292/292 driver-proven.  Any round-8 addition must land
+# AFTER this block in queries() order (it falls into the unchecked
+# bucket of _coverage_ordered, which sorts after _PRIORITY).
+_PRIORITY: tuple[str, ...] = (
+    "embedding_prefix_recall", "join_order_advisor",
 )
 
 
