@@ -1709,6 +1709,14 @@ def fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise TypeError(f"unsupported FD dependent type: {dtype}")
 
         def _struct(idx: int, det: str, dep: str):
+            # Guard the determinant like the dependent: a non-integral
+            # determinant would silently cast to NULL below, collapsing
+            # every key into one group -- fail loudly instead.
+            if not isinstance(t.schema[det].dataType, IntegralType):
+                raise TypeError(
+                    f"unsupported FD determinant type: "
+                    f"{t.schema[det].dataType} ({table}.{det})"
+                )
             v_long, v_str = _val_pair(dep)
             return F.struct(
                 F.lit(idx).cast("tinyint").alias("cand"),
@@ -1726,7 +1734,17 @@ def fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("p.*")
             .groupBy("cand", "k")
             .agg(
-                F.countDistinct(F.struct("v_long", "v_str")).alias("ndep")
+                # NULL-dependent rows must not count as a distinct
+                # value (SQL count(DISTINCT dep) ignores NULLs): an
+                # all-NULL pair maps to a NULL struct, which
+                # countDistinct skips.
+                F.countDistinct(
+                    F.when(
+                        F.col("v_long").isNotNull()
+                        | F.col("v_str").isNotNull(),
+                        F.struct("v_long", "v_str"),
+                    )
+                ).alias("ndep")
             )
         )
         row = per_key.groupBy("cand").agg(

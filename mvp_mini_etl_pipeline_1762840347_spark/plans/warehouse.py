@@ -1078,11 +1078,12 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     the table key; version reads are plain parquet scans of immutable
     snapshot directories (no reconstruction cost), exactly how
     snapshot-based formats serve time travel at any scale.  The
-    rebuilt table lands in a per-run temp dir (the query is a pure
-    function of its inputs; re-running commits identical snapshots).
+    rebuilt table lands in a per-invocation subdir of one
+    process-scoped temp root removed at interpreter exit (the query is
+    a pure function of its inputs; re-running commits identical
+    snapshots), so repeated driver/bench calls hold at most ONE live
+    ``ttravel-*`` dir instead of leaking one per call.
     """
-    import tempfile
-
     from ..operators.table_format import SnapshotTable
 
     o = read_table(spark, sf_dir, "orders").select(
@@ -1091,7 +1092,7 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
     )
     cut1, cut2 = (F.lit(c).cast("date") for c in (_TT_CUT1, _TT_CUT2))
-    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="ttravel-"))
+    t = SnapshotTable(spark, _scratch_dir("ttravel"))
     t.commit(o.filter(F.col("o_orderdate") < cut1))
     t.merge(
         o.filter(
@@ -2162,29 +2163,32 @@ def hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Content-addressed result cache: serve a repeated query from cache
 # ---------------------------------------------------------------------------
-_CACHE_STATE: dict[str, str] = {}
+_SCRATCH_ROOTS: dict[str, str] = {}
 
 
-def _fresh_cache_dir() -> str:
-    """Per-invocation cache dir under one process-scoped root that is
-    removed at exit; the previous invocation's subdir is pruned here
-    (its served DataFrame was fully materialized before this call)."""
+def _scratch_dir(kind: str) -> str:
+    """Per-invocation scratch dir under ONE process-scoped root per
+    *kind*; the root (and every invocation subdir under it) is removed
+    at interpreter exit.  Subdirs are deliberately NOT pruned eagerly:
+    the DataFrame a prior invocation returned still lazily reads
+    parquet under its subdir, so pruning before the caller
+    materializes it would throw FileNotFoundException for any caller
+    holding two invocations' results at once.  Disk held per process
+    stays bounded by invocation count times a tiny (sf-sized test)
+    footprint, and the filesystem sees at most one live ``{kind}-*``
+    directory at any time."""
     import atexit
     import shutil
     import tempfile
     import uuid
 
-    root = _CACHE_STATE.get("root")
+    root = _SCRATCH_ROOTS.get(kind)
     if root is None:
-        root = tempfile.mkdtemp(prefix="rescache-")
-        _CACHE_STATE["root"] = root
+        root = tempfile.mkdtemp(prefix=f"{kind}-")
+        _SCRATCH_ROOTS[kind] = root
         atexit.register(shutil.rmtree, root, ignore_errors=True)
-    prev = _CACHE_STATE.get("live")
-    if prev is not None:
-        shutil.rmtree(prev, ignore_errors=True)
     live = os.path.join(root, uuid.uuid4().hex)
     os.makedirs(live)
-    _CACHE_STATE["live"] = live
     return live
 
 
@@ -2219,11 +2223,11 @@ def result_cache_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     guards); deployments amortize even that by reading the fingerprint
     the ingest job already maintains (fingerprint_stream), making a
     hit zero-scan.  The cache directory is a per-invocation subdir of
-    one process-scoped temp root: the previous invocation's subdir is
-    pruned on entry (its served frame was materialized by then) and
-    the root is removed at interpreter exit, so repeated driver/bench
-    calls hold at most ONE live cache dir instead of leaking one per
-    call."""
+    one process-scoped temp root removed at interpreter exit, so
+    repeated driver/bench calls hold at most ONE live ``rescache-*``
+    dir instead of leaking one per call; subdirs persist until exit
+    because a caller may still hold a prior invocation's lazily-read
+    served frame."""
     from ..operators.result_cache import ResultCache
 
     orders = read_table(spark, sf_dir, "orders")
@@ -2237,7 +2241,7 @@ def result_cache_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue_cents"),
         )
 
-    cache = ResultCache(spark, _fresh_cache_dir())
+    cache = ResultCache(spark, _scratch_dir("rescache"))
     inputs = {"orders": (orders, fp_cols)}
     cache.get_or_compute("orders_by_priority", inputs, compute)
     first_hit = cache.last_hit

@@ -632,3 +632,41 @@ def test_zipf_slope_negative_and_fit_reasonable(spark):
     assert r.n_points == min(_ZIPF_K, n_vocab)
     assert r.zipf_slope < 0, "frequency must fall with rank"
     assert r.intercept > 0
+
+
+def test_fd_profile_null_dependents_and_bad_determinant(spark, monkeypatch):
+    """Round-7 ADVICE pins: (a) an all-NULL dependent value must NOT
+    count as a distinct value (SQL count(DISTINCT dep) ignores NULLs),
+    so a key whose dependent is always NULL-or-x still HOLDS; (b) a
+    non-integral determinant raises instead of silently casting every
+    key to NULL."""
+    from mvp_mini_etl_pipeline_1762840347_spark.plans import quality
+
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (1, None, None), (2, 20, "b"), (2, 20, "b"),
+         (3, None, None), (3, None, None)],
+        "k bigint, dep_long bigint, dep_str string",
+    )
+    monkeypatch.setattr(quality, "read_table", lambda s, d, t: df)
+
+    monkeypatch.setattr(
+        quality, "_FD_CANDIDATES",
+        (("t", "k", "dep_long"), ("t", "k", "dep_str")),
+    )
+    rows = {
+        (r.determinant, r.dependent): r
+        for r in quality.fd_profile(spark, SF).collect()
+    }
+    for dep in ("dep_long", "dep_str"):
+        r = rows[("k", dep)]
+        # keys 1 (NULL + one value) and 3 (all NULL) both hold; only
+        # counting NULL as a value would flag them as violations.
+        assert r.n_keys == 3 and r.n_violating_keys == 0 and r.holds
+
+    monkeypatch.setattr(
+        quality, "_FD_CANDIDATES", (("t", "dep_str", "k"),)
+    )
+    import pytest
+
+    with pytest.raises(TypeError, match="determinant"):
+        quality.fd_profile(spark, SF)

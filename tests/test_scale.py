@@ -563,6 +563,31 @@ def test_bloom_prune_discards_at_scan(spark):
 # HashAggregate keyed on l_orderkey, so the only lineitem-derived
 # exchange carries per-order partials, never raw lineitem rows
 # ---------------------------------------------------------------------------
+def _plan_depth(line: str) -> int:
+    """Length of the tree-drawing prefix (spaces, ':', '+', '-', '|')
+    before the node text -- strictly smaller for ancestors."""
+    i = 0
+    while i < len(line) and line[i] in " :+-|":
+        i += 1
+    return i
+
+
+def _plan_ancestors(lines: list[str], i: int) -> list[str]:
+    """True ancestors of line *i* in a plan pretty-print: the chain of
+    preceding lines with strictly decreasing tree depth.  A preceding
+    line at the same-or-deeper depth belongs to a sibling subtree and
+    is skipped (round-7 ADVICE: a plain backwards text scan can match
+    the other join child)."""
+    depth = _plan_depth(lines[i])
+    out = []
+    for j in range(i - 1, -1, -1):
+        d = _plan_depth(lines[j])
+        if d < depth and lines[j].strip():
+            out.append(lines[j])
+            depth = d
+    return out
+
+
 def test_eager_agg_preaggregates_before_join(spark):
     from mvp_mini_etl_pipeline_1762840347_spark import plans
 
@@ -576,18 +601,18 @@ def test_eager_agg_preaggregates_before_join(spark):
     scan_i = next(
         i for i, ln in enumerate(lines) if "lineitem.parquet" in ln
     )
-    # walk up from the scan to its nearest aggregate/join ancestor
-    # (tree pre-order: ancestors print before the scan line)
+    # walk the REAL ancestor chain (indentation-depth based, not a
+    # raw backwards text scan) to the nearest aggregate/join
     anc = next(
-        i
-        for i in range(scan_i - 1, -1, -1)
-        if "HashAggregate" in lines[i] or "Join" in lines[i]
+        ln
+        for ln in _plan_ancestors(lines, scan_i)
+        if "HashAggregate" in ln or "Join" in ln
     )
-    assert "HashAggregate" in lines[anc], (
-        "lineitem must feed a pre-aggregate, not a join:\n" + lines[anc]
+    assert "HashAggregate" in anc, (
+        "lineitem must feed a pre-aggregate, not a join:\n" + anc
     )
-    assert "keys=[l_orderkey" in lines[anc] and "partial_" in lines[anc], (
-        "the scan's aggregate must be the per-order partial:\n" + lines[anc]
+    assert "keys=[l_orderkey" in anc and "partial_" in anc, (
+        "the scan's aggregate must be the per-order partial:\n" + anc
     )
     # the shuffle of lineitem-derived data is keyed on the order key
     # (i.e. it moves per-order partials)
@@ -614,9 +639,17 @@ def test_hll_cube_fans_out_registers_not_facts(spark):
     gen_lines = [i for i, ln in enumerate(lines) if "Generate explode" in ln]
     assert gen_lines, "cube lattice fan-out missing from the plan"
     for g in gen_lines:
+        # restrict to the explode's OWN subtree (deeper tree depth)
+        # so a sibling branch below cannot satisfy the check
+        gd = _plan_depth(lines[g])
+        subtree = []
+        for ln in lines[g + 1:]:
+            if ln.strip() and _plan_depth(ln) <= gd:
+                break
+            subtree.append(ln)
         below = next(
             ln
-            for ln in lines[g + 1:]
+            for ln in subtree
             if "HashAggregate" in ln or "FileScan" in ln
         )
         assert "HashAggregate" in below, (
