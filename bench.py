@@ -46,11 +46,16 @@ def main() -> None:
     # (3 reps: min-over-reps absorbs the +/-30-40% ambient band this
     # machine demonstrably swings on identical plans.)
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
-    # Wall-clock budget (seconds): the FIRST pass always completes, so
-    # the per-query map is total; later passes stop once the budget is
-    # spent (min-over-what-ran is still honest -- each sample is a full
-    # execution).  Keeps one `python bench.py` bounded as the registry
-    # grows instead of risking an external kill that loses everything.
+    # Wall-clock budget (seconds): gates starting passes BEYOND the
+    # second.  Passes 1-2 always run to completion because min-over-2
+    # is the noise-rejection floor of the whole methodology -- a pass-2
+    # abort (round 7: pass 1 alone took 246 s of the 420 s budget, so
+    # pass 2 was cut mid-flight and the artifact degraded to
+    # single-sample numbers for the alphabetical tail).  Worst-case
+    # overshoot past the budget is bounded by one pass (the second pass
+    # runs warm, ~0.7x pass 1), which the round-7 driver run already
+    # demonstrated is inside its external limit (rc=0 at ~450 s wall).
+    # Passes 3+ still honor the budget at pass AND query granularity.
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
     bench_t0 = time.perf_counter()
     timings: dict[str, float] = {}
@@ -60,12 +65,12 @@ def main() -> None:
     # (ambient-load adjudication from data, not narrative).
     pass_audit: list[dict[str, float]] = []
     for r in range(max(1, reps)):
-        if r > 0 and time.perf_counter() - bench_t0 > budget:
+        if r > 1 and time.perf_counter() - bench_t0 > budget:
             break
         pass_t0 = time.perf_counter()
         load_start = round(os.getloadavg()[0], 2)
         for name, fn in sorted(plans.QUERIES.items()):
-            if r > 0 and time.perf_counter() - bench_t0 > budget:
+            if r > 1 and time.perf_counter() - bench_t0 > budget:
                 break
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
