@@ -3098,3 +3098,82 @@ def weighted_median_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling exact median of daily revenue (order-statistic smoothing)
+# ---------------------------------------------------------------------------
+_ROLLMED_YEAR = 1995
+_ROLLMED_WIN = 7  # trailing window, in observed days
+
+
+@query(
+    "rolling_median_revenue",
+    oracle=f"""
+    WITH daily AS (
+      SELECT l_shipdate AS d,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM lineitem
+      WHERE l_shipdate >= DATE '{_ROLLMED_YEAR}-01-01'
+        AND l_shipdate <  DATE '{_ROLLMED_YEAR + 1}-01-01'
+      GROUP BY 1
+    )
+    SELECT d, rev_cents,
+           round(quantile_cont(rev_cents, 0.5) OVER (
+                   ORDER BY d
+                   ROWS BETWEEN {_ROLLMED_WIN - 1} PRECEDING
+                            AND CURRENT ROW), 1) AS med_{_ROLLMED_WIN}d
+    FROM daily
+    """,
+)
+def rolling_median_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling EXACT median of daily shipped revenue over a trailing
+    {win}-observed-day window ({year}) -- the robust smoother a
+    revenue dashboard overlays when mean-based smoothing
+    (events_ewma / events_trailing_7d shapes) chases single-day
+    spikes: the median needs the window's order statistics, not a
+    runnable sum, which is why engines treat it as a separate window
+    class (no incremental-aggregate shortcut exists for exact
+    medians).
+
+    Scale: the fact table reduces to DAY grain in one scan (map-side
+    combined, with the year filter pushed to the parquet scan); the
+    rolling window then runs over <=365 rows.  Running an
+    order-statistic window directly on fact rows would buffer the
+    window per row at data scale -- reducing to the output grain
+    FIRST is the pattern.  ROWS (observed days), not RANGE, so gap
+    days widen the lookback deterministically in both engines."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(f"{_ROLLMED_YEAR}-01-01").cast("date"))
+        & (
+            F.col("l_shipdate")
+            < F.lit(f"{_ROLLMED_YEAR + 1}-01-01").cast("date")
+        )
+    )
+    daily = li.groupBy(F.col("l_shipdate").alias("d")).agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("rev_cents")
+    )
+    from pyspark.sql.window import Window as W
+
+    w = (
+        W.orderBy("d").rowsBetween(-(_ROLLMED_WIN - 1), 0)
+    )  # <=365-row frame after day-grain reduction
+    return daily.select(
+        "d",
+        "rev_cents",
+        F.round(
+            F.expr("percentile(rev_cents, 0.5)").over(w), 1
+        ).alias(f"med_{_ROLLMED_WIN}d"),
+    )
+
+
+rolling_median_revenue.__doc__ = rolling_median_revenue.__doc__.format(
+    win=_ROLLMED_WIN, year=_ROLLMED_YEAR
+)

@@ -895,11 +895,40 @@ sample_neyman.__doc__ = sample_neyman.__doc__.format(b=_NEYMAN_BUDGET)
 _PACK_BUDGET_DISP = 512
 
 
+# CTE names of the curation chain, in definition order -- renamed with
+# a suffix when two chains (one per corpus snapshot) share one WITH
+# clause (release_delta's oracle).
+_DISP_CTE_NAMES = (
+    "staged", "pairs", "edges", "reach", "nd_drop", "shingles",
+    "eval_sh", "train_sh", "sizes", "ov", "cont", "flagged", "disp",
+)
+
+
+def _disposition_chain(src: str = "documents", sfx: str = "") -> str:
+    """The curation-pipeline CTE chain ending in ``disp{sfx}``
+    (per-document: doc_id, disposition, n_tokens, source, and the
+    60-bit content hash h), reading documents from *src* -- consumed
+    by corpus_disposition's census, training_data_release's manifest,
+    and (twice, suffixed, over two snapshots) release_delta's diff.
+    Returned WITHOUT the ``WITH RECURSIVE`` keyword so callers can
+    compose several chains into one WITH clause."""
+    import re
+
+    sql = _disposition_chain_body()
+    if src != "documents":
+        sql = sql.replace("FROM documents", f"FROM {src}")
+    if sfx:
+        for n in _DISP_CTE_NAMES:
+            sql = re.sub(rf"\b{n}\b", f"{n}{sfx}", sql)
+    return sql.strip().rstrip(",")
+
+
 def _disposition_cte() -> str:
-    """The shared curation-pipeline CTE chain ending in ``disp``
-    (per-document: disposition, n_tokens, source, and the 60-bit
-    content hash h) -- consumed by corpus_disposition's census and
-    training_data_release's manifest."""
+    """``WITH RECURSIVE <chain>`` over the full documents table."""
+    return "\n    WITH RECURSIVE " + _disposition_chain() + "\n    "
+
+
+def _disposition_chain_body() -> str:
     from .dedup import (
         _DECON_THRESHOLD,
         _EVAL_SOURCE,
@@ -908,7 +937,7 @@ def _disposition_cte() -> str:
     )
 
     return rf"""
-    WITH RECURSIVE staged AS (
+    staged AS (
       SELECT doc_id, source,
              len(string_split_regex(lower(text), '\s+'))  AS n_tokens,
              CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
@@ -969,7 +998,8 @@ def _disposition_cte() -> str:
       LEFT JOIN cont ct USING (doc_id)
     ),
     disp AS (
-      SELECT CASE
+      SELECT doc_id,
+             CASE
                WHEN source = '{_EVAL_SOURCE}' THEN '0_eval_heldout'
                WHEN NOT (stop_ratio >= 0.05 AND n_tokens >= 15
                          AND punct_ratio < 0.1) THEN '1_quality_drop'
@@ -1002,17 +1032,21 @@ def _disposition_oracle() -> str:
     )
 
 
-def _disposition_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _disposition_frame(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """Per-document curation outcome: one row per document with its
     disposition, token count, source, and 60-bit content hash h --
-    the Spark twin of the ``disp`` CTE in _disposition_cte()."""
+    the Spark twin of the ``disp`` CTE in _disposition_chain().
+    *docs* overrides the corpus (a snapshot subset for release_delta);
+    default is the full documents table."""
     from pyspark.sql.window import Window
 
-    from .dedup import _EVAL_SOURCE, decontaminate_frame, minhash_pairs
+    from .dedup import _EVAL_SOURCE, _minhash_pairs_impl, decontaminate_frame
     from .graph import connected_components
     from .text import STOPWORDS
 
-    d = read_table(spark, sf_dir, "documents")
+    d = read_table(spark, sf_dir, "documents") if docs is None else docs
     toks = F.split(F.lower(F.col("text")), r"\s+")
     staged = d.select(
         "doc_id",
@@ -1052,7 +1086,9 @@ def _disposition_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_bucket(F.col("doc_id")).alias("bucket"),
     )
 
-    pairs = minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = _minhash_pairs_impl(
+        d.repartition(spark.sparkContext.defaultParallelism)
+    ).select("doc_a", "doc_b")
     comp = connected_components(pairs, "doc_a", "doc_b")
     nd_drop = (
         comp.filter(F.col("node") != F.col("cluster_id"))
@@ -1194,7 +1230,16 @@ def training_data_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable groupBy over <= 3 splits whose XOR fingerprint
     is partition-order independent, incrementally maintainable, and
     mergeable across ingest batches."""
-    kept = _disposition_frame(spark, sf_dir).filter(
+    return _release_manifest(spark, sf_dir)
+
+
+def _release_manifest(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """training_data_release's per-split manifest, parameterized by
+    corpus snapshot -- the shared code path release_delta's
+    composed-equals-recompute test pins against."""
+    kept = _disposition_frame(spark, sf_dir, docs).filter(
         F.col("disposition").startswith("5_")
     )
     return (
@@ -1220,6 +1265,179 @@ def training_data_release(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_sources",
             "content_fingerprint",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Release DELTA: the manifest DIFF between two corpus snapshots
+# ---------------------------------------------------------------------------
+# Deterministic "ingest bucket" decoupled from the split bucket (salted
+# key): buckets 0-13 are yesterday's corpus (v1); today (v2) retracts
+# bucket 13 (takedown/opt-out) and ingests buckets 14-15.
+_INGEST_KEY_SQL = "'ingest:' || CAST(doc_id AS VARCHAR)"
+
+
+def _ingest_bucket_col() -> Column:
+    return hash_bucket(
+        F.concat(F.lit("ingest:"), F.col("doc_id").cast("string"))
+    )
+
+
+def _release_delta_oracle() -> str:
+    ib = _bucket_sql(_INGEST_KEY_SQL)
+    return f"""
+    WITH RECURSIVE
+    snap_v1 AS (SELECT * FROM documents WHERE {ib} < 14),
+    snap_v2 AS (SELECT * FROM documents WHERE {ib} <> 13),
+    {_disposition_chain("snap_v1", "_v1")},
+    {_disposition_chain("snap_v2", "_v2")},
+    kept_v1 AS (
+      SELECT doc_id, substring(disposition, 3) AS split, n_tokens, h
+      FROM disp_v1 WHERE disposition LIKE '5_%'
+    ),
+    kept_v2 AS (
+      SELECT doc_id, substring(disposition, 3) AS split, n_tokens, h
+      FROM disp_v2 WHERE disposition LIKE '5_%'
+    ),
+    changed AS (
+      SELECT a.split AS split_v1, b.split AS split_v2,
+             a.n_tokens AS nt1, b.n_tokens AS nt2,
+             a.h AS h1, b.h AS h2
+      FROM kept_v1 a FULL JOIN kept_v2 b ON a.doc_id = b.doc_id
+      WHERE a.split IS DISTINCT FROM b.split
+    ),
+    contrib AS (
+      SELECT split_v2 AS split,
+             CASE WHEN split_v1 IS NULL THEN 1 ELSE 0 END AS is_added,
+             0 AS is_removed,
+             CASE WHEN split_v1 IS NOT NULL THEN 1 ELSE 0 END
+               AS is_resplit_in,
+             0 AS is_resplit_out,
+             nt2 AS tok_delta, h2 AS h
+      FROM changed WHERE split_v2 IS NOT NULL
+      UNION ALL
+      SELECT split_v1,
+             0, CASE WHEN split_v2 IS NULL THEN 1 ELSE 0 END,
+             0, CASE WHEN split_v2 IS NOT NULL THEN 1 ELSE 0 END,
+             -nt1, h1
+      FROM changed WHERE split_v1 IS NOT NULL
+    )
+    SELECT split,
+           CAST(sum(is_added) AS BIGINT)       AS n_docs_added,
+           CAST(sum(is_removed) AS BIGINT)     AS n_docs_removed,
+           CAST(sum(is_resplit_in) AS BIGINT)  AS n_resplit_in,
+           CAST(sum(is_resplit_out) AS BIGINT) AS n_resplit_out,
+           CAST(sum(is_added) - sum(is_removed) + sum(is_resplit_in)
+                - sum(is_resplit_out) AS BIGINT) AS n_docs_delta,
+           CAST(sum(tok_delta) AS BIGINT)      AS n_tokens_delta,
+           bit_xor(h)                          AS fingerprint_delta
+    FROM contrib GROUP BY 1
+    """
+
+
+def _kept_docs_frame(
+    spark: SparkSession, sf_dir: str, docs: DataFrame
+) -> DataFrame:
+    """(doc_id, split, n_tokens, h) for the docs a snapshot releases."""
+    return (
+        _disposition_frame(spark, sf_dir, docs)
+        .filter(F.col("disposition").startswith("5_"))
+        .select(
+            "doc_id",
+            F.col("disposition").substr(F.lit(3), F.lit(16)).alias("split"),
+            "n_tokens",
+            "h",
+        )
+    )
+
+
+@query("release_delta", oracle=_release_delta_oracle())
+def release_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-versioning DIFF between two corpus releases -- the
+    query a 100-TB training pipeline runs daily.  Two snapshots of the
+    corpus (v1 = yesterday's ingest buckets 0-13; v2 = today's, which
+    retracts bucket 13 -- a takedown/opt-out batch -- and ingests
+    buckets 14-15) each run the FULL curation pipeline
+    (corpus_disposition's stage precedence), and the manifest delta is
+    computed at DOCUMENT grain: per released split, docs added /
+    removed / re-split in / re-split out, the net document and token
+    deltas, and the XOR fingerprint delta.  Re-splits are real
+    pipeline physics, not an artifact: dedup keepers and LSH
+    components are global functions of the snapshot, so adding or
+    retracting documents can change which doc survives a duplicate
+    cluster even among untouched documents.
+
+    Algebra (the mv_partial_merge z-set idea applied to releases): the
+    per-split XOR fingerprint is its own inverse, so
+    ``fingerprint_delta = fp(v1) XOR fp(v2)`` equals the XOR over
+    exactly the membership-changed documents -- pinned equal to
+    training_data_release(v2) "minus" (v1) recomputed independently
+    (tests/test_round8_ops.py).  A consumer holding v1's manifest
+    verifies v2 with the delta alone.
+
+    Scale: each snapshot rides the corpus_disposition shapes (bounded
+    broadcast drop-sets, fingerprint window keyed by a data column,
+    <=3 corpus scans); the diff itself joins only the KEPT doc-id sets
+    (narrow 4-column rows), and the aggregation input is filtered to
+    membership-CHANGED rows first, so the delta shuffle carries the
+    day's churn, not the corpus.  Each doc's 1-2 split contributions
+    fan out via one array explode (single pass -- no
+    union-of-two-filters re-deriving the join).  In production the v1
+    side is yesterday's persisted kept-manifest table and the v2
+    near-dup pass probes dedup_incremental's band store, so the daily
+    cost is one pipeline pass over the new batch plus this churn-sized
+    diff -- never two full recomputes."""
+    d = read_table(spark, sf_dir, "documents")
+    ib = _ingest_bucket_col()
+    k1 = _kept_docs_frame(spark, sf_dir, d.filter(ib < 14)).alias("a")
+    k2 = _kept_docs_frame(spark, sf_dir, d.filter(ib != 13)).alias("b")
+    j = k1.join(
+        k2, F.col("a.doc_id") == F.col("b.doc_id"), "full_outer"
+    ).select(
+        F.col("a.split").alias("split_v1"),
+        F.col("b.split").alias("split_v2"),
+        F.col("a.n_tokens").alias("nt1"),
+        F.col("b.n_tokens").alias("nt2"),
+        F.col("a.h").alias("h1"),
+        F.col("b.h").alias("h2"),
+    )
+    changed = j.filter(~F.col("split_v1").eqNullSafe(F.col("split_v2")))
+
+    def _contrib(split_col, other, nt, h, sign):
+        added_like = F.when(F.col(other).isNull(), 1).otherwise(0)
+        resplit = F.when(F.col(other).isNotNull(), 1).otherwise(0)
+        return F.when(
+            F.col(split_col).isNotNull(),
+            F.struct(
+                F.col(split_col).alias("split"),
+                (added_like if sign > 0 else F.lit(0)).alias("is_added"),
+                (added_like if sign < 0 else F.lit(0)).alias("is_removed"),
+                (resplit if sign > 0 else F.lit(0)).alias("is_resplit_in"),
+                (resplit if sign < 0 else F.lit(0)).alias("is_resplit_out"),
+                (F.col(nt).cast("bigint") * sign).alias("tok_delta"),
+                F.col(h).alias("h"),
+            ),
+        )
+
+    contribs = F.filter(
+        F.array(
+            _contrib("split_v2", "split_v1", "nt2", "h2", 1),
+            _contrib("split_v1", "split_v2", "nt1", "h1", -1),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    exploded = changed.select(F.explode(contribs).alias("c")).select("c.*")
+    return exploded.groupBy("split").agg(
+        F.sum("is_added").cast("bigint").alias("n_docs_added"),
+        F.sum("is_removed").cast("bigint").alias("n_docs_removed"),
+        F.sum("is_resplit_in").cast("bigint").alias("n_resplit_in"),
+        F.sum("is_resplit_out").cast("bigint").alias("n_resplit_out"),
+        (
+            F.sum("is_added") - F.sum("is_removed")
+            + F.sum("is_resplit_in") - F.sum("is_resplit_out")
+        ).cast("bigint").alias("n_docs_delta"),
+        F.sum("tok_delta").cast("bigint").alias("n_tokens_delta"),
+        F.expr("bit_xor(h)").alias("fingerprint_delta"),
     )
 
 

@@ -486,6 +486,152 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# l-diversity audit: sensitive-attribute diversity inside QI classes
+# ---------------------------------------------------------------------------
+@query(
+    "l_diversity_audit",
+    oracle="""
+    WITH classes AS (
+      SELECT count(*) AS class_size,
+             count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS l
+      FROM customer
+      GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT l,
+           count(*) AS n_classes,
+           CAST(sum(class_size) AS BIGINT) AS n_rows,
+           CAST(min(class_size) AS BIGINT) AS min_class_size
+    FROM classes GROUP BY l
+    """,
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity profile: k_anonymity_audit's companion audit.  A
+    k-anonymous class is still linkable when every row in it shares
+    the SAME sensitive value (the homogeneity attack), so releases
+    audit the number of DISTINCT sensitive values (l) per
+    quasi-identifier class -- here QI = (nation, market segment) and
+    the sensitive attribute is the account-balance band.  Output is
+    the l-histogram (classes and rows at each diversity level, plus
+    the smallest class at that level); the l>=3 policy threshold is a
+    read-off.
+
+    Same two-cascaded-aggregation shape as the k-anonymity audit --
+    QI grain with a count-distinct (partial-aggregated: the distinct
+    set is bounded by the band count, not the class size), then
+    l grain; output bounded by max diversity.  (Reference's only
+    privacy surface is field defaulting, src/lib/users.js:17-33; this
+    is the release-gate discipline grown up.)"""
+    c = read_table(spark, sf_dir, "customer")
+    classes = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("class_size"),
+        F.countDistinct(
+            F.floor(F.col("c_acctbal") / 1000).cast("bigint")
+        ).alias("l"),
+    )
+    return classes.groupBy("l").agg(
+        F.count("*").alias("n_classes"),
+        F.sum("class_size").cast("bigint").alias("n_rows"),
+        F.min("class_size").cast("bigint").alias("min_class_size"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Importance-weight diagnostics: effective sample size + clipping
+# ---------------------------------------------------------------------------
+_ESS_CLIP = 4.0
+
+
+@query(
+    "sample_ess",
+    oracle=f"""
+    WITH per_src AS (
+      SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+             count(*) AS n_sources
+      FROM per_src
+    ),
+    w AS (
+      SELECT s.source, s.n_docs,
+             (CAST(t.n_total AS DOUBLE) / t.n_sources) / s.n_docs AS wt,
+             least((CAST(t.n_total AS DOUBLE) / t.n_sources) / s.n_docs,
+                   {_ESS_CLIP}) AS wt_clip
+      FROM per_src s CROSS JOIN tot t
+    )
+    SELECT CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           round(pow(sum(n_docs * wt), 2) / sum(n_docs * wt * wt), 2)
+             AS ess_raw,
+           round(pow(sum(n_docs * wt_clip), 2)
+                 / sum(n_docs * wt_clip * wt_clip), 2) AS ess_clipped,
+           round(pow(sum(n_docs * wt), 2) / sum(n_docs * wt * wt)
+                 / sum(n_docs), 4) AS ess_fraction,
+           round(sum(CASE WHEN wt > {_ESS_CLIP} THEN n_docs
+                          ELSE 0 END) / CAST(sum(n_docs) AS DOUBLE), 4)
+             AS clipped_doc_fraction
+    FROM w
+    """,
+)
+def sample_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective-sample-size diagnostics for importance-weighted
+    training mixtures: re-weighting the corpus toward a UNIFORM
+    source mixture (weight_s = target_share / corpus_share, the
+    sample_mixture / DSIR setting) costs statistical efficiency --
+    ESS = (sum w)^2 / sum w^2 is the number of equally-weighted
+    documents the weighted corpus is worth (Kish, 1965).  Emits raw
+    and clipped-at-{clip} ESS, the ESS fraction, and how much of the
+    corpus the clip touches -- the go/no-go readout before training
+    on weights instead of resampling.
+
+    Scale: weights depend only on the source, so the doc-level sums
+    collapse algebraically to source-level sums (sum over docs of w^k
+    = sum over sources of n_s * w_s^k) -- ONE source-grain aggregate
+    (map-side combined, <=n_sources rows) and a 1-row reduction; the
+    corpus is scanned once and nothing is exploded.  The same algebra
+    is how a 100-TB run computes ESS from the source census it
+    already maintains, for free."""
+    per_src = (
+        read_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    tot = per_src.agg(
+        F.sum("n_docs").cast("bigint").alias("n_total"),
+        F.count("*").alias("n_sources"),
+    )
+    wt = (F.col("n_total").cast("double") / F.col("n_sources")) / F.col(
+        "n_docs"
+    )
+    w = per_src.crossJoin(F.broadcast(tot)).select(
+        "n_docs",
+        wt.alias("wt"),
+        F.least(wt, F.lit(_ESS_CLIP)).alias("wt_clip"),
+    )
+    ess = F.pow(F.sum(F.col("n_docs") * F.col("wt")), 2) / F.sum(
+        F.col("n_docs") * F.col("wt") * F.col("wt")
+    )
+    ess_clip = F.pow(F.sum(F.col("n_docs") * F.col("wt_clip")), 2) / F.sum(
+        F.col("n_docs") * F.col("wt_clip") * F.col("wt_clip")
+    )
+    return w.agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.round(ess, 2).alias("ess_raw"),
+        F.round(ess_clip, 2).alias("ess_clipped"),
+        F.round(ess / F.sum("n_docs"), 4).alias("ess_fraction"),
+        F.round(
+            F.sum(
+                F.when(F.col("wt") > _ESS_CLIP, F.col("n_docs")).otherwise(0)
+            )
+            / F.sum("n_docs").cast("double"),
+            4,
+        ).alias("clipped_doc_fraction"),
+    )
+
+
+sample_ess.__doc__ = sample_ess.__doc__.format(clip=_ESS_CLIP)
+
+
+# ---------------------------------------------------------------------------
 # Differentially-private release: deterministic Laplace noise on counts
 # ---------------------------------------------------------------------------
 _DP_EPS = 0.5

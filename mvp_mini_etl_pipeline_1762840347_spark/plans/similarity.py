@@ -330,6 +330,100 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Near-dup threshold calibration sweep (one candidate pass)
+# ---------------------------------------------------------------------------
+_SWEEP_THRESHOLDS = (0.30, 0.35, 0.40, 0.50)
+
+
+def _sweep_thr_oracle() -> str:
+    cos = _COS_SQL.format(a="a.e", b="c.e")
+    branches = "\n    UNION ALL\n".join(
+        f"""
+    SELECT CAST({t} AS DOUBLE) AS threshold,
+           CAST(sum(CASE WHEN sim >= {t} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pairs,
+           CAST(count(DISTINCT CASE WHEN sim >= {t} THEN vec_b END)
+                AS BIGINT) AS n_docs_dropped
+    FROM p"""
+        for t in _SWEEP_THRESHOLDS
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    b AS (SELECT vec_id, e, {_BUCKET_SQL} AS bucket FROM v),
+    p AS (
+      SELECT round({cos}, 4) AS sim, c.vec_id AS vec_b
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    )
+    {branches}
+    """
+
+
+@query("dedup_threshold_sweep", oracle=_sweep_thr_oracle())
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup threshold CALIBRATION: the pair count and the distinct
+    drop-set size (higher-id policy, dedup_embedding_cosine's rule) at
+    every candidate cosine threshold, from ONE pass over the
+    sign-bucket candidate pairs -- the sweep a curation team runs
+    before committing a dedup threshold, because the kept-corpus size
+    is a step function of it and re-running the pipeline per probe
+    threshold is the expensive way to learn that.
+
+    Scale: candidate generation is the dedup_embedding_cosine bucket
+    equi-join (~N^2/2^{bits} pairs, never all-pairs); the sweep is
+    |thresholds| conditional aggregates over that ONE pair stream
+    (each a map-side-combinable sum / bounded distinct), so adding a
+    threshold costs one column, not one pipeline run.  The fan-out to
+    output rows multiplies a single aggregate row."""
+    v = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("e")
+    )
+    bucket = sum(
+        F.when(F.element_at("e", i + 1) > 0, F.lit(1 << i)).otherwise(0)
+        for i in range(BUCKET_BITS)
+    )
+    b = v.withColumn("bucket", bucket)
+    a, c = b.alias("a"), b.alias("c")
+    sim = F.round(cosine(F.col("a.e"), F.col("c.e")), 4)
+    pairs = a.join(
+        c,
+        (F.col("a.bucket") == F.col("c.bucket"))
+        & (F.col("a.vec_id") < F.col("c.vec_id")),
+    ).select(sim.alias("sim"), F.col("c.vec_id").alias("vec_b"))
+    agg = pairs.agg(
+        *[
+            F.sum(F.when(F.col("sim") >= t, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"np_{i}")
+            for i, t in enumerate(_SWEEP_THRESHOLDS)
+        ],
+        *[
+            F.countDistinct(
+                F.when(F.col("sim") >= t, F.col("vec_b"))
+            )
+            .cast("bigint")
+            .alias(f"nd_{i}")
+            for i, t in enumerate(_SWEEP_THRESHOLDS)
+        ],
+    )
+    fanout = F.array(
+        *[
+            F.struct(
+                F.lit(float(t)).alias("threshold"),
+                F.col(f"np_{i}").alias("n_pairs"),
+                F.col(f"nd_{i}").alias("n_docs_dropped"),
+            )
+            for i, t in enumerate(_SWEEP_THRESHOLDS)
+        ]
+    )
+    return agg.select(F.explode(fanout).alias("r")).select("r.*")
+
+
+dedup_threshold_sweep.__doc__ = dedup_threshold_sweep.__doc__.format(
+    bits=BUCKET_BITS
+)
+
+
+# ---------------------------------------------------------------------------
 # Embedding hygiene stats (norms per label)
 # ---------------------------------------------------------------------------
 @query(
@@ -2301,3 +2395,207 @@ def embedding_pca2_deflation(spark: SparkSession, sf_dir: str) -> DataFrame:
 embedding_pca2_deflation.__doc__ = embedding_pca2_deflation.__doc__.replace(
     "{ps}", str(_POW_SCALE)
 ).replace("{grid}", str(_PCA2_GRID))
+
+
+# ---------------------------------------------------------------------------
+# IVF recall-vs-probes sweep: the index-tuning curve in one pass
+# ---------------------------------------------------------------------------
+_SWEEP_PROBES = (1, 2, 4)
+_SWEEP_K = 10
+
+
+@query(
+    "ann_recall_vs_probes",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cent AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {N_CENTROIDS}),
+    cscore AS (
+      SELECT v.vec_id, cent.cid, round({_IVF_COS}, 4) AS csim, v.e
+      FROM v CROSS JOIN cent
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY csim DESC, cid) AS rnk
+      FROM cscore
+    ),
+    assign AS (SELECT vec_id, cid AS cluster, e FROM ranked WHERE rnk = 1),
+    probes AS (
+      SELECT vec_id AS query_id, cid AS cluster, rnk AS probe_rank, e AS qe
+      FROM ranked WHERE vec_id < {N_QUERIES}
+                    AND rnk <= {max(_SWEEP_PROBES)}
+    ),
+    cand AS (
+      SELECT p.query_id, p.probe_rank, a.vec_id AS neighbor_id,
+             round({_COS_SQL.format(a="p.qe", b="a.e")}, 4) AS sim
+      FROM probes p JOIN assign a
+        ON a.cluster = p.cluster AND a.vec_id <> p.query_id
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round({_COS_SQL.format(a="q.e", b="v.e")}, 4)
+                            DESC, v.vec_id) AS rank
+        FROM (SELECT * FROM v WHERE vec_id < {N_QUERIES}) q
+        JOIN v ON v.vec_id <> q.vec_id
+      ) WHERE rank <= {_SWEEP_K}
+    ),
+    swept AS (
+      SELECT s.p, c.query_id, c.neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY s.p, c.query_id
+                                ORDER BY c.sim DESC, c.neighbor_id) AS rank
+      FROM cand c
+      JOIN (SELECT unnest([{", ".join(str(p) for p in _SWEEP_PROBES)}]) AS p)
+           s ON c.probe_rank <= s.p
+    ),
+    hits AS (
+      SELECT s.p, s.query_id,
+             sum(CASE WHEN e.neighbor_id IS NOT NULL
+                      THEN 1 ELSE 0 END) AS n_hit
+      FROM swept s
+      LEFT JOIN exact e ON e.query_id = s.query_id
+                       AND e.neighbor_id = s.neighbor_id
+      WHERE s.rank <= {_SWEEP_K}
+      GROUP BY 1, 2
+    )
+    SELECT p AS n_probes,
+           round(sum(n_hit) / ({N_QUERIES}.0 * {_SWEEP_K}), 4)
+             AS recall_at_{_SWEEP_K}
+    FROM hits GROUP BY 1
+    """,
+)
+def ann_recall_vs_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF index-tuning curve: recall@{k} of the coarse-quantizer
+    search at nprobe = {probes}, all measured in ONE pass -- the sweep
+    every ANN deployment runs to pick its latency/recall operating
+    point (more probed cells = more candidates = higher recall).
+    Exact top-{k} (the similarity_topk shape) is the yardstick; the
+    candidate set is generated ONCE at the largest probe count with
+    each candidate tagged by the rank of its cell in the query's
+    centroid ranking, so the smaller probe budgets are FILTERS over
+    the same candidates, not re-searches.
+
+    Scale shape: centroid ranking is the similarity_ivf broadcast
+    argmax (narrow map, zero shuffle); candidates come from one
+    equi-join on cluster id probing <= {maxp}/{nc} of the corpus per
+    query; the sweep fan-out multiplies CANDIDATES (a few hundred
+    rows) by |probe budgets| -- never the corpus; and the exact arm
+    brute-forces only the broadcast query sample.  Windows partition
+    by (budget, query): bounded frames."""
+    v = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("e")
+    )
+    cents = (
+        v.filter(F.col("vec_id") < N_CENTROIDS)
+        .select(
+            F.struct(
+                F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+            ).alias("c")
+        )
+        .agg(F.array_sort(F.collect_list("c")).alias("cents"))
+    )
+    ranked = F.array_sort(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                (-F.round(cosine(F.col("e"), c["ce"]), 4)).alias("neg_sim"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )
+    va = (
+        v.join(F.broadcast(cents))
+        .select("vec_id", "e", ranked.alias("ranked"))
+        .select(
+            "vec_id",
+            "e",
+            F.element_at("ranked", 1)["cid"].alias("cluster"),
+            F.slice("ranked", 1, max(_SWEEP_PROBES)).alias("probe_cells"),
+        )
+    )
+    assign = va.select("vec_id", "e", "cluster")
+    probes = (
+        va.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.posexplode("probe_cells").alias("pos", "cell"),
+        )
+        .select(
+            "query_id",
+            "qe",
+            (F.col("pos") + 1).alias("probe_rank"),
+            F.col("cell")["cid"].alias("cluster"),
+        )
+    )
+    probes = probes.withColumnRenamed("cluster", "qcluster")
+    cand = (
+        assign.join(
+            F.broadcast(probes),
+            (F.col("cluster") == F.col("qcluster"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "probe_rank",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qe"), F.col("e")), 4).alias("sim"),
+        )
+    )
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    exact = (
+        v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qe"), F.col("e")), 4).alias("sim"),
+        )
+        .select("*", F.row_number().over(wq).alias("rank"))
+        .filter(F.col("rank") <= _SWEEP_K)
+        .select("query_id", F.col("neighbor_id").alias("e_neighbor"))
+    )
+    budgets = F.explode(
+        F.array(*[F.lit(p) for p in _SWEEP_PROBES])
+    ).alias("p")
+    wp = Window.partitionBy("p", "query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    swept = (
+        cand.select("*", budgets)
+        .filter(F.col("probe_rank") <= F.col("p"))
+        .select("*", F.row_number().over(wp).alias("rank"))
+        .filter(F.col("rank") <= _SWEEP_K)
+    )
+    hits = (
+        swept.join(
+            exact,
+            (swept["query_id"] == exact["query_id"])
+            & (swept["neighbor_id"] == exact["e_neighbor"]),
+            "left",
+        )
+        .groupBy("p", swept["query_id"])
+        .agg(
+            F.sum(
+                F.when(F.col("e_neighbor").isNotNull(), 1).otherwise(0)
+            ).alias("n_hit")
+        )
+    )
+    return hits.groupBy(F.col("p").alias("n_probes")).agg(
+        F.round(
+            F.sum("n_hit") / F.lit(float(N_QUERIES * _SWEEP_K)), 4
+        ).alias(f"recall_at_{_SWEEP_K}")
+    )
+
+
+ann_recall_vs_probes.__doc__ = ann_recall_vs_probes.__doc__.format(
+    k=_SWEEP_K,
+    probes=_SWEEP_PROBES,
+    maxp=max(_SWEEP_PROBES),
+    nc=N_CENTROIDS,
+)

@@ -1834,3 +1834,84 @@ def vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus mixture concentration: Gini / HHI over per-source token mass
+# ---------------------------------------------------------------------------
+@query(
+    "corpus_source_gini",
+    oracle=r"""
+    WITH per_src AS (
+      SELECT source,
+             CAST(sum(len(string_split_regex(lower(text), '\s+')))
+                  AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    ranked AS (
+      SELECT n_tokens,
+             row_number() OVER (ORDER BY n_tokens, source) AS r
+      FROM per_src
+    )
+    SELECT count(*)                          AS n_sources,
+           CAST(sum(n_tokens) AS BIGINT)     AS total_tokens,
+           round(2.0 * sum(r * n_tokens)
+                 / (count(*) * sum(n_tokens))
+                 - (count(*) + 1.0) / count(*), 4) AS gini,
+           round(max(n_tokens) / CAST(sum(n_tokens) AS DOUBLE), 4)
+             AS top1_share,
+           round(sum(CAST(n_tokens AS DOUBLE) * n_tokens)
+                 / (CAST(sum(n_tokens) AS DOUBLE) * sum(n_tokens)), 4)
+             AS hhi
+    FROM ranked
+    """,
+)
+def corpus_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-concentration readout for the pretraining corpus: the
+    Gini coefficient, top-1 share, and Herfindahl index of per-SOURCE
+    token mass -- the one-row diagnostic a data-mixing pipeline
+    (sample_mixture / mixture_waterfill) checks before and after
+    re-weighting: a corpus whose token mass is dominated by one crawl
+    source trains a model on that source's distribution no matter
+    what the doc counts claim.
+
+    Gini uses the exact rank identity G = 2*sum(r_i*m_i)/(n*sum m)
+    - (n+1)/n over ascending-ordered masses (deterministic (mass,
+    source) order, so engines agree on ties).
+
+    Scale: tokens reduce per-source in ONE corpus scan (map-side
+    combined size-of-split, nothing exploded); everything after runs
+    on <= n_sources rows, where the rank window is bounded census
+    math, not a data-sized sort."""
+    per_src = (
+        read_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.sum(F.size(F.split(F.lower(F.col("text")), r"\s+")))
+            .cast("bigint")
+            .alias("n_tokens")
+        )
+    )
+    w = Window.orderBy("n_tokens", "source")  # <= n_sources rows
+    ranked = per_src.select(
+        "n_tokens", F.row_number().over(w).alias("r")
+    )
+    n = F.count("*")
+    tot = F.sum("n_tokens")
+    return ranked.agg(
+        n.alias("n_sources"),
+        tot.cast("bigint").alias("total_tokens"),
+        F.round(
+            F.lit(2.0) * F.sum(F.col("r") * F.col("n_tokens")) / (n * tot)
+            - (n + F.lit(1.0)) / n,
+            4,
+        ).alias("gini"),
+        F.round(F.max("n_tokens") / tot.cast("double"), 4).alias(
+            "top1_share"
+        ),
+        F.round(
+            F.sum(F.col("n_tokens").cast("double") * F.col("n_tokens"))
+            / (tot.cast("double") * tot),
+            4,
+        ).alias("hhi"),
+    )

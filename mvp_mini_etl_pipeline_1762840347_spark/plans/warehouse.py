@@ -2423,3 +2423,269 @@ def join_order_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("is_best"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction planner (streaming first-fit bin packing)
+# ---------------------------------------------------------------------------
+_COMPACT_TARGET = 8_192  # target compacted file size (bytes, sf-scaled)
+_COMPACT_ROW_BYTES = 120  # deterministic per-row width proxy
+
+from .quality import _bucket_sql, hash_bucket  # noqa: E402
+
+
+@query(
+    "compaction_planner",
+    oracle=f"""
+    WITH files AS (
+      SELECT date_trunc('month', o_orderdate) AS part_month,
+             {_bucket_sql("o_orderkey")} AS file_id,
+             CAST(count(*) * {_COMPACT_ROW_BYTES} AS BIGINT) AS bytes
+      FROM orders
+      GROUP BY 1, 2
+    ),
+    placed AS (
+      SELECT part_month, bytes,
+             CAST((sum(bytes) OVER (PARTITION BY part_month
+                                    ORDER BY bytes DESC, file_id)
+                   - bytes) // {_COMPACT_TARGET} AS BIGINT) AS bin
+      FROM files
+    ),
+    bins AS (
+      SELECT part_month, bin, CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+             count(*) AS n_files
+      FROM placed GROUP BY 1, 2
+    )
+    SELECT part_month,
+           CAST(sum(n_files) AS BIGINT) AS n_files,
+           CAST(sum(bin_bytes) AS BIGINT) AS bytes_total,
+           count(*) AS n_bins,
+           round(sum(bin_bytes)
+                 / (count(*) * {_COMPACT_TARGET}.0) * 100, 2)
+             AS avg_fill_pct,
+           CAST(max(bin_bytes) AS BIGINT) AS max_bin_bytes
+    FROM bins GROUP BY 1
+    """,
+)
+def compaction_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan per partition: the maintenance job
+    every log-structured table (Iceberg/Delta-style) schedules when
+    streaming ingest leaves hundreds of KB-sized files per partition.
+    The file inventory is simulated deterministically from the orders
+    table (month partitions, 16 hash-bucket files, bytes = rows x a
+    fixed width) so the oracle can value-check the PLAN: files are
+    packed largest-first into target-size bins by streaming first-fit
+    (a file opens a new bin when the running total crosses the
+    target), and the readout per partition is files before, bins
+    after, fill factor, and the fattest output file.
+
+    Sorting largest-first before the running-sum placement is the
+    standard compactor heuristic (FFD's one-pass cousin): it
+    co-locates the big files early so small-file tails pack densely.
+
+    Scale: the inventory aggregate is the only corpus-sized step (one
+    scan, map-side combined); placement windows partition BY THE
+    TABLE PARTITION key over file-count-sized frames (a few dozen
+    rows each) -- the planner's cost is proportional to the file
+    census, never the data, which is exactly why engines run it from
+    the metadata layer (a manifest scan) at any table size."""
+    o = read_table(spark, sf_dir, "orders")
+    files = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("part_month"),
+        hash_bucket(F.col("o_orderkey")).alias("file_id"),
+    ).agg(
+        (F.count("*") * _COMPACT_ROW_BYTES).cast("bigint").alias("bytes")
+    )
+    w = Window.partitionBy("part_month").orderBy(
+        F.col("bytes").desc(), "file_id"
+    )
+    placed = files.select(
+        "part_month",
+        "bytes",
+        (
+            (F.sum("bytes").over(w) - F.col("bytes"))
+            / F.lit(_COMPACT_TARGET)
+        )
+        .cast("bigint")
+        .alias("bin"),
+    )
+    bins = placed.groupBy("part_month", "bin").agg(
+        F.sum("bytes").cast("bigint").alias("bin_bytes"),
+        F.count("*").alias("n_files"),
+    )
+    return bins.groupBy("part_month").agg(
+        F.sum("n_files").cast("bigint").alias("n_files"),
+        F.sum("bin_bytes").cast("bigint").alias("bytes_total"),
+        F.count("*").alias("n_bins"),
+        F.round(
+            F.sum("bin_bytes")
+            / (F.count("*") * F.lit(float(_COMPACT_TARGET)))
+            * 100,
+            2,
+        ).alias("avg_fill_pct"),
+        F.max("bin_bytes").cast("bigint").alias("max_bin_bytes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cardinality-estimate audit: histogram selectivity vs. ground truth
+# ---------------------------------------------------------------------------
+_CARD_BUCKETS = 10
+_CARD_PREDS = (
+    # (label, lo, hi) half-open ranges over o_totalprice
+    ("lt_50k", 0.0, 50_000.0),
+    ("mid_100k_150k", 100_000.0, 150_000.0),
+    ("gt_400k", 400_000.0, 1_000_000_000.0),
+    ("narrow_150k_152k", 150_000.0, 152_000.0),
+)
+_CARD_QS = [i / _CARD_BUCKETS for i in range(_CARD_BUCKETS + 1)]
+
+
+def _card_oracle() -> str:
+    qs = ", ".join(str(q) for q in _CARD_QS)
+    actuals = ",\n             ".join(
+        f"CAST(sum(CASE WHEN o_totalprice >= {lo} AND o_totalprice < {hi}"
+        f" THEN 1 ELSE 0 END) AS BIGINT) AS a{i}"
+        for i, (_, lo, hi) in enumerate(_CARD_PREDS)
+    )
+    values = ",\n        ".join(
+        f"('{label}', {lo}, {hi}, {i})"
+        for i, (label, lo, hi) in enumerate(_CARD_PREDS)
+    )
+    return f"""
+    WITH base AS (
+      SELECT quantile_cont(o_totalprice, [{qs}]) AS q,
+             count(*) AS n,
+             {actuals}
+      FROM orders
+    ),
+    preds(predicate, lo, hi, idx) AS (
+      VALUES
+        {values}
+    ),
+    est AS (
+      SELECT p.predicate, p.idx,
+             sum(CASE
+                   WHEN b.q[i + 1] > b.q[i] THEN
+                     (b.n / {_CARD_BUCKETS}.0)
+                     * greatest(0.0, least(p.hi, b.q[i + 1])
+                                     - greatest(p.lo, b.q[i]))
+                     / (b.q[i + 1] - b.q[i])
+                   WHEN b.q[i] >= p.lo AND b.q[i] < p.hi
+                     THEN b.n / {_CARD_BUCKETS}.0
+                   ELSE 0.0
+                 END) AS est_raw
+      FROM preds p
+      CROSS JOIN (SELECT q, n, unnest(range(1, {_CARD_BUCKETS + 1})) AS i
+                  FROM base) b
+      GROUP BY 1, 2
+    )
+    SELECT e.predicate,
+           round(e.est_raw, 1) AS est_rows,
+           CAST(CASE e.idx WHEN 0 THEN b.a0 WHEN 1 THEN b.a1
+                           WHEN 2 THEN b.a2 ELSE b.a3 END AS BIGINT)
+             AS actual_rows,
+           round(greatest(
+             (e.est_raw + 1)
+               / (CASE e.idx WHEN 0 THEN b.a0 WHEN 1 THEN b.a1
+                             WHEN 2 THEN b.a2 ELSE b.a3 END + 1),
+             (CASE e.idx WHEN 0 THEN b.a0 WHEN 1 THEN b.a1
+                         WHEN 2 THEN b.a2 ELSE b.a3 END + 1)
+               / (e.est_raw + 1)), 3) AS q_error
+    FROM est e CROSS JOIN base b
+    """
+
+
+@query("cardinality_estimate_audit", oracle=_card_oracle())
+def cardinality_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The optimizer's statistics machinery, audited against ground
+    truth: build a {b}-bucket equi-height histogram on o_totalprice
+    (exact decile boundaries), estimate each audit predicate's
+    cardinality by uniform interpolation inside overlapped buckets
+    (what every cost-based optimizer does with ANALYZE histograms),
+    and report it against the true count as a q-error
+    (max(est/actual, actual/est), +1-smoothed) -- the metric the
+    join-ordering literature scores estimators with.  The narrow
+    2k-wide predicate is there to show WHY engines keep distinct-count
+    sketches alongside histograms: its q-error dwarfs the wide
+    ranges'.
+
+    Scale: ONE fact scan computes the histogram boundaries AND every
+    predicate's true count in the same aggregate (the audit costs no
+    more than the ANALYZE it audits); estimation then runs on one
+    broadcast row -- a {b}-element fold per predicate, constant work.
+    The exact `percentile` aggregate is the local[*] stand-in; at
+    100 TB the same plan runs on `approx_percentile` (t-digest) with
+    identical downstream algebra."""
+    o = read_table(spark, sf_dir, "orders")
+    base = o.agg(
+        F.expr(
+            f"percentile(o_totalprice, array({', '.join(str(q) for q in _CARD_QS)}))"
+        ).alias("q"),
+        F.count("*").alias("n"),
+        *[
+            F.sum(
+                F.when(
+                    (F.col("o_totalprice") >= lo)
+                    & (F.col("o_totalprice") < hi),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"a{i}")
+            for i, (_, lo, hi) in enumerate(_CARD_PREDS)
+        ],
+    )
+    preds = F.array(
+        *[
+            F.struct(
+                F.lit(label).alias("predicate"),
+                F.lit(lo).alias("lo"),
+                F.lit(hi).alias("hi"),
+                F.col(f"a{i}").alias("actual_rows"),
+            )
+            for i, (label, lo, hi) in enumerate(_CARD_PREDS)
+        ]
+    )
+    p = base.select("q", "n", F.explode(preds).alias("p")).select(
+        "q", "n", "p.*"
+    )
+    lb = lambda b: F.element_at("q", b)  # noqa: E731
+    ub = lambda b: F.element_at("q", b + 1)  # noqa: E731
+    est = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_CARD_BUCKETS)),
+        F.lit(0.0),
+        lambda acc, b: acc
+        + F.when(
+            ub(b) > lb(b),
+            (F.col("n") / float(_CARD_BUCKETS))
+            * F.greatest(
+                F.lit(0.0),
+                F.least(F.col("hi"), ub(b)) - F.greatest(F.col("lo"), lb(b)),
+            )
+            / (ub(b) - lb(b)),
+        )
+        .when(
+            (lb(b) >= F.col("lo")) & (lb(b) < F.col("hi")),
+            F.col("n") / float(_CARD_BUCKETS),
+        )
+        .otherwise(0.0),
+    )
+    scored = p.select("predicate", "actual_rows", est.alias("est_raw"))
+    return scored.select(
+        "predicate",
+        F.round("est_raw", 1).alias("est_rows"),
+        "actual_rows",
+        F.round(
+            F.greatest(
+                (F.col("est_raw") + 1) / (F.col("actual_rows") + 1),
+                (F.col("actual_rows") + 1) / (F.col("est_raw") + 1),
+            ),
+            3,
+        ).alias("q_error"),
+    )
+
+
+cardinality_estimate_audit.__doc__ = cardinality_estimate_audit.__doc__.format(
+    b=_CARD_BUCKETS
+)

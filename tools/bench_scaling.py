@@ -76,6 +76,24 @@ QUERIES = [
     "training_data_release",    # full curation -> release manifest
     "embedding_prefix_recall",  # Matryoshka 4-prefix fan-out eval
     "join_order_advisor",       # stats passes + constant enumeration
+    # Round-8 extension: every remaining query >= 1.5 s at sf0.1 in
+    # the round-7 closing baseline (verdict task #5) -- the slow tail
+    # is exactly where a super-linear shape would hide.
+    "kmeans_converged",         # capped iterative k-means loop
+    "corpus_disposition",       # 3-scan full-curation census
+    "weighted_median_delay",    # two-pass weighted order statistic
+    "dedup_lsh_recall",         # LSH candidates vs exact Jaccard eval
+    "split_leakage_free",       # split + cross-split leakage join
+    "dedup_keep_longest",       # per-cluster keep-policy window
+    "dedup_simhash_hamming",    # pigeonhole-block Hamming join
+    "join_bloom_pruned",        # bloom build + scan-side prune
+    "dedup_verified_pairs",     # candidate verify (exact Jaccard)
+    "exact_deciles",            # histogram-narrowed selection x9
+    "winsorized_pricing",       # one-scan histogram winsorization
+    "graph_reachability",       # capped BFS frontier expansion
+    "trimmed_mean_exact",       # two-pass exact trimmed mean
+    "conformal_interval",       # calibration-quantile interval
+    "release_delta",            # round-8 flagship: 2-snapshot diff
 ]
 
 
