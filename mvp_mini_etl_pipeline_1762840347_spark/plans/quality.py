@@ -1387,6 +1387,13 @@ def release_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup pass probes dedup_incremental's band store, so the daily
     cost is one pipeline pass over the new batch plus this churn-sized
     diff -- never two full recomputes."""
+    return _delta_from_changes(_membership_changes(spark, sf_dir))
+
+
+def _membership_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(split_v1, split_v2, nt1, nt2, h1, h2) -- one row per document
+    whose kept-split membership differs between the two snapshots;
+    the churn stream the streaming twin consumes."""
     d = read_table(spark, sf_dir, "documents")
     ib = _ingest_bucket_col()
     k1 = _kept_docs_frame(spark, sf_dir, d.filter(ib < 14)).alias("a")
@@ -1394,6 +1401,7 @@ def release_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = k1.join(
         k2, F.col("a.doc_id") == F.col("b.doc_id"), "full_outer"
     ).select(
+        F.coalesce(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id"),
         F.col("a.split").alias("split_v1"),
         F.col("b.split").alias("split_v2"),
         F.col("a.n_tokens").alias("nt1"),
@@ -1401,7 +1409,14 @@ def release_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.h").alias("h1"),
         F.col("b.h").alias("h2"),
     )
-    changed = j.filter(~F.col("split_v1").eqNullSafe(F.col("split_v2")))
+    return j.filter(~F.col("split_v1").eqNullSafe(F.col("split_v2")))
+
+
+def _delta_from_changes(changed: DataFrame) -> DataFrame:
+    """Per-split delta aggregate over membership-change rows -- the
+    shared core of the batch query and the streaming twin (the
+    aggregate is a z-set: counts/token deltas add, the fingerprint
+    XORs, so per-batch deltas MERGE into a running state table)."""
 
     def _contrib(split_col, other, nt, h, sign):
         added_like = F.when(F.col(other).isNull(), 1).otherwise(0)

@@ -2574,7 +2574,8 @@ def ann_recall_vs_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hits = (
         swept.join(
-            exact,
+            # <= N_QUERIES x k rows: always broadcast the exact arm
+            F.broadcast(exact),
             (swept["query_id"] == exact["query_id"])
             & (swept["neighbor_id"] == exact["e_neighbor"]),
             "left",

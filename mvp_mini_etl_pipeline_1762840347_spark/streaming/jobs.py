@@ -1994,3 +1994,78 @@ def release_manifest_stream(
         .option("checkpointLocation", state_path + "_chk")
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Continuously-maintained release DELTA (streaming twin of
+# release_delta: the z-set per-split diff folded as churn arrives)
+# ---------------------------------------------------------------------------
+def release_delta_merge_step(
+    spark: SparkSession, batch_df: DataFrame, batch_id: int, state_path: str
+) -> bool:
+    """One exactly-once merge of a membership-change micro-batch
+    (release_delta's churn rows: split_v1/split_v2/nt/h per changed
+    doc) into the running per-split delta table.  The per-batch delta
+    comes from the SAME aggregate core as the batch query
+    (plans/quality.py::_delta_from_changes); merging is pure z-set
+    algebra -- every count and token delta ADDS, and the fingerprint
+    delta XORs (self-inverse), so a doc that changes membership twice
+    across batches cancels out of the fingerprint exactly as a batch
+    recompute would drop it.  Additive, not idempotent: the shared
+    batch-id high-water mark is load-bearing.  Returns False on a
+    replay."""
+    from ..plans.quality import _delta_from_changes
+
+    def _merge(target: DataFrame | None) -> DataFrame:
+        delta = _delta_from_changes(batch_df)
+        if target is None:
+            return delta
+        adds = (
+            "n_docs_added",
+            "n_docs_removed",
+            "n_resplit_in",
+            "n_resplit_out",
+            "n_docs_delta",
+            "n_tokens_delta",
+        )
+        t = target.select(
+            "split", *[F.col(c).alias(f"t_{c}") for c in adds],
+            F.col("fingerprint_delta").alias("t_fp"),
+        )
+        z = F.lit(0).cast("bigint")
+        return delta.join(t, "split", "full_outer").select(
+            "split",
+            *[
+                (F.coalesce(c, z) + F.coalesce(f"t_{c}", z))
+                .cast("bigint")
+                .alias(c)
+                for c in adds
+            ],
+            F.expr("coalesce(fingerprint_delta, 0L) ^ coalesce(t_fp, 0L)")
+            .cast("bigint")
+            .alias("fingerprint_delta"),
+        )
+
+    return exactly_once_table_merge(spark, state_path, batch_id, _merge)
+
+
+def release_delta_stream(
+    spark: SparkSession, changes: DataFrame, state_path: str
+) -> StreamingQuery:
+    """Streaming twin of release_delta: the per-split release diff
+    maintained continuously as membership-change records land (the
+    production shape: the curation pipeline emits churn rows per
+    ingest batch -- dedup_incremental's band store makes them
+    batch-sized -- and the release diff is ALWAYS current, so cutting
+    v2's manifest against v1 is a zero-scan read of this table).
+    Exactly-once via the shared atomic staged-swap merge."""
+
+    def _step(batch_df: DataFrame, batch_id: int) -> None:
+        release_delta_merge_step(spark, batch_df, batch_id, state_path)
+
+    return (
+        changes.writeStream.foreachBatch(_step)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", state_path + "_chk")
+        .start()
+    )

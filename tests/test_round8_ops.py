@@ -124,3 +124,53 @@ def test_unchanged_docs_never_reach_the_delta_agg(spark):
     # docs with resplits double-counted, never unchanged docs.
     n_resplit = sum(r["n_resplit_in"] for r in rows)
     assert n_contrib == n_changed + n_resplit
+
+
+def test_release_delta_stream_matches_batch(spark, tmp_path_factory):
+    """The streamed per-split delta over several micro-batches of
+    membership-change rows must equal the batch release_delta (counts
+    and token deltas add; XOR composes batch fingerprint deltas), and
+    a replayed batch id must be a no-op."""
+    from mvp_mini_etl_pipeline_1762840347_spark.plans.quality import (
+        _membership_changes,
+    )
+    from mvp_mini_etl_pipeline_1762840347_spark.streaming import jobs
+
+    base = tmp_path_factory.mktemp("release_delta_stream")
+    landing = str(base / "landing")
+    ch = _membership_changes(spark, SF)
+    ch.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        landing, mode="overwrite"
+    )
+    ch.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        landing, mode="append"
+    )
+    state_path = str(base / "delta")
+
+    stream = (
+        spark.readStream.schema(ch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    q = jobs.release_delta_stream(spark, stream, state_path)
+    q.awaitTermination(120)
+
+    got = {
+        r["split"]: r.asDict()
+        for r in spark.read.parquet(state_path).collect()
+    }
+    want = {
+        r["split"]: r.asDict()
+        for r in plans.QUERIES["release_delta"](spark, SF).collect()
+    }
+    assert got == want
+
+    # replayed batch id: exactly-once no-op
+    assert not jobs.release_delta_merge_step(
+        spark, ch.limit(3), 0, state_path
+    )
+    still = {
+        r["split"]: r.asDict()
+        for r in spark.read.parquet(state_path).collect()
+    }
+    assert still == want
