@@ -1375,39 +1375,243 @@ def release_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_round8_ops.py).  A consumer holding v1's manifest
     verifies v2 with the delta alone.
 
-    Scale: each snapshot rides the corpus_disposition shapes (bounded
-    broadcast drop-sets, fingerprint window keyed by a data column,
-    <=3 corpus scans); the diff itself joins only the KEPT doc-id sets
-    (narrow 4-column rows), and the aggregation input is filtered to
-    membership-CHANGED rows first, so the delta shuffle carries the
-    day's churn, not the corpus.  Each doc's 1-2 split contributions
-    fan out via one array explode (single pass -- no
-    union-of-two-filters re-deriving the join).  In production the v1
-    side is yesterday's persisted kept-manifest table and the v2
-    near-dup pass probes dedup_incremental's band store, so the daily
-    cost is one pipeline pass over the new batch plus this churn-sized
-    diff -- never two full recomputes."""
+    Scale: BOTH snapshots share ONE derivation (see
+    _membership_changes) -- per-doc artifacts are snapshot-independent
+    and computed once (the corpus_disposition 3-scan budget, pinned);
+    only the global steps run per snapshot, each as conditional
+    columns or membership filters over the shared frames (two
+    conditional keeper mins in one fingerprint window pass, endpoint
+    filters over one checkpointed LSH pair set, one tagged-shingle
+    decontamination join).  Membership change is decided per row --
+    no kept-set join at all -- and the aggregation input is filtered
+    to CHANGED rows first, so the delta shuffle carries the day's
+    churn, not the corpus.  Each doc's 1-2 split contributions fan
+    out via one array explode.  In production the v1 side is
+    yesterday's persisted kept-manifest table and the v2 near-dup
+    pass probes dedup_incremental's band store, so the daily cost is
+    one pipeline pass over the new batch plus this churn-sized diff
+    -- never two full recomputes."""
     return _delta_from_changes(_membership_changes(spark, sf_dir))
 
 
 def _membership_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(split_v1, split_v2, nt1, nt2, h1, h2) -- one row per document
-    whose kept-split membership differs between the two snapshots;
-    the churn stream the streaming twin consumes."""
+    """(doc_id, split_v1, split_v2, nt1, nt2, h1, h2) -- one row per
+    document whose kept-split membership differs between the two
+    snapshots; the churn stream the streaming twin consumes.
+
+    Single-derivation shape: every PER-DOCUMENT artifact (quality
+    features, normalized fingerprint, content hash, split bucket, LSH
+    band signatures, shingle sets) is a pure function of the document
+    and therefore snapshot-INDEPENDENT -- computed once over the
+    union corpus (three scans total, the corpus_disposition budget).
+    Only the global steps differ per snapshot, and each runs
+    conditionally on membership flags instead of re-deriving its
+    input: the exact-dup keeper is TWO conditional mins in ONE
+    fingerprint window pass; LSH candidate pairs are computed once
+    and filtered by endpoint membership (a band-sig pair within a
+    snapshot is exactly an all-docs pair whose endpoints are both
+    members) before two tiny connected-components runs; and
+    decontamination tags each eval shingle with the snapshots it
+    belongs to, so both overlap counts ride one broadcast join over
+    one shingle stream.  The naive form (full pipeline per snapshot +
+    full-outer join) costs 6 scans and a sort-merge join; this is the
+    shape an engine's shared-subexpression pass would want to reach,
+    written explicitly because the sharing spans actions Catalyst
+    cannot see across.  (First form measured 8.7 s at sf0.1; the
+    fused derivation also removes the join entirely -- membership is
+    decided per row.)"""
+    from pyspark.sql.window import Window
+
+    from .dedup import _DECON_THRESHOLD, _EVAL_SOURCE, _minhash_pairs_impl
+    from .graph import connected_components
+    from .text import STOPWORDS
+
     d = read_table(spark, sf_dir, "documents")
-    ib = _ingest_bucket_col()
-    k1 = _kept_docs_frame(spark, sf_dir, d.filter(ib < 14)).alias("a")
-    k2 = _kept_docs_frame(spark, sf_dir, d.filter(ib != 13)).alias("b")
-    j = k1.join(
-        k2, F.col("a.doc_id") == F.col("b.doc_id"), "full_outer"
-    ).select(
-        F.coalesce(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id"),
-        F.col("a.split").alias("split_v1"),
-        F.col("b.split").alias("split_v2"),
-        F.col("a.n_tokens").alias("nt1"),
-        F.col("b.n_tokens").alias("nt2"),
-        F.col("a.h").alias("h1"),
-        F.col("b.h").alias("h2"),
+
+    def _in_v1(c: Column) -> Column:
+        return hash_bucket(F.concat(F.lit("ingest:"), c.cast("string"))) < 14
+
+    def _in_v2(c: Column) -> Column:
+        return (
+            hash_bucket(F.concat(F.lit("ingest:"), c.cast("string"))) != 13
+        )
+
+    # Scan 1: per-doc features + membership flags (identical
+    # expressions to _disposition_frame's staged projection).
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    staged = d.select(
+        "doc_id",
+        "source",
+        F.size(toks).alias("n_tokens"),
+        (
+            F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast(
+                "double"
+            )
+            / F.size(toks)
+        ).alias("stop_ratio"),
+        (
+            (
+                F.length("text")
+                - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))
+            ).cast("double")
+            / F.length("text")
+        ).alias("punct_ratio"),
+        F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")).alias(
+            "norm_fp"
+        ),
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.col("text"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+        hash_bucket(F.col("doc_id")).alias("bucket"),
+        _in_v1(F.col("doc_id")).alias("in_v1"),
+        _in_v2(F.col("doc_id")).alias("in_v2"),
+    )
+
+    # Scan 2: LSH candidate pairs over ALL docs, once; per-snapshot
+    # pair sets are endpoint-membership filters over the checkpointed
+    # result (band signatures are per-doc, so a within-snapshot pair
+    # is exactly an all-docs pair with both endpoints in the
+    # snapshot).
+    pairs_all = (
+        _minhash_pairs_impl(
+            d.repartition(spark.sparkContext.defaultParallelism)
+        )
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+
+    def _nd_drop(in_s) -> DataFrame:
+        pairs_s = pairs_all.filter(
+            in_s(F.col("doc_a")) & in_s(F.col("doc_b"))
+        )
+        comp = connected_components(pairs_s, "doc_a", "doc_b")
+        return (
+            comp.filter(F.col("node") != F.col("cluster_id"))
+            .select(F.col("node").alias("doc_id"))
+            .withColumn("is_nd", F.lit(True))
+        )
+
+    nd1 = _nd_drop(_in_v1).withColumnRenamed("is_nd", "nd_v1")
+    nd2 = _nd_drop(_in_v2).withColumnRenamed("is_nd", "nd_v2")
+
+    # Scan 3: one per-doc-distinct shingle stream serves BOTH
+    # snapshots' decontamination: each eval shingle is tagged with the
+    # snapshots its eval docs belong to, and each train doc's two
+    # overlap counts are conditional counts in one aggregate.
+    shflat = (
+        d.select(
+            "doc_id",
+            "source",
+            F.split(F.lower(F.col("text")), r"\s+").alias("toks"),
+        )
+        .filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("toks") - 2),
+                        lambda i: F.concat_ws(
+                            " ",
+                            F.element_at("toks", i),
+                            F.element_at("toks", i + 1),
+                            F.element_at("toks", i + 2),
+                        ),
+                    )
+                )
+            ).alias("shingle"),
+        )
+    )
+    eval_hits = (
+        shflat.filter(F.col("source") == _EVAL_SOURCE)
+        .groupBy("shingle")
+        .agg(
+            F.max(_in_v1(F.col("doc_id"))).alias("e1"),
+            F.max(_in_v2(F.col("doc_id"))).alias("e2"),
+        )
+    )
+    cont = (
+        shflat.filter(F.col("source") != _EVAL_SOURCE)
+        .join(F.broadcast(eval_hits), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_sh"),
+            F.count(F.when(F.col("e1"), 1)).alias("o1"),
+            F.count(F.when(F.col("e2"), 1)).alias("o2"),
+        )
+        .filter((F.col("o1") > 0) | (F.col("o2") > 0))
+        .select(
+            "doc_id",
+            (
+                F.col("o1").cast("double") / F.col("n_sh")
+                >= _DECON_THRESHOLD
+            ).alias("cont_v1"),
+            (
+                F.col("o2").cast("double") / F.col("n_sh")
+                >= _DECON_THRESHOLD
+            ).alias("cont_v2"),
+        )
+    )
+
+    # Assembly: both keepers from ONE fingerprint window pass, drop
+    # sets and contamination flags broadcast back, and the kept-split
+    # decided per row per snapshot (precedence collapses to a
+    # conjunction for kept/not-kept).
+    w = Window.partitionBy("norm_fp")
+    enriched = (
+        staged.withColumn(
+            "k1", F.min(F.when(F.col("in_v1"), F.col("doc_id"))).over(w)
+        )
+        .withColumn(
+            "k2", F.min(F.when(F.col("in_v2"), F.col("doc_id"))).over(w)
+        )
+        .join(F.broadcast(nd1), "doc_id", "left")
+        .join(F.broadcast(nd2), "doc_id", "left")
+        .join(F.broadcast(cont), "doc_id", "left")
+    )
+    quality_pass = (
+        (F.col("stop_ratio") >= 0.05)
+        & (F.col("n_tokens") >= 15)
+        & (F.col("punct_ratio") < 0.1)
+    )
+    split_of = F.when(F.col("bucket") < 2, "test").when(
+        F.col("bucket") < 4, "val"
+    ).otherwise("train")
+
+    def _kept_split(in_col, keeper, nd, cflag) -> Column:
+        return F.when(
+            F.col(in_col)
+            & (F.col("source") != _EVAL_SOURCE)
+            & quality_pass
+            & (F.col("doc_id") == F.col(keeper))
+            & ~F.coalesce(F.col(nd), F.lit(False))
+            & ~F.coalesce(F.col(cflag), F.lit(False)),
+            split_of,
+        )
+
+    j = enriched.select(
+        "doc_id",
+        _kept_split("in_v1", "k1", "nd_v1", "cont_v1").alias("split_v1"),
+        _kept_split("in_v2", "k2", "nd_v2", "cont_v2").alias("split_v2"),
+        F.col("n_tokens").alias("nt1"),
+        F.col("n_tokens").alias("nt2"),
+        F.col("h").alias("h1"),
+        F.col("h").alias("h2"),
     )
     return j.filter(~F.col("split_v1").eqNullSafe(F.col("split_v2")))
 

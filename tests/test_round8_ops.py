@@ -77,10 +77,12 @@ def test_release_delta_carries_real_churn(spark):
 
 
 def test_release_delta_scan_count(spark):
-    """Two snapshots x the pinned 3-scan disposition budget: the diff
-    must not re-derive either snapshot's pipeline (the naive
-    union-of-two-filters form re-ran the full outer join per side --
-    12 scans -- before the single-pass array-explode fan-out)."""
+    """The fused single-derivation form: per-doc artifacts are
+    snapshot-independent, so BOTH snapshots ride the one
+    corpus_disposition scan budget (features + checkpointed LSH pairs
+    + shingle stream) -- not two full pipelines (6 scans, measured
+    8.7 s at sf0.1) and certainly not the union-of-two-filters form
+    that re-ran the join per side (12 scans)."""
     df = plans.QUERIES["release_delta"](spark, SF)
     df.collect()
     final = (
@@ -89,8 +91,8 @@ def test_release_delta_scan_count(spark):
         .toString()
         .split("== Initial Plan ==")[0]
     )
-    assert final.count("documents.parquet") == 6, (
-        "release_delta: exactly two 3-scan disposition pipelines"
+    assert final.count("documents.parquet") == 3, (
+        "release_delta: one shared 3-scan derivation for both snapshots"
     )
 
 
