@@ -47,16 +47,25 @@ def main() -> None:
     # machine demonstrably swings on identical plans.)
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     # Wall-clock budget (seconds): gates starting passes BEYOND the
-    # second.  Passes 1-2 always run to completion because min-over-2
+    # second.  Passes 1-2 normally run to completion because min-over-2
     # is the noise-rejection floor of the whole methodology -- a pass-2
     # abort (round 7: pass 1 alone took 246 s of the 420 s budget, so
     # pass 2 was cut mid-flight and the artifact degraded to
     # single-sample numbers for the alphabetical tail).  Worst-case
-    # overshoot past the budget is bounded by one pass (the second pass
-    # runs warm, ~0.7x pass 1), which the round-7 driver run already
-    # demonstrated is inside its external limit (rc=0 at ~450 s wall).
-    # Passes 3+ still honor the budget at pass AND query granularity.
+    # overshoot past the budget is normally bounded by one warm pass
+    # (~0.7x pass 1), which the round-7 driver run already demonstrated
+    # is inside its external limit (rc=0 at ~450 s wall).  Passes 3+
+    # honor the budget at pass AND query granularity.  The HARD CAP
+    # (3x budget) bounds the pathological case -- an ambient-load burst
+    # can inflate a pass 2-3x (measured: a quiet ~200 s pass took
+    # 618-813 s under co-tenant load), and "pass 2 always completes"
+    # must not turn that into an unbounded run the external driver
+    # kills with nothing written.  The cap aborts ANY pass mid-flight;
+    # min-over-what-ran is still honest.
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
+    hard_cap = float(
+        os.environ.get("SPARK_GRAFT_BENCH_HARD_CAP", str(budget * 3))
+    )
     bench_t0 = time.perf_counter()
     timings: dict[str, float] = {}
     passes_done = 0
@@ -64,13 +73,19 @@ def main() -> None:
     # pass wall time, so a noisy-machine artifact is self-diagnosing
     # (ambient-load adjudication from data, not narrative).
     pass_audit: list[dict[str, float]] = []
+    # Pass 1 is NEVER cut (the per-query map must be total); the hard
+    # cap bounds passes 2+ mid-flight, the soft budget gates passes 3+.
     for r in range(max(1, reps)):
-        if r > 1 and time.perf_counter() - bench_t0 > budget:
+        elapsed = time.perf_counter() - bench_t0
+        if r > 0 and ((r > 1 and elapsed > budget) or elapsed > hard_cap):
             break
         pass_t0 = time.perf_counter()
         load_start = round(os.getloadavg()[0], 2)
         for name, fn in sorted(plans.QUERIES.items()):
-            if r > 1 and time.perf_counter() - bench_t0 > budget:
+            elapsed = time.perf_counter() - bench_t0
+            if r > 0 and (
+                (r > 1 and elapsed > budget) or elapsed > hard_cap
+            ):
                 break
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
