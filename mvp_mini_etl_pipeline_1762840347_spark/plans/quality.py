@@ -1494,19 +1494,34 @@ def _membership_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
 
-    def _nd_drop(in_s) -> DataFrame:
-        pairs_s = pairs_all.filter(
+    # BOTH snapshots' components from ONE iterative run: tag each
+    # snapshot's pair set into a disjoint node space (node*2 + tag) --
+    # the union graph's components are exactly the disjoint union of
+    # the two graphs' components, and min-label within a tag preserves
+    # doc order, so the per-snapshot drop rule (node != its
+    # component's min) reads straight off the combined result.  Two
+    # separate runs would pay the label-propagation round count twice;
+    # the rounds ARE the cost here (census-sized data, scheduler-floor
+    # iterations).
+    def _tagged(in_s, tag: int) -> DataFrame:
+        return pairs_all.filter(
             in_s(F.col("doc_a")) & in_s(F.col("doc_b"))
-        )
-        comp = connected_components(pairs_s, "doc_a", "doc_b")
-        return (
-            comp.filter(F.col("node") != F.col("cluster_id"))
-            .select(F.col("node").alias("doc_id"))
-            .withColumn("is_nd", F.lit(True))
+        ).select(
+            (F.col("doc_a") * 2 + tag).alias("a"),
+            (F.col("doc_b") * 2 + tag).alias("b"),
         )
 
-    nd1 = _nd_drop(_in_v1).withColumnRenamed("is_nd", "nd_v1")
-    nd2 = _nd_drop(_in_v2).withColumnRenamed("is_nd", "nd_v2")
+    comp = connected_components(
+        _tagged(_in_v1, 0).unionByName(_tagged(_in_v2, 1)), "a", "b"
+    )
+    nd_both = (
+        comp.filter(F.col("node") != F.col("cluster_id"))
+        .groupBy(F.expr("node div 2").alias("doc_id"))
+        .agg(
+            F.max(F.col("node") % 2 == 0).alias("nd_v1"),
+            F.max(F.col("node") % 2 == 1).alias("nd_v2"),
+        )
+    )
 
     # Scan 3: one per-doc-distinct shingle stream serves BOTH
     # snapshots' decontamination: each eval shingle is tagged with the
@@ -1580,8 +1595,7 @@ def _membership_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "k2", F.min(F.when(F.col("in_v2"), F.col("doc_id"))).over(w)
         )
-        .join(F.broadcast(nd1), "doc_id", "left")
-        .join(F.broadcast(nd2), "doc_id", "left")
+        .join(F.broadcast(nd_both), "doc_id", "left")
         .join(F.broadcast(cont), "doc_id", "left")
     )
     quality_pass = (
