@@ -1410,7 +1410,8 @@ def _membership_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint window pass; LSH candidate pairs are computed once
     and filtered by endpoint membership (a band-sig pair within a
     snapshot is exactly an all-docs pair whose endpoints are both
-    members) before two tiny connected-components runs; and
+    members) before ONE tagged-disjoint-union connected-components
+    run serving both snapshots; and
     decontamination tags each eval shingle with the snapshots it
     belongs to, so both overlap counts ride one broadcast join over
     one shingle stream.  The naive form (full pipeline per snapshot +
