@@ -132,31 +132,68 @@ _DRIVER_CHECKED: tuple[str, ...] = (
     "crossval_regression", "classifier_auc", "classifier_calibration",
     "score_quantile_normalize", "conformal_interval",
     "training_data_release",
-)
-
-
-# The 2 registered queries that have never had a driver CORRECTNESS
-# row (both registered after the r7 oracle run, by design — round-6
-# task #2).  Checked first in r8 so CORRECTNESS_r08 closes the
-# registry at 292/292 driver-proven.  Any round-8 addition must land
-# AFTER this block in queries() order (it falls into the unchecked
-# bucket of _coverage_ordered, which sorts after _PRIORITY).
-_PRIORITY: tuple[str, ...] = (
+    # Round-7 stragglers + round-8 registrations (CORRECTNESS_r08.json:
+    # 50/50 green, folded r9).  Registry closed at 301/301 driver-proven.
     "embedding_prefix_recall", "join_order_advisor",
+    "release_delta", "dedup_threshold_sweep", "ann_recall_vs_probes",
+    "corpus_source_gini", "rolling_median_revenue", "compaction_planner",
+    "cardinality_estimate_audit", "l_diversity_audit", "sample_ess",
 )
+
+
+# No never-checked carryovers remain (registry closed r8); kept for the
+# mechanism — any future entry here is checked first.
+_PRIORITY: tuple[str, ...] = ()
+
+
+def _latest_green_round() -> dict[str, int]:
+    """name -> latest round with a green driver CORRECTNESS row.
+
+    Read from the committed CORRECTNESS_r*.json artifacts next to this
+    file, so the staleness ordering below updates itself each round
+    without hand-editing.  Missing/unreadable artifacts simply yield
+    fewer entries (names absent sort as round 0 = stalest).
+    """
+    import glob
+    import json
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    latest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            rnd = int(os.path.basename(path)[len("CORRECTNESS_r"):-len(".json")])
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError, json.JSONDecodeError):
+            continue
+        for name, rec in rows.items():
+            if not isinstance(rec, dict) or not rec.get("rows_match"):
+                continue
+            hm = rec.get("hash_match")
+            if hm is False:  # None = rows-only check, counts as green
+                continue
+            latest[name] = max(latest.get(name, 0), rnd)
+    return latest
 
 
 def _coverage_ordered(mapping: dict) -> dict:
-    """Priority names, then never-driver-checked (registry order), then rest."""
+    """Priority, then never-driver-checked (registry order), then the
+    checked bucket STALEST-FIRST (oldest latest-green driver row first,
+    ties broken by registry order).  The driver oracle-checks ~50 names
+    per round in dict order, so this rotation re-proves the longest-
+    unverified queries every round."""
+    latest = _latest_green_round()
     priority = {k: mapping[k] for k in _PRIORITY if k in mapping}
     unchecked = {
         k: v for k, v in mapping.items()
         if k not in _DRIVER_CHECKED and k not in priority
     }
-    checked = {
-        k: v for k, v in mapping.items()
-        if k in _DRIVER_CHECKED and k not in priority
-    }
+    registry_pos = {k: i for i, k in enumerate(mapping)}
+    checked_names = sorted(
+        (k for k in mapping if k in _DRIVER_CHECKED and k not in priority),
+        key=lambda k: (latest.get(k, 0), registry_pos[k]),
+    )
+    checked = {k: mapping[k] for k in checked_names}
     return {**priority, **unchecked, **checked}
 
 

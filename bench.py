@@ -60,8 +60,12 @@ def main() -> None:
     # can inflate a pass 2-3x (measured: a quiet ~200 s pass took
     # 618-813 s under co-tenant load), and "pass 2 always completes"
     # must not turn that into an unbounded run the external driver
-    # kills with nothing written.  The cap aborts ANY pass mid-flight;
-    # min-over-what-ran is still honest.
+    # kills with nothing written.  The cap bounds passes 2+ mid-flight
+    # only; pass 1 remains unbounded BY DESIGN because the per-query
+    # timing map must be total (every query gets at least one sample,
+    # even under a pathological ambient burst -- the residual external-
+    # driver-kill exposure during pass 1 is accepted and recorded in
+    # pass_audit).  Min-over-what-ran is still honest.
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
     hard_cap = float(
         os.environ.get("SPARK_GRAFT_BENCH_HARD_CAP", str(budget * 3))

@@ -917,9 +917,29 @@ def _disposition_chain(src: str = "documents", sfx: str = "") -> str:
     sql = _disposition_chain_body()
     if src != "documents":
         sql = sql.replace("FROM documents", f"FROM {src}")
+        # Loud-failure guard: every reference to the base table in the
+        # chain body must be spelled exactly "FROM documents" for the
+        # textual rewrite above to catch it.  A future edit that writes
+        # e.g. "JOIN documents" would silently scope that scan to the
+        # wrong snapshot in release_delta's oracle -- fail here instead.
+        leftover = re.search(r"\bdocuments\b", sql)
+        assert leftover is None, (
+            "_disposition_chain: un-rewritten 'documents' reference at "
+            f"offset {leftover.start() if leftover else -1}; spell base-"
+            "table scans as 'FROM documents' so src substitution sees them"
+        )
     if sfx:
         for n in _DISP_CTE_NAMES:
             sql = re.sub(rf"\b{n}\b", f"{n}{sfx}", sql)
+        for n in _DISP_CTE_NAMES:
+            # Same guard for CTE renames: a column/alias colliding with a
+            # chain CTE name, or a name missing from _DISP_CTE_NAMES,
+            # must fail loudly rather than cross-wire the two suffixed
+            # chains inside one WITH clause.
+            assert re.search(rf"\b{n}\b", sql) is None, (
+                f"_disposition_chain: bare CTE token '{n}' survived the "
+                f"'{sfx}' rename -- update _DISP_CTE_NAMES or the chain body"
+            )
     return sql.strip().rstrip(",")
 
 

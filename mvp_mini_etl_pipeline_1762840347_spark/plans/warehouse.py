@@ -2,7 +2,8 @@
 layer every production deployment runs around the analytics queries.
 
 The reference pipeline rebuilds its whole output from scratch each run
-(reference ``src/app/page.tsx`` re-fetches and re-derives everything);
+(reference ``pages/index.js:80-103`` — the restart handler re-fetches
+and re-derives the whole users+metrics payload per run);
 at 100 TB a rebuild is impossible, so this module supplies the
 incremental-state operators a real deployment substitutes: SCD Type-2
 history construction, MERGE/upsert of a delta batch, interval

@@ -2011,7 +2011,16 @@ def release_delta_merge_step(
     algebra -- every count and token delta ADDS, and the fingerprint
     delta XORs (self-inverse), so a doc that changes membership twice
     across batches cancels out of the fingerprint exactly as a batch
-    recompute would drop it.  Additive, not idempotent: the shared
+    recompute would drop it.  NOTE the same is NOT true of the gross
+    churn counters (n_docs_added/removed, n_resplit_in/out): they are
+    cumulative-churn semantics -- a doc added in batch 1 and removed
+    in batch 3 leaves added=1, removed=1, whereas a two-snapshot
+    recompute over the combined state would emit neither.  Only the
+    NET columns (n_docs_delta, n_tokens_delta) and fingerprint_delta
+    are composition-invariant and reconcile exactly with the batch
+    release_delta under multi-batch membership flapping; the gross
+    counters answer "how much churn was processed", not "what differs
+    between snapshots".  Additive, not idempotent: the shared
     batch-id high-water mark is load-bearing.  Returns False on a
     replay."""
     from ..plans.quality import _delta_from_changes
