@@ -2427,6 +2427,232 @@ def join_order_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Runtime-filter advisor: when does a Bloom join filter pay?
+# ---------------------------------------------------------------------------
+# Decision constants (documented, deliberately test-scale like the
+# join_bloom_pruned thresholds -- at 100 TB the same rules fire with
+# production values: ~10 MB broadcast, ~4M build keys, Spark's
+# bloomFilter.applicationSideScanSizeThreshold):
+_RFA_BCAST_ROWS = 16  # dim rows at/below which the join broadcasts anyway
+_RFA_MAX_BUILD = 4_000_000  # max creation-side keys worth hashing
+_RFA_MIN_PPM = 500_000  # minimum pruned fraction (ppm) to pay for probes
+
+# (join_id, fact, n_fact col, fact-key-ndv col, dim, dim-keys col,
+#  dim-rows col) -- six candidate fact-dim joins spanning the decision
+# space: selective dim filter (apply), unfiltered dim (low pruning),
+# same join at two predicate selectivities (the decision FLIP), and a
+# broadcastable dim (filter pointless however selective).
+_RFA_JOINS = (
+    ("orders*customer[mkt=BUILDING]", "orders", "n_orders", "d_o_ck",
+     "customer", "d_c_ck_bldg", "n_c_bldg"),
+    ("orders*customer[all]", "orders", "n_orders", "d_o_ck",
+     "customer", "d_c_ck", "n_customer"),
+    ("lineitem*orders[prio=1-URGENT]", "lineitem", "n_lineitem", "d_l_ok",
+     "orders", "d_o_ok_urg", "n_o_urg"),
+    ("lineitem*part[size<=5]", "lineitem", "n_lineitem", "d_l_pk",
+     "part", "d_p_pk_5", "n_p_5"),
+    ("lineitem*part[size<=45]", "lineitem", "n_lineitem", "d_l_pk",
+     "part", "d_p_pk_45", "n_p_45"),
+    ("customer*nation[name=NATION_7]", "customer", "n_customer", "d_c_nk",
+     "nation", "d_n_fr", "n_n_fr"),
+)
+
+
+def _rfa_exprs(spec: tuple, intdiv: str) -> dict[str, str]:
+    """The advisor's closed-form integer arithmetic over the stats
+    columns, identical in both dialects modulo the integer-division
+    spelling (`div` Spark, `//` DuckDB)."""
+    _jid, fact, n_f, ndv_f, dim, keys, rows = spec
+    surv = (
+        f"least({n_f}, ({n_f} * {keys})"
+        f" {intdiv} greatest({ndv_f}, {keys}, 1))"
+    )
+    ppm = f"((({n_f}) - {surv}) * 1000000 {intdiv} greatest({n_f}, 1))"
+    reason = (
+        f"CASE WHEN {rows} <= {_RFA_BCAST_ROWS} THEN 'broadcast-join'"
+        f" WHEN {keys} > {_RFA_MAX_BUILD} THEN 'build-too-large'"
+        f" WHEN {ppm} < {_RFA_MIN_PPM} THEN 'low-pruning'"
+        f" ELSE 'apply' END"
+    )
+    return {
+        "n_fact": n_f,
+        "ndv_fact_key": ndv_f,
+        "n_dim_keys": keys,
+        "n_dim_rows": rows,
+        "est_surviving_rows": surv,
+        "pruned_ppm": ppm,
+        "reason": reason,
+        "use_bloom_filter": f"({reason}) = 'apply'",
+    }
+
+
+_RFA_STATS_SQL = """
+      (SELECT count(*) FROM customer) AS n_customer,
+      (SELECT count(DISTINCT c_custkey) FROM customer) AS d_c_ck,
+      (SELECT count(DISTINCT CASE WHEN c_mktsegment = 'BUILDING'
+                             THEN c_custkey END) FROM customer)
+        AS d_c_ck_bldg,
+      (SELECT count(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 END)
+         FROM customer) AS n_c_bldg,
+      (SELECT count(DISTINCT c_nationkey) FROM customer) AS d_c_nk,
+      (SELECT count(*) FROM orders) AS n_orders,
+      (SELECT count(DISTINCT o_custkey) FROM orders) AS d_o_ck,
+      (SELECT count(DISTINCT CASE WHEN o_orderpriority = '1-URGENT'
+                             THEN o_orderkey END) FROM orders)
+        AS d_o_ok_urg,
+      (SELECT count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END)
+         FROM orders) AS n_o_urg,
+      (SELECT count(*) FROM lineitem) AS n_lineitem,
+      (SELECT count(DISTINCT l_orderkey) FROM lineitem) AS d_l_ok,
+      (SELECT count(DISTINCT l_partkey) FROM lineitem) AS d_l_pk,
+      (SELECT count(DISTINCT CASE WHEN p_size <= 5 THEN p_partkey END)
+         FROM part) AS d_p_pk_5,
+      (SELECT count(CASE WHEN p_size <= 5 THEN 1 END) FROM part)
+        AS n_p_5,
+      (SELECT count(DISTINCT CASE WHEN p_size <= 45 THEN p_partkey END)
+         FROM part) AS d_p_pk_45,
+      (SELECT count(CASE WHEN p_size <= 45 THEN 1 END) FROM part)
+        AS n_p_45,
+      (SELECT count(DISTINCT CASE WHEN n_name = 'NATION_7'
+                             THEN n_nationkey END) FROM nation) AS d_n_fr,
+      (SELECT count(CASE WHEN n_name = 'NATION_7' THEN 1 END) FROM nation)
+        AS n_n_fr
+"""
+
+
+def _rfa_oracle() -> str:
+    branches = []
+    for spec in _RFA_JOINS:
+        e = _rfa_exprs(spec, "//")
+        branches.append(
+            f"SELECT '{spec[0]}' AS join_id,"
+            f" '{spec[1]}' AS fact_table, '{spec[4]}' AS dim_table,"
+            f" CAST({e['n_fact']} AS BIGINT) AS n_fact,"
+            f" CAST({e['ndv_fact_key']} AS BIGINT) AS ndv_fact_key,"
+            f" CAST({e['n_dim_keys']} AS BIGINT) AS n_dim_keys,"
+            f" CAST({e['n_dim_rows']} AS BIGINT) AS n_dim_rows,"
+            f" CAST({e['est_surviving_rows']} AS BIGINT)"
+            f"   AS est_surviving_rows,"
+            f" CAST({e['pruned_ppm']} AS BIGINT) AS pruned_ppm,"
+            f" {e['reason']} AS reason,"
+            f" {e['use_bloom_filter']} AS use_bloom_filter FROM s"
+        )
+    return (
+        "WITH s AS (SELECT " + _RFA_STATS_SQL + ")\n"
+        + "\nUNION ALL\n".join(branches)
+    )
+
+
+@query("runtime_filter_advisor", oracle=_rfa_oracle())
+def runtime_filter_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter advisor: for each candidate fact-dim join,
+    decide from the maintained statistics whether injecting a Bloom
+    join filter (the join_bloom_pruned machinery / Spark's
+    spark.sql.optimizer.runtime.bloomFilter) pays -- the capstone of
+    the advisor family (encoding_advisor sizes storage,
+    partition_advisor sizes tasks, mv_advisor picks materializations,
+    join_order_advisor orders joins, cardinality_estimate_audit keeps
+    the estimates honest; this one decides sideways information
+    passing).  Estimated surviving fact rows use the same containment
+    estimator join_order_advisor prices plans with
+    (n_fact * keys / max(ndv_fact, keys)); the decision is a CASE
+    ladder with explicit reasons: a dim small enough to broadcast
+    never needs a filter (the fact rows die at the broadcast-hash
+    probe in the same stage), an over-large creation side costs more
+    to hash than it saves, and a filter that prunes under 50% of the
+    fact scan does not pay for its per-row probes.  Six candidates
+    span the space, including the SAME lineitem-part join at two
+    predicate selectivities so the verdict demonstrably flips on
+    selectivity alone (pinned in tests/test_round9_ops.py).
+
+    Scale shape: statistics are one column-pruned count/count-distinct
+    pass per table (the stats store a deployment maintains; the
+    count-distincts fuse into one scan via Expand, exactly
+    join_order_advisor's budget), and the six verdicts fan out of ONE
+    broadcast 1-row stats frame via an array explode -- closed-form
+    integer arithmetic, engine-exact against the oracle."""
+    specs = (
+        (
+            "customer",
+            F.count("*").cast("bigint").alias("n_customer"),
+            F.countDistinct("c_custkey").cast("bigint").alias("d_c_ck"),
+            F.countDistinct(
+                F.when(F.col("c_mktsegment") == "BUILDING", F.col("c_custkey"))
+            ).cast("bigint").alias("d_c_ck_bldg"),
+            F.count(F.when(F.col("c_mktsegment") == "BUILDING", 1))
+            .cast("bigint").alias("n_c_bldg"),
+            F.countDistinct("c_nationkey").cast("bigint").alias("d_c_nk"),
+        ),
+        (
+            "orders",
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.countDistinct("o_custkey").cast("bigint").alias("d_o_ck"),
+            F.countDistinct(
+                F.when(
+                    F.col("o_orderpriority") == "1-URGENT",
+                    F.col("o_orderkey"),
+                )
+            ).cast("bigint").alias("d_o_ok_urg"),
+            F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1))
+            .cast("bigint").alias("n_o_urg"),
+        ),
+        (
+            "lineitem",
+            F.count("*").cast("bigint").alias("n_lineitem"),
+            F.countDistinct("l_orderkey").cast("bigint").alias("d_l_ok"),
+            F.countDistinct("l_partkey").cast("bigint").alias("d_l_pk"),
+        ),
+        (
+            "part",
+            F.countDistinct(
+                F.when(F.col("p_size") <= 5, F.col("p_partkey"))
+            ).cast("bigint").alias("d_p_pk_5"),
+            F.count(F.when(F.col("p_size") <= 5, 1))
+            .cast("bigint").alias("n_p_5"),
+            F.countDistinct(
+                F.when(F.col("p_size") <= 45, F.col("p_partkey"))
+            ).cast("bigint").alias("d_p_pk_45"),
+            F.count(F.when(F.col("p_size") <= 45, 1))
+            .cast("bigint").alias("n_p_45"),
+        ),
+        (
+            "nation",
+            F.countDistinct(
+                F.when(F.col("n_name") == "NATION_7", F.col("n_nationkey"))
+            ).cast("bigint").alias("d_n_fr"),
+            F.count(F.when(F.col("n_name") == "NATION_7", 1))
+            .cast("bigint").alias("n_n_fr"),
+        ),
+    )
+    stats = None
+    for table, *aggs in specs:
+        part = read_table(spark, sf_dir, table).agg(*aggs)
+        stats = part if stats is None else stats.crossJoin(F.broadcast(part))
+
+    def _branch(spec: tuple):
+        e = _rfa_exprs(spec, "div")
+        return F.struct(
+            F.lit(spec[0]).alias("join_id"),
+            F.lit(spec[1]).alias("fact_table"),
+            F.lit(spec[4]).alias("dim_table"),
+            F.expr(e["n_fact"]).cast("bigint").alias("n_fact"),
+            F.expr(e["ndv_fact_key"]).cast("bigint").alias("ndv_fact_key"),
+            F.expr(e["n_dim_keys"]).cast("bigint").alias("n_dim_keys"),
+            F.expr(e["n_dim_rows"]).cast("bigint").alias("n_dim_rows"),
+            F.expr(e["est_surviving_rows"])
+            .cast("bigint")
+            .alias("est_surviving_rows"),
+            F.expr(e["pruned_ppm"]).cast("bigint").alias("pruned_ppm"),
+            F.expr(e["reason"]).alias("reason"),
+            F.expr(e["use_bloom_filter"]).alias("use_bloom_filter"),
+        )
+
+    return stats.select(
+        F.explode(F.array(*[_branch(s) for s in _RFA_JOINS])).alias("b")
+    ).select("b.*")
+
+
+# ---------------------------------------------------------------------------
 # Small-file compaction planner (streaming first-fit bin packing)
 # ---------------------------------------------------------------------------
 _COMPACT_TARGET = 8_192  # target compacted file size (bytes, sf-scaled)
