@@ -1821,11 +1821,12 @@ def _v1_curation_state(spark: SparkSession, sf_dir: str) -> dict:
                   many v1 eval docs contain the shingle, so a
                   retraction knows which shingles actually leave
 
-    With the fragment cache on (SPARK_GRAFT_FRAGMENT_CACHE=1), the
-    committed state is built once per (session, sf_dir) and reused --
-    the production shape, where yesterday's state EXISTS and only the
-    daily pass runs; bench then times the amortized daily cost after
-    the first pass pays the build.
+    The committed state is built once per (session, sf_dir) and
+    memoized -- the production shape, where yesterday's state EXISTS
+    and only the daily pass runs per day; bench times the amortized
+    daily cost after the first pass pays the build, and plan-only
+    consumers (plan audit, explain-iterating tests) pay it once per
+    process.
     """
     from pyspark.sql.window import Window
 
@@ -1839,11 +1840,18 @@ def _v1_curation_state(spark: SparkSession, sf_dir: str) -> dict:
     from .graph import connected_components
     from .warehouse import _scratch_dir
 
+    # ALWAYS-ON per-process memo (not gated by the fragment-cache env
+    # var): the committed state is a deterministic pure function of
+    # (sf_dir), i.e. INPUT state ("yesterday's tables exist"), not a
+    # query result -- rebuilding it per invocation would make every
+    # plan-only consumer (plan audit, explain-iterating tests, each
+    # bench pass) pay the full v1 curation again for identical bytes.
+    # Values are invocation-invariant either way (pinned by the shared
+    # release_delta oracle + test_fragment_cache_parity).
     cache_key = (id(spark), "rd_v1_state", sf_dir)
-    if _fragment_cache_on():
-        hit = _FRAGMENT_CACHE.get(cache_key)
-        if hit is not None:
-            return hit
+    hit = _FRAGMENT_CACHE.get(cache_key)
+    if hit is not None:
+        return hit
 
     d = read_table(spark, sf_dir, "documents")
     v1 = d.filter(_ib_of(F.col("doc_id")) < 14)
@@ -1939,8 +1947,7 @@ def _v1_curation_state(spark: SparkSession, sf_dir: str) -> dict:
     _commit("bands", sigs)
     _commit("pairs", pairs)
     _commit("comps", comp)
-    if _fragment_cache_on():
-        _FRAGMENT_CACHE[cache_key] = state
+    _FRAGMENT_CACHE[cache_key] = state
     return state
 
 

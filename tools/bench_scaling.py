@@ -94,6 +94,15 @@ QUERIES = [
     "trimmed_mean_exact",       # two-pass exact trimmed mean
     "conformal_interval",       # calibration-quantile interval
     "release_delta",            # round-8 flagship: 2-snapshot diff
+    # Round-9 extension (same >= 1.5 s rule + the new flagship):
+    "dedup_simhash",            # md5-nibble bit votes (5.3 s committed
+                                # r8 under load vs 1.21 s quiet r7)
+    "dedup_semantic",           # embedding-threshold near-dup
+    "dedup_containment",        # asymmetric shingle containment
+    "dedup_clusters",           # LSH -> connected components
+    "graph_kcore_peel",         # iterative k-core peeling
+    "release_delta_incremental",  # round-9 flagship: state + daily pass
+    "runtime_filter_advisor",   # stats passes + constant verdicts
 ]
 
 
