@@ -103,6 +103,28 @@ QUERIES = [
     "graph_kcore_peel",         # iterative k-core peeling
     "release_delta_incremental",  # round-9 flagship: state + daily pass
     "runtime_filter_advisor",   # stats passes + constant verdicts
+    # Round-9 completion sweep: every remaining query >= 1.5 s in the
+    # round-9 QUIET baseline (BENCH_LOCAL_latest, reps=5, 4 full
+    # passes) -- the tracker now covers the entire slow tail.
+    "pagerank_candidates",      # capped power-iteration ranking
+    "dup_span_fraction",        # span ledger + coverage fractions
+    "sketch_quantile_hist",     # equi-width quantile sketch build
+    "ann_recall_vs_probes",     # IVF nprobe sweep, one candidate pass
+    "pq_adc_search",            # PQ asymmetric-distance search
+    "ngram_novelty",            # first-occurrence trigram scan
+    "mv_join_delta",            # incremental join-view maintenance
+    "sketch_hll_cube",          # HLL registers x cube rollup
+    "sketch_quantile_merge",    # mergeable quantile shards
+    "snapshot_time_travel",     # 3 MERGE commits + VERSION AS OF reads
+    "coreset_kcenter",          # greedy k-center passes
+    "join_salted",              # salt-explode skew join
+    "text_bigram_lm",           # bigram LM perplexity
+    "dedup_source_matrix",      # cross-source duplicate matrix
+    "orders_running_record",    # running-max record scan
+    "encoding_advisor",         # per-column encoding sizing
+    "dedup_incremental",        # band-store probe (batch-sized)
+    "result_cache_serve",       # fingerprint + cache round trip
+    "kmeans_2iter",             # 2 fixed Lloyd iterations
 ]
 
 
