@@ -138,6 +138,8 @@ _DRIVER_CHECKED: tuple[str, ...] = (
     "release_delta", "dedup_threshold_sweep", "ann_recall_vs_probes",
     "corpus_source_gini", "rolling_median_revenue", "compaction_planner",
     "cardinality_estimate_audit", "l_diversity_audit", "sample_ess",
+    # Round-9 greens (CORRECTNESS_r09.json: 50/50 green, folded r10).
+    "release_delta_incremental", "runtime_filter_advisor",
 )
 
 
@@ -153,12 +155,17 @@ def _latest_green_round() -> dict[str, int]:
     file, so the staleness ordering below updates itself each round
     without hand-editing.  Missing/unreadable artifacts simply yield
     fewer entries (names absent sort as round 0 = stalest).
+
+    A RED row NEWER than the latest green demotes the name to round 0:
+    a query that regressed after its last green must re-check FIRST,
+    not sit mid-pack on its stale green timestamp (ADVICE r9).
     """
     import glob
     import json
 
     here = os.path.dirname(os.path.abspath(__file__))
     latest: dict[str, int] = {}
+    latest_red: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         try:
             rnd = int(os.path.basename(path)[len("CORRECTNESS_r"):-len(".json")])
@@ -167,12 +174,17 @@ def _latest_green_round() -> dict[str, int]:
         except (OSError, ValueError, json.JSONDecodeError):
             continue
         for name, rec in rows.items():
-            if not isinstance(rec, dict) or not rec.get("rows_match"):
+            if not isinstance(rec, dict):
                 continue
-            hm = rec.get("hash_match")
-            if hm is False:  # None = rows-only check, counts as green
-                continue
-            latest[name] = max(latest.get(name, 0), rnd)
+            # None hash_match = rows-only check, counts as green.
+            green = bool(rec.get("rows_match")) and rec.get("hash_match") is not False
+            if green:
+                latest[name] = max(latest.get(name, 0), rnd)
+            else:
+                latest_red[name] = max(latest_red.get(name, 0), rnd)
+    for name, red_rnd in latest_red.items():
+        if red_rnd > latest.get(name, 0):
+            latest[name] = 0  # regressed-after-green -> stalest bucket
     return latest
 
 

@@ -20,6 +20,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from mvp_mini_etl_pipeline_1762840347_spark import plans  # noqa: E402
+from mvp_mini_etl_pipeline_1762840347_spark.plans import fragments  # noqa: E402
 from mvp_mini_etl_pipeline_1762840347_spark.session import get_spark  # noqa: E402
 
 
@@ -80,6 +81,11 @@ def main() -> None:
     )
     bench_t0 = time.perf_counter()
     timings: dict[str, float] = {}
+    # Artifact honesty (ADVICE r9): per query, whether the COMMITTED
+    # minimum was an execution served (at least partly) from a cached
+    # fragment -- so cross-round baselines can tell a standalone query
+    # cost from an amortized cache-hit read.
+    cache_served: dict[str, bool] = {}
     passes_done = 0
     # Per-pass audit trail: 1-min loadavg at pass start/end plus the
     # pass wall time, so a noisy-machine artifact is self-diagnosing
@@ -99,10 +105,13 @@ def main() -> None:
                 (r > 1 and elapsed > budget) or elapsed > hard_cap
             ):
                 break
+            hits0 = fragments.hit_count()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             wall = round(time.perf_counter() - t0, 3)
-            timings[name] = min(timings.get(name, wall), wall)
+            if wall <= timings.get(name, wall):
+                timings[name] = wall
+                cache_served[name] = fragments.hit_count() > hits0
         else:
             passes_done = r + 1
         pass_audit.append(
@@ -130,6 +139,10 @@ def main() -> None:
         "sf_dir": sf_dir,
         "n_queries": len(timings),
         "reps": max(1, reps),
+        "fragment_cache": os.environ.get("SPARK_GRAFT_FRAGMENT_CACHE") == "1",
+        "cache_served_min": sorted(
+            n for n, served in cache_served.items() if served
+        ),
         "full_passes": max(1, passes_done),
         "budget_sec": budget,
         "passes": pass_audit,

@@ -192,19 +192,41 @@ _MINHASH_PAIRS_SQL = rf"""
 """
 
 
-def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidate near-dup pairs (doc_a, doc_b, n_shared_bands) --
-    shared by the dedup query and the clustering operator.
+def corpus_band_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus LSH band signatures -- the shared fragment behind
+    every full-table candidate generation (minhash_pairs and the ~9
+    dedup/graph/split queries built on it).
+
+    Fragment-cached (plans/fragments.py): in a batch window the band
+    signatures are computed from text ONCE and every consumer probes
+    the materialized (doc_id, band, sig) store -- exactly the
+    production layout, where the store is a bucketed table maintained
+    by dedup_incremental.  With the cache off (the default; tests,
+    PLAN_AUDIT) this is the plain lazy plan.
 
     The corpus is spread before the shingle+minhash partial
     aggregation: the single-file local table otherwise pins that map
     stage (the whole signature computation) to ONE task.  Production
     multi-file inputs provide the parallelism natively and the
     repartition coalesces to a no-op under AQE."""
-    docs = _docs(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
+    from .fragments import cached_frame
+
+    return cached_frame(
+        spark,
+        ("band_sigs", sf_dir),
+        lambda: band_signatures(
+            _docs(spark, sf_dir).repartition(
+                spark.sparkContext.defaultParallelism
+            )
+        ),
     )
-    return _minhash_pairs_impl(docs)
+
+
+def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-dup pairs (doc_a, doc_b, n_shared_bands) --
+    shared by the dedup query and the clustering operator; built on
+    the fragment-cached full-corpus band signatures."""
+    return _pairs_from_sigs(corpus_band_signatures(spark, sf_dir))
 
 
 @query("dedup_minhash_lsh", oracle=_MINHASH_PAIRS_SQL)
@@ -220,10 +242,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange carries one row per doc -- not the 8x-exploded
     (doc, seed, shingle) stream a naive implementation shuffles.
     Bands are then derived columns unpivoted with stack() (narrow)."""
-    docs = _docs(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    return _minhash_pairs_impl(docs)
+    return minhash_pairs(spark, sf_dir)
 
 
 def band_signatures(docs: DataFrame) -> DataFrame:
@@ -273,7 +292,10 @@ def band_signatures(docs: DataFrame) -> DataFrame:
 
 
 def _minhash_pairs_impl(docs: DataFrame) -> DataFrame:
-    sigs = band_signatures(docs)
+    return _pairs_from_sigs(band_signatures(docs))
+
+
+def _pairs_from_sigs(sigs: DataFrame) -> DataFrame:
     a, b = sigs.alias("a"), sigs.alias("b")
     return (
         a.join(
@@ -450,7 +472,7 @@ def dedup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates->verify pattern is the scalable core of every fuzzy
     dedup at 100 TB."""
     docs = _docs(spark, sf_dir)
-    cand = _minhash_pairs_impl(docs).select("doc_a", "doc_b")
+    cand = minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
     sh = _shingles(docs)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
@@ -811,7 +833,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     table broadcast is vocabulary-bounded.  Only the final statistic
     differs (min-normalization instead of union-normalization)."""
     docs = _docs(spark, sf_dir)
-    cand = _minhash_pairs_impl(docs).select("doc_a", "doc_b")
+    cand = minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
     sh = _shingles(docs)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     sa = sh.select(
@@ -1126,7 +1148,7 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b")
     )
-    cand = _minhash_pairs_impl(docs).select("doc_a", "doc_b")
+    cand = minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
     hit = truth.intersect(cand)
     n_true = truth.agg(F.count("*").alias("n_true_pairs"))
     n_cand = cand.agg(F.count("*").alias("n_candidate_pairs"))

@@ -82,6 +82,9 @@ def test_state_is_persisted_snapshot_tables(spark):
     import os
 
     state = _v1_curation_state(spark, SF)
+    # underscore keys are plumbing (the table root the day-2 evolution
+    # commits into), not state tables
+    state = {k: v for k, v in state.items() if not k.startswith("_")}
     assert set(state) == set(_STATE_TABLES)
     for name, df in state.items():
         (path,) = {
