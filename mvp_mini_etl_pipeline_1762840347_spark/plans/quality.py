@@ -2010,7 +2010,14 @@ def _release_delta_incremental_pass(
     frames = _incremental_day_frames(
         spark, state, new_docs, removed_of, is_new_of
     )
-    return _delta_from_changes(
+    return _delta_from_changes(_changes_from_frames(frames))
+
+
+def _changes_from_frames(frames: dict) -> DataFrame:
+    """Membership-change rows (the _delta_from_changes /
+    release_delta_merge_step input) from a day's assembled affected
+    population -- shared by the batch pass and the streaming twin."""
+    return (
         frames["a"]
         .select(
             "split_v1",

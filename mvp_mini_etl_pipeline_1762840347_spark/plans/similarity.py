@@ -1771,7 +1771,8 @@ def similarity_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     sees only ranker-count x {topk} rows, and the final LIMIT is a
     TakeOrdered.  A 100-TB corpus never materializes a global sort;
     each added ranker costs one scored pass + one bounded window.
-    (Reference has no retrieval surface, src/lib/launches.js:1.)"""
+    (Reference has no retrieval surface; its whole data layer is
+    src/lib/users.js + src/lib/spacex.js.)"""
     v = read_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform(
@@ -1904,7 +1905,8 @@ def coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal), never recomputed against all k; the argmax is a
     map-side-combinable max_by aggregate, no sort, no window.  Driver
     traffic is one (id, d2) pair plus one 64-int vector per round.
-    (Reference has no selection surface, src/lib/users.js:1.)"""
+    (Reference has no selection surface; its whole data layer is
+    src/lib/users.js + src/lib/spacex.js.)"""
     v = read_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform(
@@ -2007,7 +2009,8 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-truncation, no global sort).  Mining against a 100-TB corpus
     is one scan per anchor batch; harder curricula swap the broadcast
     for the IVF cell join (similarity_ivf) to score only candidate
-    cells.  (Reference has no training surface, src/lib/users.js:1.)"""
+    cells.  (Reference has no training surface; its whole data layer is
+    src/lib/users.js + src/lib/spacex.js.)"""
     v = read_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
@@ -2106,7 +2109,8 @@ def label_noise_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     then a tiny per-anchor aggregate.  Auditing a full 100-TB corpus
     batches the anchors and amortizes scans, or swaps the broadcast
     for IVF cell joins (similarity_ivf).  (Reference has no label
-    surface, src/lib/users.js:1.)"""
+    surface; its whole data layer is src/lib/users.js +
+    src/lib/spacex.js.)"""
     v = read_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",

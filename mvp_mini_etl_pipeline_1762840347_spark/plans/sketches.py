@@ -21,9 +21,12 @@ That gives real, scale-shaped sketch plans (map-side partial
 aggregation into a tiny fixed-size state, one narrow shuffle) whose
 output the driver can hash-compare exactly.
 
-Generalizes the reference's exact reduce-based distinct/count metrics
-(src/lib/users.js:31-46, pages/analytics.js:60-78) to the approximate
-forms a 100 TB corpus requires.
+Generalizes the reference's exact distinct/count metrics -- the
+Set-based `countries` distinct count and the filter-based valid/total
+counts in buildMetrics (src/lib/users.js:65-79, the Set at :69) and
+the analytics page's per-launch table render over the same loaded
+rows (pages/analytics.js:25-36) -- to the approximate forms a 100 TB
+corpus requires.
 
 Scale notes
 -----------

@@ -473,7 +473,8 @@ def important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts back.  This is the plan Q11 wants at 100 TB: the
     scalar subquery costs one re-aggregation of the already-shuffled
     group rows, never a second pass over lineitem.  (Reference has
-    no subquery surface, src/lib/launches.js:1.)"""
+    no subquery surface; its whole data layer is src/lib/users.js +
+    src/lib/spacex.js.)"""
     li = read_table(spark, sf_dir, "lineitem")
     pv = (
         li.select(
@@ -539,7 +540,8 @@ def supplier_part_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduce to one shuffle keyed by the group columns + suppkey with
     map-side partial distinct.  NOT IN's null trap does not bite:
     s_suppkey is a non-null key, so ANTI join is exactly equivalent.
-    (Reference has no subquery surface, src/lib/launches.js:1.)"""
+    (Reference has no subquery surface; its whole data layer is
+    src/lib/users.js + src/lib/spacex.js.)"""
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey"
     )
@@ -601,8 +603,8 @@ def promotable_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional {year} sum as integer columns -- no second lineitem
     pass and no float across the engine boundary; the outer IN is a
     left-semi join onto the tiny supplier dimension, then a broadcast
-    nation join.  (Reference has no subquery surface,
-    src/lib/launches.js:1.)"""
+    nation join.  (Reference has no subquery surface; its whole data layer
+    is src/lib/users.js + src/lib/spacex.js.)"""
     li = read_table(spark, sf_dir, "lineitem")
     red = read_table(spark, sf_dir, "part").filter(
         F.col("p_name").startswith(_Q20_PREFIX)

@@ -1167,8 +1167,9 @@ def mv_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta is small), while the A0 x B0 term is the carried-forward
     published view, read not recomputed (materialized here for the
     witness).  XOR's self-inverse algebra extends the same rule to
-    deletes.  (Reference rebuilds everything per run,
-    src/lib/transform.js:1.)"""
+    deletes.  (Reference rebuilds everything per run: its restart
+    handler re-extracts and re-aggregates from scratch on every
+    request, pages/api/etl/restart.js:11-12.)"""
     l = read_table(spark, sf_dir, "lineitem").select(
         "l_orderkey",
         "l_linenumber",

@@ -2078,3 +2078,106 @@ def release_delta_stream(
         .option("checkpointLocation", state_path + "_chk")
         .start()
     )
+
+
+def release_delta_incremental_step(
+    spark: SparkSession,
+    batch_docs: DataFrame,
+    batch_id: int,
+    state_box: dict,
+    delta_path: str,
+    removed_of=None,
+) -> bool:
+    """One ingest DAY as a foreachBatch body -- the production-shaped
+    twin of release_delta_incremental (plans/quality.py): run the
+    state-PROBING incremental pass for this batch of documents, merge
+    its churn delta into the running per-split diff table
+    (exactly-once via release_delta_merge_step's staged-swap batch-id
+    high-water mark), then COMMIT the batch's store deltas back into
+    the SnapshotTable stores (_evolve_state) so the NEXT micro-batch
+    probes the EVOLVED state.  ``state_box`` is the mutable
+    ``{"state": <curation state dict>}`` handle the evolution swaps.
+
+    The batch's is-new predicate is its ingest-bucket set, derived
+    from the batch itself (one tiny distinct over the batch) -- in
+    production it is the ingest-partition key (e.g. ``ingest_date =
+    today``), a metadata comparison, so batches must be ingest-
+    partition-aligned (daily ingest is, by construction).
+    ``removed_of`` carries the day's takedown keys (production:
+    key-only retraction feeds ride a side input; None = append-only).
+
+    Replays skip BOTH the merge and the evolution (the merge's
+    high-water mark gates them together); a crash between the two
+    re-runs the whole batch on restart, re-merging nothing (replay)
+    and re-evolving from the pre-batch stores the restart re-seeds --
+    at deploy the two commits share one Delta/Iceberg transaction
+    (txnVersion), which the SnapshotTable stand-in approximates with
+    its per-table atomic pointer swap."""
+    from ..plans.quality import (
+        _changes_from_frames,
+        _evolve_state,
+        _ib_of,
+        _incremental_day_frames,
+        _never,
+    )
+
+    if removed_of is None:
+        removed_of = _never
+    batch_docs = batch_docs.localCheckpoint()
+    buckets = [
+        r["b"]
+        for r in batch_docs.select(_ib_of(F.col("doc_id")).alias("b"))
+        .distinct()
+        .collect()
+    ]
+
+    def is_new_of(c):
+        return _ib_of(c).isin(buckets)
+
+    frames = _incremental_day_frames(
+        spark, state_box["state"], batch_docs, removed_of, is_new_of
+    )
+    applied = release_delta_merge_step(
+        spark, _changes_from_frames(frames), batch_id, delta_path
+    )
+    if applied:
+        state_box["state"] = _evolve_state(
+            spark, state_box["state"], frames, removed_of
+        )
+    return applied
+
+
+def release_delta_incremental_stream(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    state: dict,
+    delta_path: str,
+    removed_of_for=None,
+) -> StreamingQuery:
+    """Streaming twin of the release_delta_incremental flagship: the
+    ingest stream's document batches drive the state-probing daily
+    pass, the per-split release diff stays continuously current in
+    ``delta_path``, and the curation stores EVOLVE batch-over-batch
+    (release_delta_incremental_step).  ``state`` seeds the stores
+    (yesterday's committed snapshot); ``removed_of_for(batch_id)``
+    optionally supplies a takedown predicate per batch.
+
+    Net columns (n_docs_delta, n_tokens_delta) and fingerprint_delta
+    of the merged table reconcile exactly with the batch release_delta
+    across any batch split (z-set composition); the gross churn
+    counters are cumulative-churn semantics, as documented on
+    release_delta_merge_step."""
+    box = {"state": state}
+
+    def _step(batch_df: DataFrame, batch_id: int) -> None:
+        removed_of = removed_of_for(batch_id) if removed_of_for else None
+        release_delta_incremental_step(
+            spark, batch_df, batch_id, box, delta_path, removed_of
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(_step)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", delta_path + "_chk")
+        .start()
+    )

@@ -111,6 +111,101 @@ def test_evolution_committed_new_snapshots(spark):
         assert live in path, (name, live, path)
 
 
+def test_release_delta_incremental_stream(spark, tmp_path_factory):
+    """Streaming twin of the incremental flagship: two ingest days
+    (bucket 14 with the bucket-13 takedown, then bucket 15) streamed
+    as micro-batches against a seeded v1 state.  Pins: (a) the merged
+    running diff's NET columns + fingerprint reconcile exactly with
+    the batch release_delta (v1 -> v2); (b) the stores EVOLVED batch-
+    over-batch -- the final ledger is row-equal to a from-scratch v2
+    state build; (c) a replayed batch id is a no-op for BOTH the diff
+    table and the store evolution."""
+    from mvp_mini_etl_pipeline_1762840347_spark.plans.quality import (
+        _curation_state,
+        _rm_day1,
+    )
+    from mvp_mini_etl_pipeline_1762840347_spark.streaming import jobs
+
+    base = tmp_path_factory.mktemp("rdi_stream")
+    landing = str(base / "landing")
+    delta_path = str(base / "delta")
+    docs = read_table(spark, SF, "documents")
+    ib = _ib_of(F.col("doc_id"))
+    docs.filter(ib == 14).coalesce(1).write.parquet(landing, mode="overwrite")
+    docs.filter(ib == 15).coalesce(1).write.parquet(landing, mode="append")
+
+    # Fresh (non-memoized-scope) v1 state so the in-place store
+    # evolution cannot interfere with the shared _v1_curation_state
+    # memo other tests read.
+    state = _curation_state(
+        spark, SF, "v1_stream_test", lambda c: _ib_of(c) < 14
+    )
+    root = state["_root"]
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    q = jobs.release_delta_incremental_stream(
+        spark,
+        stream,
+        state,
+        delta_path,
+        removed_of_for=lambda b: _rm_day1 if b == 0 else None,
+    )
+    q.awaitTermination(300)
+
+    got = {
+        r["split"]: r.asDict()
+        for r in spark.read.parquet(delta_path).collect()
+    }
+    want = {
+        r["split"]: r.asDict()
+        for r in plans.QUERIES["release_delta"](spark, SF).collect()
+    }
+    # net z-set columns compose across batches; gross churn counters
+    # deliberately do not (release_delta_merge_step's documented
+    # cumulative-churn semantics)
+    for col in ("n_docs_delta", "n_tokens_delta", "fingerprint_delta"):
+        assert {s: v[col] for s, v in got.items()} == {
+            s: v[col] for s, v in want.items()
+        }, col
+
+    # stores evolved to v2: final committed ledger == from-scratch v2
+    import os
+
+    def _ledger_rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    with open(os.path.join(root, "ledger", "_CURRENT")) as f:
+        live = f.read().strip()
+    assert int(live.split("-", 1)[1]) == 2, live  # v1 + two evolutions
+    final_ledger = spark.read.parquet(os.path.join(root, "ledger", live))
+    v2 = _curation_state(
+        spark, SF, "v2_stream_rebuild_test", lambda c: _ib_of(c) != 13
+    )
+    assert _ledger_rows(final_ledger) == _ledger_rows(v2["ledger"])
+
+    # replay: neither the diff table nor the stores move
+    box = {"state": state}
+    assert not jobs.release_delta_incremental_step(
+        spark,
+        docs.filter(ib == 15).localCheckpoint(),
+        1,
+        box,
+        delta_path,
+    )
+    assert box["state"] is state  # evolution skipped on replay
+    with open(os.path.join(root, "ledger", "_CURRENT")) as f:
+        assert f.read().strip() == live
+    still = {
+        r["split"]: r.asDict()
+        for r in spark.read.parquet(delta_path).collect()
+    }
+    assert still == got
+
+
 def test_day2_evolved_equals_day2_rebuilt(spark):
     """End-to-end: the registered day-2 query (evolved state) returns
     the same rows as the identical pass against a rebuilt v1.5 state

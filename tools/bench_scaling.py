@@ -125,7 +125,35 @@ QUERIES = [
     "dedup_incremental",        # band-store probe (batch-sized)
     "result_cache_serve",       # fingerprint + cache round trip
     "kmeans_2iter",             # 2 fixed Lloyd iterations
+    # Round-10 completion (verdict task #5): the two >= 1.5 s quiet-
+    # baseline names the round-9 sweep missed, plus the new capstone.
+    "graph_degree_distribution",  # degree census over LSH pair graph
+    "skyline_parts",            # iterative Pareto-front peeling
+    "release_delta_day2",       # state evolution + day-2 pass
 ]
+
+
+def check_tail_coverage(bench_path: str) -> list[str]:
+    """Names >= 1.5 s at sf0.1 in a QUIET committed bench artifact
+    (full_passes >= 2) that the tracker above misses.  Enforced by
+    tests/test_docs.py so the 'tracker covers the whole slow tail'
+    claim stays true by construction; single-pass (load-degraded)
+    artifacts are not a baseline and impose no requirement."""
+    import json
+
+    try:
+        with open(bench_path) as f:
+            bench = json.load(f)
+    except OSError:
+        return []
+    if bench.get("full_passes", 1) < 2 or bench.get("sf") != 0.1:
+        return []
+    tracked = set(QUERIES)
+    return sorted(
+        name
+        for name, sec in bench.get("queries", {}).items()
+        if sec >= 1.5 and name not in tracked
+    )
 
 
 def fit_exponent(xs: list[float], ys: list[float]) -> float:
