@@ -206,6 +206,41 @@ def test_release_delta_incremental_stream(spark, tmp_path_factory):
     assert still == got
 
 
+def test_advisor_report_cache_parity_and_consistency(spark):
+    """advisor_report: (a) fragment-cache on == off (including a warm
+    cached call); (b) composite == parts -- every section's rows are
+    exactly its advisor's own output projected onto the report
+    schema (here: the runtime-filter section vs the registered
+    runtime_filter_advisor)."""
+    import os
+
+    from mvp_mini_etl_pipeline_1762840347_spark.plans import quality
+
+    cold = _rows(plans.QUERIES["advisor_report"](spark, SF))
+    quality._FRAGMENT_CACHE.clear()
+    os.environ["SPARK_GRAFT_FRAGMENT_CACHE"] = "1"
+    try:
+        assert _rows(plans.QUERIES["advisor_report"](spark, SF)) == cold
+        assert _rows(plans.QUERIES["advisor_report"](spark, SF)) == cold
+    finally:
+        os.environ.pop("SPARK_GRAFT_FRAGMENT_CACHE", None)
+        quality._FRAGMENT_CACHE.clear()
+
+    rfa = {
+        r["join_id"]: r
+        for r in plans.QUERIES["runtime_filter_advisor"](spark, SF).collect()
+    }
+    section = [r for r in cold if r[0] == "runtime-filter"]
+    assert len(section) == len(rfa)
+    for _, subject, rec, metric in section:
+        want = rfa[subject]
+        assert rec == (
+            ("bloom:" if want["use_bloom_filter"] else "skip:")
+            + want["reason"]
+        )
+        assert metric == float(want["pruned_ppm"])
+
+
 def test_day2_evolved_equals_day2_rebuilt(spark):
     """End-to-end: the registered day-2 query (evolved state) returns
     the same rows as the identical pass against a rebuilt v1.5 state
