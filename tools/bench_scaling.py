@@ -130,6 +130,7 @@ QUERIES = [
     "graph_degree_distribution",  # degree census over LSH pair graph
     "skyline_parts",            # iterative Pareto-front peeling
     "release_delta_day2",       # state evolution + day-2 pass
+    "similarity_recall",        # ANN recall eval vs exact top-k truth
 ]
 
 
