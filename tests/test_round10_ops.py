@@ -206,6 +206,49 @@ def test_release_delta_incremental_stream(spark, tmp_path_factory):
     assert still == got
 
 
+def test_evolved_store_vacuum_under_churn(spark):
+    """Store maintenance under churn: after an evolution commit the
+    table holds two snapshots (time travel to v1 works); vacuum
+    retains the live snapshot, drops the superseded one, and the
+    evolved table still reads intact -- the OPTIMIZE/VACUUM cadence a
+    daily pipeline runs on its state stores."""
+    import os
+
+    from mvp_mini_etl_pipeline_1762840347_spark.operators.table_format import (
+        SnapshotTable,
+    )
+    from mvp_mini_etl_pipeline_1762840347_spark.plans.quality import (
+        _curation_state,
+        _evolve_state,
+        _incremental_day_frames,
+        _new_day1,
+        _rm_day1,
+    )
+
+    state = _curation_state(
+        spark, SF, "v1_vacuum_test", lambda c: _ib_of(c) < 14
+    )
+    batch1 = read_table(spark, SF, "documents").filter(
+        _new_day1(F.col("doc_id"))
+    )
+    frames = _incremental_day_frames(
+        spark, state, batch1, removed_of=_rm_day1, is_new_of=_new_day1
+    )
+    evolved = _evolve_state(spark, state, frames, _rm_day1)
+
+    t = SnapshotTable(spark, os.path.join(state["_root"], "ledger"))
+    assert t.snapshots() == ["snapshot-0", "snapshot-1"]
+    assert t.read_version(0).count() == state["ledger"].count()  # time travel
+    want = evolved["ledger"].count()
+
+    removed = t.vacuum(keep_last=1)
+    assert removed == ["snapshot-0"]
+    assert not os.path.exists(
+        os.path.join(state["_root"], "ledger", "snapshot-0")
+    )
+    assert t.read().count() == want  # live snapshot intact post-vacuum
+
+
 def test_advisor_report_cache_parity_and_consistency(spark):
     """advisor_report: (a) fragment-cache on == off (including a warm
     cached call); (b) composite == parts -- every section's rows are
