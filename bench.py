@@ -109,7 +109,10 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             wall = round(time.perf_counter() - t0, 3)
-            if wall <= timings.get(name, wall):
+            # strict < on re-runs: a later cache-served pass that only
+            # TIES the minimum must not overwrite the flag of an
+            # uncached run that already demonstrated the standalone cost
+            if name not in timings or wall < timings[name]:
                 timings[name] = wall
                 cache_served[name] = fragments.hit_count() > hits0
         else:

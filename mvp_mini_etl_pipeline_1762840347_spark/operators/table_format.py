@@ -89,16 +89,39 @@ class SnapshotTable:
         """Time travel: read snapshot n regardless of the pointer."""
         return self.spark.read.parquet(os.path.join(self.root, f"snapshot-{n}"))
 
-    def commit(self, df: DataFrame) -> str:
+    def commit(self, df: DataFrame, marker: int | None = None) -> str:
         """Land `df` as the next snapshot and swap the pointer.
         The write happens BEFORE the swap: a failure mid-write leaves
         the previous snapshot live and the half-written directory
-        unreferenced (garbage, not corruption)."""
+        unreferenced (garbage, not corruption).
+
+        ``marker`` optionally stamps a batch id INSIDE the snapshot
+        directory before the pointer swap (underscore-prefixed, so
+        parquet readers ignore it -- the exactly_once_table_merge
+        trick): data and mark publish in one atomic rename, which is
+        what lets a replayed streaming batch recognize an
+        already-applied evolution commit (applied_batch)."""
         snaps = self.snapshots()
         nxt = f"snapshot-{int(snaps[-1].split('-', 1)[1]) + 1 if snaps else 0}"
-        df.write.mode("overwrite").parquet(os.path.join(self.root, nxt))
+        snap_dir = os.path.join(self.root, nxt)
+        df.write.mode("overwrite").parquet(snap_dir)
+        if marker is not None:
+            with open(os.path.join(snap_dir, "_BATCH_ID"), "w") as f:
+                f.write(str(marker) + "\n")
         self._swap_pointer(nxt)
         return nxt
+
+    def applied_batch(self) -> int | None:
+        """The batch-id marker of the LIVE snapshot, or None if the
+        table was never committed with one (or never committed)."""
+        cur = self.current_snapshot()
+        if cur is None:
+            return None
+        try:
+            with open(os.path.join(self.root, cur, "_BATCH_ID")) as f:
+                return int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            return None
 
     def merge(self, updates: DataFrame, key: str) -> str:
         """MERGE INTO: matched keys update, unmatched insert -- the

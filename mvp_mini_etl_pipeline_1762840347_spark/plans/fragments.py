@@ -66,20 +66,17 @@ def cached_frame(
     spark: SparkSession,
     parts: tuple,
     build: Callable[[], DataFrame],
-    *,
-    always_on: bool = False,
 ) -> DataFrame:
     """Serve the fragment at ``parts`` from the cache, building (and
     localCheckpointing) it on miss.  With the cache OFF the lazy frame
     is returned as built -- the standalone plan, unchanged.
 
-    ``always_on`` is for INPUT-state fragments (e.g. "yesterday's
-    committed curation stores exist"): deterministic pure functions of
-    sf_dir whose rebuild per invocation would bill full state builds
-    to every plan-only consumer.  Query-result fragments must leave it
-    False so PLAN_AUDIT/tests see the real per-query plan.
+    ALWAYS-ON input-state memos (e.g. "yesterday's committed curation
+    stores exist" -- dict-valued, not a single frame) do not fit this
+    helper; they write _FRAGMENT_CACHE directly (see
+    quality._curation_state) and call note_hit/note_miss themselves.
     """
-    if not (always_on or fragment_cache_on()):
+    if not fragment_cache_on():
         return build()
     key = cache_key(spark, *parts)
     hit = _FRAGMENT_CACHE.get(key)

@@ -2419,7 +2419,11 @@ def _never(c: Column) -> Column:
 
 
 def _evolve_state(
-    spark: SparkSession, state: dict, frames: dict, removed_of
+    spark: SparkSession,
+    state: dict,
+    frames: dict,
+    removed_of,
+    batch_id: int | None = None,
 ) -> dict:
     """Commit a day's store deltas back into the SnapshotTable stores
     as the NEXT snapshot of each table, and return the evolved state
@@ -2451,6 +2455,19 @@ def _evolve_state(
     Delta/Iceberg ``MERGE INTO`` / partition-overwrite writing only
     touched files -- the DELTAS here are churn-sized by construction,
     so the 100-TB daily write cost is batch-sized, not corpus-sized.
+
+    With ``batch_id`` set (the streaming twin), every commit carries
+    the batch-id marker inside its snapshot directory, making the
+    WHOLE evolution replay-idempotent independently of the diff
+    table's high-water mark: if all stores already carry this batch's
+    marker, the evolved state is read back with no new commits (and a
+    restart that crashed BETWEEN the diff merge and the evolution
+    simply evolves now -- the crash window ADVICE-class review found);
+    a PARTIAL evolution (stores disagreeing on the marker) raises
+    loudly instead of silently probing mixed-version state.  At
+    deploy the 7 commits + the diff merge share one Delta/Iceberg
+    multi-table transaction (txnVersion) and the partial case cannot
+    exist.
     """
     from ..operators.scale import merge_upsert
     from ..operators.table_format import SnapshotTable
@@ -2460,12 +2477,38 @@ def _evolve_state(
     root = state["_root"]
     evolved: dict = {"_root": root}
 
+    tables = (
+        "ledger", "bands", "pairs", "comps", "doc_sh", "inv_idx",
+        "eval_sh",
+    )
+    if batch_id is not None:
+        marks = {
+            n: SnapshotTable(spark, os.path.join(root, n)).applied_batch()
+            for n in tables
+        }
+        done = {n for n, m in marks.items() if m is not None and m >= batch_id}
+        if done:
+            if done != set(tables):
+                raise RuntimeError(
+                    f"partial store evolution for batch {batch_id}: "
+                    f"{sorted(done)} committed, "
+                    f"{sorted(set(tables) - done)} not -- stores are "
+                    "mixed-version; re-seed from the last consistent "
+                    "snapshot set (deploy: one multi-table transaction)"
+                )
+            for n in tables:  # replay: read back, commit nothing
+                t = SnapshotTable(spark, os.path.join(root, n))
+                evolved[n] = spark.read.parquet(
+                    os.path.join(root, n, t.current_snapshot())
+                )
+            return evolved
+
     def _commit(name: str, df: DataFrame) -> None:
         t = SnapshotTable(spark, os.path.join(root, name))
-        snap = t.commit(df)
+        snap = t.commit(df, marker=batch_id)
         evolved[name] = spark.read.parquet(os.path.join(root, name, snap))
 
-    a = frames["a"].localCheckpoint(eager=False)
+    a = frames["a"]
     ledger_updates = a.filter(F.col("in_v2")).select(
         "doc_id",
         "source",
@@ -2668,8 +2711,8 @@ def split_temporal_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the tag is a scan-time predicate (partition-prunable when
     the fact table is date-partitioned -- train/test reads touch
     disjoint partitions); accounting is one broadcast-tagged join and
-    per-split aggregates.  (Reference has no temporal surface,
-    lib/transform.js formats dates for display only.)"""
+    per-split aggregates.  (Reference has no temporal surface:
+    it only formats dates for display, pages/analytics.js:32.)"""
     cutoff = F.to_date(F.lit(_EMB_CUTOFF))
     o = read_table(spark, sf_dir, "orders").select(
         "o_orderkey",

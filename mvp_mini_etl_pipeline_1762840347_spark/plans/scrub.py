@@ -1,7 +1,8 @@
 """Corpus scrubbing operators: PII detection + redaction.
 
 The reference pipeline has no PII handling (its 10-file surface stops
-at display formatting, e.g. lib/transform.js formatters); this module
+at display formatting, e.g. the CSV value quoting of
+pages/index.js:426-430); this module
 adds the scrub pass every large-scale training-data pipeline runs
 before packing: find emails / phone numbers / IP addresses, count
 them, and replace them with typed placeholder tokens.
@@ -825,8 +826,8 @@ def outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch, mergeable, one pass) -- same shape, bounded error; the
     exact form is the correctness baseline, like
     ``winsorized_pricing`` vs its approx twin.  The reference has no
-    statistics surface at all (its lib/metrics.js stops at counts,
-    src/lib/users.js:68); this is the robust-statistics layer a
+    statistics surface at all (buildMetrics stops at counts,
+    src/lib/users.js:65-79); this is the robust-statistics layer a
     training-data pipeline needs before length filtering.
     """
     stats = read_table(spark, sf_dir, "documents").select(

@@ -1677,7 +1677,8 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     64-row shuffle -- the classic distributed mat-vec: shuffle volume
     is O(dims x partitions), never O(rows).  Further iterations
     rebroadcast the 64-row iterate (kmeans_2iter's loop pattern).
-    (Reference has no numeric surface, lib/metrics.js:1.)"""
+    (Reference has no numeric surface; its whole data layer is
+    src/lib/users.js + src/lib/spacex.js.)"""
     q = F.transform(
         F.col("embedding"),
         lambda x: F.round(x.cast("double") * _POW_SCALE).cast("bigint"),

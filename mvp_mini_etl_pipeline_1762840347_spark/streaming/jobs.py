@@ -2106,13 +2106,17 @@ def release_delta_incremental_step(
     ``removed_of`` carries the day's takedown keys (production:
     key-only retraction feeds ride a side input; None = append-only).
 
-    Replays skip BOTH the merge and the evolution (the merge's
-    high-water mark gates them together); a crash between the two
-    re-runs the whole batch on restart, re-merging nothing (replay)
-    and re-evolving from the pre-batch stores the restart re-seeds --
-    at deploy the two commits share one Delta/Iceberg transaction
-    (txnVersion), which the SnapshotTable stand-in approximates with
-    its per-table atomic pointer swap."""
+    Exactly-once is TWO independent guards: the diff merge's staged-
+    swap high-water mark, and the evolution's own per-table batch-id
+    markers (committed inside each snapshot directory, atomic with
+    the pointer swap).  So a replay is a no-op for both; a crash
+    BETWEEN the merge and the evolution is recovered on replay (the
+    merge no-ops, the evolution sees no marker for this batch and
+    evolves from the still-pre-batch stores); and a crash MID-
+    evolution is detected as mixed markers and raises loudly instead
+    of silently probing mixed-version stores.  At deploy all eight
+    commits share one Delta/Iceberg multi-table transaction
+    (txnVersion) and the partial case cannot exist."""
     from ..plans.quality import (
         _changes_from_frames,
         _evolve_state,
@@ -2137,13 +2141,21 @@ def release_delta_incremental_step(
     frames = _incremental_day_frames(
         spark, state_box["state"], batch_docs, removed_of, is_new_of
     )
+    # ONE materialization of the affected population serves both
+    # consumers (the diff merge and the ledger evolution commit) --
+    # without this the store probes + CC re-run + decon joins execute
+    # twice per batch.
+    frames["a"] = frames["a"].localCheckpoint(eager=False)
     applied = release_delta_merge_step(
         spark, _changes_from_frames(frames), batch_id, delta_path
     )
-    if applied:
-        state_box["state"] = _evolve_state(
-            spark, state_box["state"], frames, removed_of
-        )
+    # Evolution carries its OWN per-table replay guard (batch_id
+    # markers), deliberately not gated on `applied`: a crash between
+    # the merge and the evolution leaves the merge marked applied but
+    # the stores un-evolved -- the replay must evolve them.
+    state_box["state"] = _evolve_state(
+        spark, state_box["state"], frames, removed_of, batch_id=batch_id
+    )
     return applied
 
 

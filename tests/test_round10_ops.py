@@ -187,7 +187,11 @@ def test_release_delta_incremental_stream(spark, tmp_path_factory):
     )
     assert _ledger_rows(final_ledger) == _ledger_rows(v2["ledger"])
 
-    # replay: neither the diff table nor the stores move
+    # replay: neither the diff table nor the stores move -- the
+    # evolution's per-table batch markers recognize the applied batch
+    # and read back the evolved state without committing (this also
+    # covers the crash-between-merge-and-evolve restart: a batch whose
+    # markers are missing WOULD evolve on replay)
     box = {"state": state}
     assert not jobs.release_delta_incremental_step(
         spark,
@@ -196,14 +200,90 @@ def test_release_delta_incremental_stream(spark, tmp_path_factory):
         box,
         delta_path,
     )
-    assert box["state"] is state  # evolution skipped on replay
     with open(os.path.join(root, "ledger", "_CURRENT")) as f:
-        assert f.read().strip() == live
+        assert f.read().strip() == live  # no new commit on replay
+    # the box now holds the read-back evolved state (same rows)
+    assert _ledger_rows(box["state"]["ledger"]) == _ledger_rows(final_ledger)
     still = {
         r["split"]: r.asDict()
         for r in spark.read.parquet(delta_path).collect()
     }
     assert still == got
+
+
+def test_stream_crash_between_merge_and_evolve_recovers(spark, tmp_path_factory):
+    """The crash window the round-10 review found: batch N's diff
+    merge commits but the process dies before the store evolution.
+    On replay the merge is a no-op (high-water mark) but the
+    evolution's OWN per-table batch markers show the batch was never
+    folded in, so the replay evolves the stores -- no batch's
+    evolution can be lost.  A partial evolution (stores disagreeing
+    on the marker) raises instead of probing mixed-version state."""
+    import os
+
+    import pytest
+
+    from mvp_mini_etl_pipeline_1762840347_spark.operators.table_format import (
+        SnapshotTable,
+    )
+    from mvp_mini_etl_pipeline_1762840347_spark.plans.quality import (
+        _changes_from_frames,
+        _curation_state,
+        _evolve_state,
+        _incremental_day_frames,
+        _new_day1,
+        _new_day2,
+        _never,
+        _rm_day1,
+    )
+    from mvp_mini_etl_pipeline_1762840347_spark.streaming import jobs
+
+    base = tmp_path_factory.mktemp("rdi_crash")
+    delta_path = str(base / "delta")
+    docs = read_table(spark, SF, "documents")
+    state = _curation_state(
+        spark, SF, "v1_crash_test", lambda c: _ib_of(c) < 14
+    )
+    root = state["_root"]
+    box = {"state": state}
+
+    # batch 0 applies normally (merge + evolution)
+    assert jobs.release_delta_incremental_step(
+        spark,
+        docs.filter(_new_day1(F.col("doc_id"))).localCheckpoint(),
+        0,
+        box,
+        delta_path,
+        removed_of=_rm_day1,
+    )
+
+    # batch 1: merge lands, then "crash" before the evolution
+    batch2 = docs.filter(_new_day2(F.col("doc_id"))).localCheckpoint()
+    frames1 = _incremental_day_frames(
+        spark, box["state"], batch2, removed_of=_never, is_new_of=_new_day2
+    )
+    assert jobs.release_delta_merge_step(
+        spark, _changes_from_frames(frames1), 1, delta_path
+    )
+    ledger_t = SnapshotTable(spark, os.path.join(root, "ledger"))
+    assert ledger_t.applied_batch() == 0  # evolution did NOT happen
+
+    # restart replay of batch 1: merge no-ops, evolution recovers
+    assert not jobs.release_delta_incremental_step(
+        spark, batch2, 1, box, delta_path, removed_of=_never
+    )
+    assert ledger_t.applied_batch() == 1
+    v2 = _curation_state(
+        spark, SF, "v2_crash_rebuild", lambda c: _ib_of(c) != 13
+    )
+    got = sorted(tuple(r) for r in box["state"]["ledger"].collect())
+    want = sorted(tuple(r) for r in v2["ledger"].collect())
+    assert got == want
+
+    # partial evolution (one table ahead of the others) is detected
+    ledger_t.commit(box["state"]["ledger"], marker=7)
+    with pytest.raises(RuntimeError, match="partial store evolution"):
+        _evolve_state(spark, box["state"], frames1, _never, batch_id=7)
 
 
 def test_evolved_store_vacuum_under_churn(spark):
