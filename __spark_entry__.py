@@ -140,6 +140,8 @@ _DRIVER_CHECKED: tuple[str, ...] = (
     "cardinality_estimate_audit", "l_diversity_audit", "sample_ess",
     # Round-9 greens (CORRECTNESS_r09.json: 50/50 green, folded r10).
     "release_delta_incremental", "runtime_filter_advisor",
+    # Round-10 greens (CORRECTNESS_r10.json: 50/50 green, folded r11).
+    "release_delta_day2", "advisor_report",
 )
 
 
