@@ -81,6 +81,12 @@ def main() -> None:
     )
     bench_t0 = time.perf_counter()
     timings: dict[str, float] = {}
+    # Pass-1 walls: the COLD cost of each query (state builds and
+    # fragment fills ride pass 1), kept separately so the artifact can
+    # report cold_sec for every cache_served_min name -- the
+    # standalone uncached cost cross-round comparisons need (VERDICT
+    # r10: "per-query cold cost is not in the artifact").
+    pass1: dict[str, float] = {}
     # Artifact honesty (ADVICE r9): per query, whether the COMMITTED
     # minimum was an execution served (at least partly) from a cached
     # fragment -- so cross-round baselines can tell a standalone query
@@ -109,6 +115,8 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             wall = round(time.perf_counter() - t0, 3)
+            if r == 0:
+                pass1[name] = wall
             # strict < on re-runs: a later cache-served pass that only
             # TIES the minimum must not overwrite the flag of an
             # uncached run that already demonstrated the standalone cost
@@ -146,6 +154,15 @@ def main() -> None:
         "cache_served_min": sorted(
             n for n, served in cache_served.items() if served
         ),
+        # The pass-1 (cold) wall for each cache-served name: what the
+        # query costs standalone, before the fragment/state caches are
+        # warm -- directly comparable across rounds without re-deriving
+        # it from pass walls.
+        "cold_sec": {
+            n: pass1[n]
+            for n in sorted(cache_served)
+            if cache_served[n] and n in pass1
+        },
         "full_passes": max(1, passes_done),
         "budget_sec": budget,
         "passes": pass_audit,

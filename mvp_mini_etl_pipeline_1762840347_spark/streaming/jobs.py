@@ -2023,10 +2023,23 @@ def release_delta_merge_step(
     between snapshots".  Additive, not idempotent: the shared
     batch-id high-water mark is load-bearing.  Returns False on a
     replay."""
+    return exactly_once_table_merge(
+        spark, state_path, batch_id, release_diff_merge_fn(batch_df)
+    )
+
+
+def release_diff_merge_fn(batch_changes: DataFrame):
+    """``merge_fn(target)`` building the running per-split release-
+    diff table's next full contents from a membership-change batch --
+    the z-set combine release_delta_merge_step documents, factored so
+    the SAME merge serves both commit disciplines: the standalone
+    exactly-once table (release_delta_stream) and the store-set
+    transaction member (release_delta_incremental_step, where the
+    diff commits atomically WITH the store evolution)."""
     from ..plans.quality import _delta_from_changes
 
     def _merge(target: DataFrame | None) -> DataFrame:
-        delta = _delta_from_changes(batch_df)
+        delta = _delta_from_changes(batch_changes)
         if target is None:
             return delta
         adds = (
@@ -2055,7 +2068,7 @@ def release_delta_merge_step(
             .alias("fingerprint_delta"),
         )
 
-    return exactly_once_table_merge(spark, state_path, batch_id, _merge)
+    return _merge
 
 
 def release_delta_stream(
@@ -2085,18 +2098,18 @@ def release_delta_incremental_step(
     batch_docs: DataFrame,
     batch_id: int,
     state_box: dict,
-    delta_path: str,
     removed_of=None,
 ) -> bool:
     """One ingest DAY as a foreachBatch body -- the production-shaped
     twin of release_delta_incremental (plans/quality.py): run the
-    state-PROBING incremental pass for this batch of documents, merge
-    its churn delta into the running per-split diff table
-    (exactly-once via release_delta_merge_step's staged-swap batch-id
-    high-water mark), then COMMIT the batch's store deltas back into
-    the SnapshotTable stores (_evolve_state) so the NEXT micro-batch
-    probes the EVOLVED state.  ``state_box`` is the mutable
-    ``{"state": <curation state dict>}`` handle the evolution swaps.
+    state-PROBING incremental pass for this batch of documents, then
+    commit the running per-split diff merge AND the batch's store
+    deltas as ONE SnapshotSet transaction (_evolve_state with
+    ``diff_merge``: the diff table is the 8th member of the store
+    set, published by the same manifest pointer swap as the 7 store
+    evolutions).  ``state_box`` is the mutable ``{"state": <curation
+    state dict>}`` handle the evolution swaps; the running diff is
+    read with ``release_diff_table``.
 
     The batch's is-new predicate is its ingest-bucket set, derived
     from the batch itself (one tiny distinct over the batch) -- in
@@ -2106,24 +2119,33 @@ def release_delta_incremental_step(
     ``removed_of`` carries the day's takedown keys (production:
     key-only retraction feeds ride a side input; None = append-only).
 
-    Exactly-once is TWO independent guards: the diff merge's staged-
-    swap high-water mark, and the evolution's own per-table batch-id
-    markers (committed inside each snapshot directory, atomic with
-    the pointer swap).  So a replay is a no-op for both; a crash
-    BETWEEN the merge and the evolution is recovered on replay (the
-    merge no-ops, the evolution sees no marker for this batch and
-    evolves from the still-pre-batch stores); and a crash MID-
-    evolution is detected as mixed markers and raises loudly instead
-    of silently probing mixed-version stores.  At deploy all eight
-    commits share one Delta/Iceberg multi-table transaction
-    (txnVersion) and the partial case cannot exist."""
+    Exactly-once is ONE guard: the manifest's set-level batch id.  A
+    replayed batch reads the committed set back and commits nothing;
+    a crash ANYWHERE mid-batch (during staging, before the pointer
+    swap) leaves the old consistent manifest live -- diff and stores
+    can never disagree about which batches are folded in, so the
+    round-10 crash windows (merge-without-evolution, partial
+    evolution) are structurally gone.  At deploy this is the one
+    Delta/Iceberg multi-table transaction across all eight tables."""
+    from ..operators.table_format import SnapshotSet
     from ..plans.quality import (
+        STORE_TABLES,
         _changes_from_frames,
         _evolve_state,
         _ib_of,
         _incremental_day_frames,
         _never,
     )
+
+    root = state_box["state"]["_root"]
+    sset = SnapshotSet(spark, root)
+    applied = sset.applied_batch()
+    if applied is not None and applied >= batch_id:
+        # replay: the manifest proves diff + stores committed together
+        state_box["state"] = {
+            "_root": root, **{n: sset.read(n) for n in STORE_TABLES}
+        }
+        return False
 
     if removed_of is None:
         removed_of = _never
@@ -2146,33 +2168,42 @@ def release_delta_incremental_step(
     # without this the store probes + CC re-run + decon joins execute
     # twice per batch.
     frames["a"] = frames["a"].localCheckpoint(eager=False)
-    applied = release_delta_merge_step(
-        spark, _changes_from_frames(frames), batch_id, delta_path
-    )
-    # Evolution carries its OWN per-table replay guard (batch_id
-    # markers), deliberately not gated on `applied`: a crash between
-    # the merge and the evolution leaves the merge marked applied but
-    # the stores un-evolved -- the replay must evolve them.
     state_box["state"] = _evolve_state(
-        spark, state_box["state"], frames, removed_of, batch_id=batch_id
+        spark,
+        state_box["state"],
+        frames,
+        removed_of,
+        batch_id=batch_id,
+        diff_merge=release_diff_merge_fn(_changes_from_frames(frames)),
     )
-    return applied
+    return True
+
+
+def release_diff_table(spark: SparkSession, state_root: str) -> DataFrame:
+    """The running per-split release-diff table -- the "diff" member
+    of the curation store set at ``state_root``."""
+    from ..operators.table_format import SnapshotSet
+
+    return SnapshotSet(spark, state_root).read("diff")
 
 
 def release_delta_incremental_stream(
     spark: SparkSession,
     docs_stream: DataFrame,
     state: dict,
-    delta_path: str,
+    checkpoint_dir: str,
     removed_of_for=None,
 ) -> StreamingQuery:
     """Streaming twin of the release_delta_incremental flagship: the
     ingest stream's document batches drive the state-probing daily
-    pass, the per-split release diff stays continuously current in
-    ``delta_path``, and the curation stores EVOLVE batch-over-batch
+    pass, the per-split release diff stays continuously current (the
+    "diff" member of the store set; read it with
+    ``release_diff_table``), and the curation stores EVOLVE batch-
+    over-batch in the SAME transaction
     (release_delta_incremental_step).  ``state`` seeds the stores
     (yesterday's committed snapshot); ``removed_of_for(batch_id)``
-    optionally supplies a takedown predicate per batch.
+    optionally supplies a takedown predicate per batch;
+    ``checkpoint_dir`` holds only the stream's own checkpoint.
 
     Net columns (n_docs_delta, n_tokens_delta) and fingerprint_delta
     of the merged table reconcile exactly with the batch release_delta
@@ -2184,12 +2215,12 @@ def release_delta_incremental_stream(
     def _step(batch_df: DataFrame, batch_id: int) -> None:
         removed_of = removed_of_for(batch_id) if removed_of_for else None
         release_delta_incremental_step(
-            spark, batch_df, batch_id, box, delta_path, removed_of
+            spark, batch_df, batch_id, box, removed_of
         )
 
     return (
         docs_stream.writeStream.foreachBatch(_step)
         .trigger(availableNow=True)
-        .option("checkpointLocation", delta_path + "_chk")
+        .option("checkpointLocation", checkpoint_dir)
         .start()
     )

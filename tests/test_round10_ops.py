@@ -128,7 +128,7 @@ def test_release_delta_incremental_stream(spark, tmp_path_factory):
 
     base = tmp_path_factory.mktemp("rdi_stream")
     landing = str(base / "landing")
-    delta_path = str(base / "delta")
+    chk = str(base / "chk")
     docs = read_table(spark, SF, "documents")
     ib = _ib_of(F.col("doc_id"))
     docs.filter(ib == 14).coalesce(1).write.parquet(landing, mode="overwrite")
@@ -151,14 +151,14 @@ def test_release_delta_incremental_stream(spark, tmp_path_factory):
         spark,
         stream,
         state,
-        delta_path,
+        chk,
         removed_of_for=lambda b: _rm_day1 if b == 0 else None,
     )
     q.awaitTermination(300)
 
     got = {
         r["split"]: r.asDict()
-        for r in spark.read.parquet(delta_path).collect()
+        for r in jobs.release_diff_table(spark, root).collect()
     }
     want = {
         r["split"]: r.asDict()
@@ -188,17 +188,14 @@ def test_release_delta_incremental_stream(spark, tmp_path_factory):
     assert _ledger_rows(final_ledger) == _ledger_rows(v2["ledger"])
 
     # replay: neither the diff table nor the stores move -- the
-    # evolution's per-table batch markers recognize the applied batch
-    # and read back the evolved state without committing (this also
-    # covers the crash-between-merge-and-evolve restart: a batch whose
-    # markers are missing WOULD evolve on replay)
+    # manifest's set-level batch id recognizes the applied batch and
+    # the step reads the committed set back without staging anything
     box = {"state": state}
     assert not jobs.release_delta_incremental_step(
         spark,
         docs.filter(ib == 15).localCheckpoint(),
         1,
         box,
-        delta_path,
     )
     with open(os.path.join(root, "ledger", "_CURRENT")) as f:
         assert f.read().strip() == live  # no new commit on replay
@@ -206,40 +203,37 @@ def test_release_delta_incremental_stream(spark, tmp_path_factory):
     assert _ledger_rows(box["state"]["ledger"]) == _ledger_rows(final_ledger)
     still = {
         r["split"]: r.asDict()
-        for r in spark.read.parquet(delta_path).collect()
+        for r in jobs.release_diff_table(spark, root).collect()
     }
     assert still == got
 
 
-def test_stream_crash_between_merge_and_evolve_recovers(spark, tmp_path_factory):
-    """The crash window the round-10 review found: batch N's diff
-    merge commits but the process dies before the store evolution.
-    On replay the merge is a no-op (high-water mark) but the
-    evolution's OWN per-table batch markers show the batch was never
-    folded in, so the replay evolves the stores -- no batch's
-    evolution can be lost.  A partial evolution (stores disagreeing
-    on the marker) raises instead of probing mixed-version state."""
+def test_stream_crash_between_merge_and_evolve_recovers(spark):
+    """Round-10's crash windows, closed by the SnapshotSet manifest
+    commit: the diff merge and the 7 store evolutions publish in ONE
+    pointer swap, so a batch is either fully applied or not applied
+    at all.  A kill ANYWHERE mid-evolution (here: after every member
+    is staged, at the commit itself) leaves the OLD consistent set
+    live -- same diff, same stores, same applied batch -- and the
+    replay applies everything; there is no partial-evolution state to
+    detect, so no RuntimeError path exists any more."""
     import os
 
     import pytest
 
     from mvp_mini_etl_pipeline_1762840347_spark.operators.table_format import (
+        SnapshotSet,
         SnapshotTable,
     )
     from mvp_mini_etl_pipeline_1762840347_spark.plans.quality import (
-        _changes_from_frames,
+        STORE_TABLES,
         _curation_state,
-        _evolve_state,
-        _incremental_day_frames,
         _new_day1,
         _new_day2,
-        _never,
         _rm_day1,
     )
     from mvp_mini_etl_pipeline_1762840347_spark.streaming import jobs
 
-    base = tmp_path_factory.mktemp("rdi_crash")
-    delta_path = str(base / "delta")
     docs = read_table(spark, SF, "documents")
     state = _curation_state(
         spark, SF, "v1_crash_test", lambda c: _ib_of(c) < 14
@@ -247,32 +241,56 @@ def test_stream_crash_between_merge_and_evolve_recovers(spark, tmp_path_factory)
     root = state["_root"]
     box = {"state": state}
 
-    # batch 0 applies normally (merge + evolution)
+    # batch 0 applies normally (diff + evolution, one transaction)
     assert jobs.release_delta_incremental_step(
         spark,
         docs.filter(_new_day1(F.col("doc_id"))).localCheckpoint(),
         0,
         box,
-        delta_path,
         removed_of=_rm_day1,
     )
+    sset = SnapshotSet(spark, root)
+    assert sset.applied_batch() == 0
+    diff_before = sorted(
+        tuple(r) for r in jobs.release_diff_table(spark, root).collect()
+    )
+    ledger_before = sorted(
+        tuple(r) for r in box["state"]["ledger"].collect()
+    )
+    version_before = sset.version()
 
-    # batch 1: merge lands, then "crash" before the evolution
+    # batch 1 "crashes" at the commit point: every member (7 stores +
+    # the diff) is already staged, but the manifest swap never runs
     batch2 = docs.filter(_new_day2(F.col("doc_id"))).localCheckpoint()
-    frames1 = _incremental_day_frames(
-        spark, box["state"], batch2, removed_of=_never, is_new_of=_new_day2
-    )
-    assert jobs.release_delta_merge_step(
-        spark, _changes_from_frames(frames1), 1, delta_path
-    )
-    ledger_t = SnapshotTable(spark, os.path.join(root, "ledger"))
-    assert ledger_t.applied_batch() == 0  # evolution did NOT happen
+    real_commit = SnapshotSet.commit_staged
 
-    # restart replay of batch 1: merge no-ops, evolution recovers
-    assert not jobs.release_delta_incremental_step(
-        spark, batch2, 1, box, delta_path, removed_of=_never
-    )
-    assert ledger_t.applied_batch() == 1
+    def _dying_commit(self, marker=None):
+        raise RuntimeError("simulated kill at the commit point")
+
+    SnapshotSet.commit_staged = _dying_commit
+    try:
+        with pytest.raises(RuntimeError, match="simulated kill"):
+            jobs.release_delta_incremental_step(spark, batch2, 1, box)
+    finally:
+        SnapshotSet.commit_staged = real_commit
+
+    # nothing applied: the OLD consistent set is live -- manifest,
+    # batch id, diff, and every store read unchanged
+    recovered = SnapshotSet(spark, root)
+    assert recovered.version() == version_before
+    assert recovered.applied_batch() == 0
+    assert sorted(
+        tuple(r) for r in jobs.release_diff_table(spark, root).collect()
+    ) == diff_before
+    assert sorted(
+        tuple(r) for r in recovered.read("ledger").collect()
+    ) == ledger_before
+
+    # restart replay of batch 1: everything applied together
+    box = {"state": {"_root": root,
+                     **{n: recovered.read(n) for n in STORE_TABLES}}}
+    assert jobs.release_delta_incremental_step(spark, batch2, 1, box)
+    assert SnapshotSet(spark, root).applied_batch() == 1
     v2 = _curation_state(
         spark, SF, "v2_crash_rebuild", lambda c: _ib_of(c) != 13
     )
@@ -280,24 +298,38 @@ def test_stream_crash_between_merge_and_evolve_recovers(spark, tmp_path_factory)
     want = sorted(tuple(r) for r in v2["ledger"].collect())
     assert got == want
 
-    # partial evolution (one table ahead of the others) is detected
-    ledger_t.commit(box["state"]["ledger"], marker=7)
-    with pytest.raises(RuntimeError, match="partial store evolution"):
-        _evolve_state(spark, box["state"], frames1, _never, batch_id=7)
+    # a rogue per-table commit OUTSIDE the set moves that table's own
+    # pointer but not the manifest: readers through the set still see
+    # the consistent committed member (isolation at set grain)
+    rogue = SnapshotTable(spark, os.path.join(root, "ledger"))
+    live_manifest_snap = SnapshotSet(spark, root).manifest()["tables"][
+        "ledger"
+    ]
+    rogue.commit(box["state"]["ledger"].limit(1))
+    assert SnapshotSet(spark, root).manifest()["tables"]["ledger"] == (
+        live_manifest_snap
+    )
+    assert sorted(
+        tuple(r)
+        for r in SnapshotSet(spark, root).read("ledger").collect()
+    ) == got
 
 
 def test_evolved_store_vacuum_under_churn(spark):
-    """Store maintenance under churn: after an evolution commit the
-    table holds two snapshots (time travel to v1 works); vacuum
-    retains the live snapshot, drops the superseded one, and the
-    evolved table still reads intact -- the OPTIMIZE/VACUUM cadence a
-    daily pipeline runs on its state stores."""
+    """Store maintenance under churn, at MANIFEST grain: after an
+    evolution the set holds two manifests; time travel at the SET
+    level reads the consistent pre-evolution state across every
+    member; vacuum(keep_last=1) expires the superseded manifest and
+    exactly the member snapshots only it referenced, and the evolved
+    set still reads intact -- the expire-snapshots cadence a daily
+    pipeline runs on its state stores."""
     import os
 
     from mvp_mini_etl_pipeline_1762840347_spark.operators.table_format import (
-        SnapshotTable,
+        SnapshotSet,
     )
     from mvp_mini_etl_pipeline_1762840347_spark.plans.quality import (
+        STORE_TABLES,
         _curation_state,
         _evolve_state,
         _incremental_day_frames,
@@ -316,17 +348,26 @@ def test_evolved_store_vacuum_under_churn(spark):
     )
     evolved = _evolve_state(spark, state, frames, _rm_day1)
 
-    t = SnapshotTable(spark, os.path.join(state["_root"], "ledger"))
-    assert t.snapshots() == ["snapshot-0", "snapshot-1"]
-    assert t.read_version(0).count() == state["ledger"].count()  # time travel
+    sset = SnapshotSet(spark, state["_root"])
+    assert sset.versions() == [0, 1] and sset.version() == 1
+    # set-level time travel: version 0 is yesterday's CONSISTENT set
+    for name in ("ledger", "bands"):
+        assert (
+            sset.read_version(0, name).count() == state[name].count()
+        ), name
     want = evolved["ledger"].count()
 
-    removed = t.vacuum(keep_last=1)
-    assert removed == ["snapshot-0"]
+    removed = sset.vacuum(keep_last=1)
+    # exactly the superseded manifest and every member snapshot only
+    # it referenced (each store moved in the evolution, so each loses
+    # its snapshot-0)
+    assert removed.pop("_manifests") == ["manifest-0"]
+    assert set(removed) == set(STORE_TABLES)
+    assert all(v == ["snapshot-0"] for v in removed.values())
     assert not os.path.exists(
         os.path.join(state["_root"], "ledger", "snapshot-0")
     )
-    assert t.read().count() == want  # live snapshot intact post-vacuum
+    assert sset.read("ledger").count() == want  # live set intact
 
 
 def test_advisor_report_cache_parity_and_consistency(spark):
