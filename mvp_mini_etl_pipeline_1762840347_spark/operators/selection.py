@@ -45,6 +45,7 @@ def rank_select(
     rounds: int = 2,
     bins: int = 256,
     weight: str | None = None,
+    bounds: DataFrame | None = None,
 ) -> DataFrame:
     """Return one row per rank query: ``(qid, value)`` where
     ``value`` is the rank-th smallest ``c`` among the rows the query
@@ -74,6 +75,16 @@ def rank_select(
     weighting doc lengths by token count).  Unweighted selection is
     the weight-1 special case; histogram state stays constant-size
     either way.
+
+    ``bounds``: optional pre-computed value range, either a 1-row
+    ``(lo, hi)`` frame applied to every rank query or a per-query
+    ``(qid, lo, hi)`` frame.  Without it the selector derives the
+    range itself with one extra min/max aggregation pass over ``v``
+    -- callers that already pay an aggregation for the rank frame
+    (grouped p95: the per-group count) or that eagerly checkpoint
+    ``v`` (where an Observation on the checkpoint job delivers
+    min/max/count for free) should hand the range in and skip that
+    pass; any superset of the true range selects identical values.
     """
     w = F.col(weight) if weight else F.lit(1).cast("bigint")
     # Range arithmetic must stay exact for ANY bigint input: a
@@ -100,6 +111,16 @@ def rank_select(
     grouped = "qid" in v.columns
     if grouped:
         v = v.withColumnRenamed("qid", "vqid")
+    if bounds is not None:
+        if "qid" in bounds.columns:
+            bounds = bounds.join(F.broadcast(ranks), "qid").select(
+                "qid", "lo", "hi", "rank"
+            )
+        else:
+            bounds = bounds.crossJoin(F.broadcast(ranks)).select(
+                "qid", "lo", "hi", "rank"
+            )
+    elif grouped:
         bounds = (
             v.groupBy(F.col("vqid").alias("qid"))
             .agg(F.min("c").alias("lo"), F.max("c").alias("hi"))

@@ -1000,9 +1000,18 @@ def winsorized_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side.  At 100 TB swap the exact percentiles for
     sketch_quantile_hist's histogram estimates, same join shape."""
     li = read_table(spark, sf_dir, "lineitem")
+    # ONE array-argument percentile: a separate aggregate per
+    # percentage buffers and sorts every group's values once per
+    # expression; the fused form pays the sort once and returns
+    # identical doubles (guide §1.2 "per-task work").
     q = li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", F.lit(0.05)).alias("p05"),
-        F.percentile("l_extendedprice", F.lit(0.95)).alias("p95"),
+        F.percentile(
+            "l_extendedprice", F.array(F.lit(0.05), F.lit(0.95))
+        ).alias("pq")
+    ).select(
+        "l_returnflag",
+        F.element_at("pq", 1).alias("p05"),
+        F.element_at("pq", 2).alias("p95"),
     )
     clipped = F.least(
         F.greatest(F.col("l_extendedprice"), F.col("p05")), F.col("p95")
@@ -3082,12 +3091,17 @@ def weighted_median_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
+    # min/max share the rank frame's per-group pass and feed
+    # rank_select as pre-computed bounds (one fewer full aggregation
+    # over v; identical selection).
     t = v.groupBy("qid").agg(
         F.sum("w").cast("bigint").alias("total_weight_cents"),
         F.expr("(sum(w) + 1) div 2").cast("bigint").alias("rank"),
+        F.min("c").alias("lo"),
+        F.max("c").alias("hi"),
     )
     sel = rank_select(v, t.select("qid", "rank"), rounds=2, bins=64,
-                      weight="w")
+                      weight="w", bounds=t.select("qid", "lo", "hi"))
     return (
         sel.join(F.broadcast(t), "qid")
         .select(

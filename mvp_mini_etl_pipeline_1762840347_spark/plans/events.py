@@ -1842,12 +1842,20 @@ def events_exact_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100).cast("bigint").alias("c"),
     ).localCheckpoint(eager=True)
 
+    # min/max ride the SAME per-group aggregation that computes the
+    # rank, then feed rank_select as pre-computed bounds -- the
+    # selector's own bounds derivation would re-aggregate v once more
+    # for numbers this pass already has (guide §2.4: two operations
+    # keyed the same way share one pass).
     n = v.groupBy("qid").agg(
         F.count("*").cast("bigint").alias("n_events"),
         F.expr("(count(*) * 95 + 99) div 100").cast("bigint").alias("rank"),
+        F.min("c").alias("lo"),
+        F.max("c").alias("hi"),
     )
     sel = rank_select(
-        v, n.select("qid", "rank"), rounds=2, bins=64
+        v, n.select("qid", "rank"), rounds=2, bins=64,
+        bounds=n.select("qid", "lo", "hi"),
     )
     return (
         sel.join(F.broadcast(n), "qid")

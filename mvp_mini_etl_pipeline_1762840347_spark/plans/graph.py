@@ -401,7 +401,23 @@ def _cop_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     count; the earlier distinct + self-join form paid an extra
     distinct shuffle and a join for the same rows.  The explicit
     repartition spreads the single-file local corpus; on production
-    multi-file tables it coalesces to a no-op under AQE."""
+    multi-file tables it coalesces to a no-op under AQE.
+
+    Fragment-cached (plans/fragments.py): FIVE registered graph
+    queries (degree distribution, triangles, reachability, LPA,
+    k-core) start from this same edge list, each previously paying
+    the lineitem scan + pair fan-out + support aggregation again in
+    the same batch window.  Production materializes the co-purchase
+    edge table once per window next to the band/pair stores; with the
+    cache off (tests, PLAN_AUDIT) every standalone plan is unchanged."""
+    from .fragments import cached_frame
+
+    return cached_frame(
+        spark, ("cop_edges", sf_dir), lambda: _cop_edges_build(spark, sf_dir)
+    )
+
+
+def _cop_edges_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..io import read_table
 
     li = (

@@ -586,11 +586,22 @@ def corpus_clean_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids land in a table between the passes, which is the checkpoint a
     multi-day ingest wants anyway."""
     from .dedup import _EVAL_SOURCE, decontaminate_frame
+    from .fragments import fragment_cache_on
 
     d = read_table(spark, sf_dir, "documents")
     train = d.filter(F.col("source") != _EVAL_SOURCE)
+    if fragment_cache_on():
+        # batch-window path: contamination flags from the materialized
+        # shingle store (identical values; decontaminate_from_store)
+        from .dedup import corpus_doc_shingles, decontaminate_from_store
+
+        decon = decontaminate_from_store(corpus_doc_shingles(spark, sf_dir))
+    else:
+        decon = decontaminate_frame(
+            train, d.filter(F.col("source") == _EVAL_SOURCE)
+        )
     dropset = (
-        decontaminate_frame(train, d.filter(F.col("source") == _EVAL_SOURCE))
+        decon
         .filter(F.col("is_contaminated"))
         .select("doc_id")
         .withColumn("dropped", F.lit(1))
@@ -1170,11 +1181,22 @@ def _disposition_frame(
         .select(F.col("node").alias("doc_id"))
         .withColumn("is_near_dup", F.lit(True))
     )
-    cont = (
-        decontaminate_frame(
+    if docs is None and _fragment_cache_on():
+        # batch-window path: decontamination probes the materialized
+        # shingle store instead of re-splitting text (identical
+        # values; decontaminate_from_store docstring)
+        from .dedup import corpus_doc_shingles, decontaminate_from_store
+
+        cont_frame = decontaminate_from_store(
+            corpus_doc_shingles(spark, sf_dir)
+        )
+    else:
+        cont_frame = decontaminate_frame(
             d.filter(F.col("source") != _EVAL_SOURCE),
             d.filter(F.col("source") == _EVAL_SOURCE),
         )
+    cont = (
+        cont_frame
         .filter(F.col("is_contaminated"))
         .select("doc_id")
         .withColumn("is_cont", F.lit(True))
@@ -1614,32 +1636,42 @@ def _membership_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Scan 3: one per-doc-distinct shingle stream serves BOTH
     # snapshots' decontamination: each eval shingle is tagged with the
     # snapshots its eval docs belong to, and each train doc's two
-    # overlap counts are conditional counts in one aggregate.
-    shflat = (
-        d.select(
-            "doc_id",
-            "source",
-            F.split(F.lower(F.col("text")), r"\s+").alias("toks"),
+    # overlap counts are conditional counts in one aggregate.  Under
+    # the batch-window cache the stream is the materialized corpus
+    # shingle store exploded (identical rows; per-doc pure), removing
+    # this plan's third text scan.
+    if _fragment_cache_on():
+        from .dedup import corpus_doc_shingles
+
+        shflat = corpus_doc_shingles(spark, sf_dir).select(
+            "doc_id", "source", F.explode("sh").alias("shingle")
         )
-        .filter(F.size("toks") >= 3)
-        .select(
-            "doc_id",
-            "source",
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("toks") - 2),
-                        lambda i: F.concat_ws(
-                            " ",
-                            F.element_at("toks", i),
-                            F.element_at("toks", i + 1),
-                            F.element_at("toks", i + 2),
-                        ),
+    else:
+        shflat = (
+            d.select(
+                "doc_id",
+                "source",
+                F.split(F.lower(F.col("text")), r"\s+").alias("toks"),
+            )
+            .filter(F.size("toks") >= 3)
+            .select(
+                "doc_id",
+                "source",
+                F.explode(
+                    F.array_distinct(
+                        F.transform(
+                            F.sequence(F.lit(1), F.size("toks") - 2),
+                            lambda i: F.concat_ws(
+                                " ",
+                                F.element_at("toks", i),
+                                F.element_at("toks", i + 1),
+                                F.element_at("toks", i + 2),
+                            ),
+                        )
                     )
-                )
-            ).alias("shingle"),
+                ).alias("shingle"),
+            )
         )
-    )
     eval_hits = (
         shflat.filter(F.col("source") == _EVAL_SOURCE)
         .groupBy("shingle")
@@ -1911,7 +1943,11 @@ def _curation_state(
     # cache-on == cache-off is pinned (test_fragment_cache_parity +
     # the evolution==rebuild pins, which compare across both paths).
     if _fragment_cache_on():
-        from .dedup import corpus_band_signatures, minhash_pairs
+        from .dedup import (
+            corpus_band_signatures,
+            corpus_doc_shingles,
+            minhash_pairs,
+        )
 
         sigs = (
             corpus_band_signatures(spark, sf_dir)
@@ -1955,10 +1991,26 @@ def _curation_state(
     nd = comp.filter(F.col("doc_id") != F.col("cluster_id")).select(
         "doc_id", F.lit(True).alias("is_near_dup")
     )
-    cont = decontaminate_frame(
-        v1.filter(F.col("source") != _EVAL_SOURCE),
-        v1.filter(F.col("source") == _EVAL_SOURCE),
-    ).select("doc_id", "n_overlap", "is_contaminated")
+    # The snapshot's doc-keyed shingle store: a membership filter over
+    # the materialized corpus shingle fragment under the batch-window
+    # cache (per-doc pure, same commute argument as the band store);
+    # the standalone text-scan derivation otherwise.  Decontamination
+    # probes the same store either way (identical values --
+    # decontaminate_from_store docstring).
+    if _fragment_cache_on():
+        from .dedup import corpus_doc_shingles, decontaminate_from_store
+
+        snap_doc_sh = corpus_doc_shingles(spark, sf_dir).filter(
+            member_of(F.col("doc_id"))
+        )
+        cont_frame = decontaminate_from_store(snap_doc_sh)
+    else:
+        snap_doc_sh = _doc_shingles(v1)
+        cont_frame = decontaminate_frame(
+            v1.filter(F.col("source") != _EVAL_SOURCE),
+            v1.filter(F.col("source") == _EVAL_SOURCE),
+        )
+    cont = cont_frame.select("doc_id", "n_overlap", "is_contaminated")
 
     w = Window.partitionBy("norm_fp")
     kept = (
@@ -2000,7 +2052,7 @@ def _curation_state(
 
     # Shingle-keyed stores derive from the STAGED doc-keyed store
     # (columnar re-read, no re-shingling of text per store).
-    doc_sh = _stage("doc_sh", _doc_shingles(v1))
+    doc_sh = _stage("doc_sh", snap_doc_sh)
     _stage(
         "inv_idx",
         doc_sh.filter(F.col("source") != _EVAL_SOURCE).select(

@@ -258,10 +258,22 @@ def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_percentile -- sketch-mergeable, one pass; exact kept here
     because the oracle can verify it bit-for-bit.)"""
     o = read_table(spark, sf_dir, "orders")
-    return o.groupBy(F.col("o_orderstatus").alias("status")).agg(
-        F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("p50"),
-        F.round(F.percentile("o_totalprice", F.lit(0.9)), 2).alias("p90"),
-        F.round(F.percentile("o_totalprice", F.lit(0.99)), 2).alias("p99"),
+    # One array-argument percentile per group (buffer + sort once,
+    # not once per percentage); values identical.
+    return (
+        o.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.percentile(
+                "o_totalprice",
+                F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)),
+            ).alias("pq")
+        )
+        .select(
+            "status",
+            F.round(F.element_at("pq", 1), 2).alias("p50"),
+            F.round(F.element_at("pq", 2), 2).alias("p90"),
+            F.round(F.element_at("pq", 3), 2).alias("p99"),
+        )
     )
 
 

@@ -562,7 +562,12 @@ def _km_recompute(assigned: DataFrame) -> DataFrame:
     """Centroid recompute as posexplode -> (cluster, dim) aggregation:
     the shuffle carries K x DIMS partial means, never whole vectors.
     Components round to 6 so both engines iterate on identical
-    doubles."""
+    doubles.  (A per-dimension avg COLUMN grid -- 64 avg(e[i])
+    aggregates in one groupBy -- was tried in the r11 optimization
+    pass and REVERTED: the 64-wide aggregate compiles a huge codegen
+    method (cold first-run cost 17.8 s vs 1.9 s for this form at
+    sf0.1) and evaluates 64 array element_at lookups per row, losing
+    to the explode's streamed single pass warm as well.)"""
     per_dim = (
         assigned.select("cluster", F.posexplode("e").alias("pos", "val"))
         .groupBy("cluster", "pos")

@@ -567,11 +567,28 @@ def sketch_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = cells.withColumn(
         "cum_before", F.coalesce(F.sum("c").over(wc), F.lit(0))
     )
+    return _qh_estimator(o, cum)
+
+
+def _qh_estimator(o: DataFrame, cum: DataFrame) -> DataFrame:
+    """Shared cumulative-walk + interpolation estimator over a cell
+    table, with the exact p50/p95/p99 riding along for the error
+    column.  The three exact percentiles are ONE array-argument
+    percentile aggregate: a separate aggregate per percentage buffers
+    (and sorts) the whole column once per expression -- the fused form
+    buffers once and returns identical doubles (measured 1.0 s -> 0.44
+    s on the sf0.1 orders column)."""
     n = o.agg(
         F.count("*").alias("n"),
-        F.percentile("o_totalprice", F.lit(0.50)).alias("ex50"),
-        F.percentile("o_totalprice", F.lit(0.95)).alias("ex95"),
-        F.percentile("o_totalprice", F.lit(0.99)).alias("ex99"),
+        F.percentile(
+            "o_totalprice",
+            F.array(F.lit(0.50), F.lit(0.95), F.lit(0.99)),
+        ).alias("exq"),
+    ).select(
+        "n",
+        F.element_at("exq", 1).alias("ex50"),
+        F.element_at("exq", 2).alias("ex95"),
+        F.element_at("exq", 3).alias("ex99"),
     )
     qdf = cum.sparkSession.createDataFrame(
         [(0.50,), (0.95,), (0.99,)], "q double"
@@ -1115,41 +1132,7 @@ def sketch_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = cells.withColumn(
         "cum_before", F.coalesce(F.sum("c").over(wc), F.lit(0))
     )
-    n = o.agg(
-        F.count("*").alias("n"),
-        F.percentile("o_totalprice", F.lit(0.50)).alias("ex50"),
-        F.percentile("o_totalprice", F.lit(0.95)).alias("ex95"),
-        F.percentile("o_totalprice", F.lit(0.99)).alias("ex99"),
-    )
-    qdf = cum.sparkSession.createDataFrame(
-        [(0.50,), (0.95,), (0.99,)], "q double"
-    )
-    hit = (
-        qdf.crossJoin(F.broadcast(n))
-        .join(cum, F.col("cum_before") + F.col("c") >= F.col("q") * F.col("n"))
-        .groupBy("q")
-        .agg(F.min("cell").alias("cell"))
-    )
-    est = (
-        F.lit(_QH_LO)
-        + F.col("cell") * _QH_W
-        + _QH_W * (F.col("q") * F.col("n") - F.col("cum_before")) / F.col("c")
-    )
-    exact = (
-        F.when(F.col("q") == 0.50, F.col("ex50"))
-        .when(F.col("q") == 0.95, F.col("ex95"))
-        .otherwise(F.col("ex99"))
-    )
-    return (
-        hit.join(cum, "cell")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "q",
-            F.round(est, 2).alias("est"),
-            F.round(exact, 2).alias("exact"),
-            F.round(100.0 * (est / exact - 1.0), 2).alias("rel_err_pct"),
-        )
-    )
+    return _qh_estimator(o, cum)
 
 
 sketch_quantile_merge.__doc__ = sketch_quantile_merge.__doc__.format(
