@@ -131,6 +131,11 @@ QUERIES = [
     "skyline_parts",            # iterative Pareto-front peeling
     "release_delta_day2",       # state evolution + day-2 pass
     "similarity_recall",        # ANN recall eval vs exact top-k truth
+    # Round-11 addition: the r11 registration crossed 1.5 s in the
+    # quiet baseline (per-process state memo makes min-over-reps the
+    # health-probe cost itself -- count scans of the committed
+    # stores, metadata-only at deploy).
+    "store_health_report",      # store-set health over evolved state
 ]
 
 
