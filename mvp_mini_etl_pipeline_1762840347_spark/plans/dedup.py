@@ -433,6 +433,25 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     of its md5; fingerprint bit = sign of the vote sum.  Bits come
     from md5 hex nibbles so Spark and DuckDB agree exactly.  Linear in
     tokens (16x fan-out), no pairwise stage."""
+    return corpus_simhash(spark, sf_dir)
+
+
+def corpus_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash) for the full corpus as a batch-window
+    fragment: the Hamming-block query's SELF-JOIN otherwise executes
+    the whole token fan-out + two-level vote aggregation once per join
+    branch (Catalyst does not share subtrees across a self-join), and
+    the plain fingerprint query recomputes it again -- production
+    persists the fingerprint column next to the corpus.  Cache off
+    (tests, PLAN_AUDIT): the standalone lazy plan, unchanged."""
+    from .fragments import cached_frame
+
+    return cached_frame(
+        spark, ("simhash", sf_dir), lambda: _simhash_frame(spark, sf_dir)
+    )
+
+
+def _simhash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _tokens(_docs(spark, sf_dir)).select("doc_id", "tok")
     # md5 materialized BEFORE the 16-way bit explode -- inlining it in
     # the same projection as explode() recomputes the hash per bit row.
@@ -730,7 +749,7 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     then filters the small candidate set.  The oracle brute-forces
     all pairs (fine at test scale) proving the blocked join loses
     nothing."""
-    sh = dedup_simhash(spark, sf_dir)
+    sh = corpus_simhash(spark, sf_dir)
     blocks = sh.select(
         "doc_id",
         "simhash",
