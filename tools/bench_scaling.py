@@ -136,6 +136,7 @@ QUERIES = [
     # health-probe cost itself -- count scans of the committed
     # stores, metadata-only at deploy).
     "store_health_report",      # store-set health over evolved state
+    "local_supplier_revenue",   # 5-way star join (crossed 1.5 s r11)
 ]
 
 
