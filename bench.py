@@ -8,6 +8,13 @@ Each query is executed to completion through the noop sink (full
 physical plan runs, nothing collects to the driver), which is the
 honest distributed-execution cost -- `.collect()` would add a
 driver-materialization term that doesn't exist in production writes.
+
+The fragment cache defaults ON for the bench window (see main()); to
+bench the standalone cache-off plans instead, run
+
+    SPARK_GRAFT_FRAGMENT_CACHE=0 python bench.py
+
+(the setdefault below honors an explicit 0).
 """
 
 from __future__ import annotations
@@ -163,6 +170,12 @@ def main() -> None:
             for n in sorted(cache_served)
             if cache_served[n] and n in pass1
         },
+        # The FULL pass-1 wall map (every query, not just the
+        # cache-served subset): cold-regression gating across rounds
+        # needs the first-execution cost of the other ~270 queries too
+        # (VERDICT r11 #4).  Additive column; `queries` (min over
+        # passes) stays the headline.
+        "pass1_sec": {n: pass1[n] for n in sorted(pass1)},
         "full_passes": max(1, passes_done),
         "budget_sec": budget,
         "passes": pass_audit,

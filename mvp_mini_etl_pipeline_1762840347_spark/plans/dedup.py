@@ -45,20 +45,19 @@ def _tokens(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
 
 
-def _shingles(docs: DataFrame, distinct: bool = True) -> DataFrame:
-    """(doc_id, shingle) word-3-grams via array transform -- stays
-    JVM-side (higher-order function, no Python).
+def word3_shingles(toks) -> "F.Column":
+    """THE word-3-gram shingle array over a token-array column -- the
+    single shingle definition every builder composes (`_shingles`,
+    `_shingle_array`, `corpus_doc_shingles`, quality's `_doc_shingles`
+    and shingle stores), so the cache-on == cache-off parity argument
+    for store-derived reroutes is STRUCTURAL, not four copies kept
+    byte-identical by convention (ADVICE r11).
 
-    The token array is materialized in its own projection first:
-    inlining the split() into the lambda makes Catalyst re-evaluate
-    the regex split per element reference (3x per shingle) -- a ~10x
-    slowdown observed at sf0.1.
-
-    ``distinct=False`` skips the dedup shuffle for consumers whose
-    aggregate is duplicate-insensitive (min-hash sketches).
-    """
-    toks = F.col("toks")
-    sh = F.transform(
+    The caller must materialize the token array in its own projection
+    first: inlining the split() into the lambda makes Catalyst
+    re-evaluate the regex split per element reference (3x per
+    shingle) -- a ~10x slowdown observed at sf0.1."""
+    return F.transform(
         F.sequence(F.lit(1), F.size(toks) - 2),
         lambda i: F.concat_ws(
             " ",
@@ -67,10 +66,20 @@ def _shingles(docs: DataFrame, distinct: bool = True) -> DataFrame:
             F.element_at(toks, i + 2),
         ),
     )
+
+
+def _shingles(docs: DataFrame, distinct: bool = True) -> DataFrame:
+    """(doc_id, shingle) word-3-grams via array transform -- stays
+    JVM-side (higher-order function, no Python).
+
+    ``distinct=False`` skips the dedup shuffle for consumers whose
+    aggregate is duplicate-insensitive (min-hash sketches).
+    """
+    toks = F.col("toks")
     out = (
         docs.select("doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("toks"))
         .filter(F.size(toks) >= 3)
-        .select("doc_id", F.explode(sh).alias("shingle"))
+        .select("doc_id", F.explode(word3_shingles(toks)).alias("shingle"))
     )
     return out.distinct() if distinct else out
 
@@ -97,15 +106,6 @@ def corpus_doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.sparkContext.defaultParallelism
         )
         toks = F.col("toks")
-        sh = F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i),
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-            ),
-        )
         return (
             d.select(
                 "doc_id",
@@ -113,7 +113,11 @@ def corpus_doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.split(F.lower(F.col("text")), r"\s+").alias("toks"),
             )
             .filter(F.size(toks) >= 3)
-            .select("doc_id", "source", F.array_distinct(sh).alias("sh"))
+            .select(
+                "doc_id",
+                "source",
+                F.array_distinct(word3_shingles(toks)).alias("sh"),
+            )
         )
 
     return cached_frame(spark, ("doc_shingles", sf_dir), build)
@@ -142,21 +146,14 @@ def _corpus_pair_shingles(
 def _shingle_array(docs: DataFrame) -> DataFrame:
     """(doc_id, sh: array<string>) -- the word-3-gram array kept as a
     per-row array (the narrow form of ``_shingles`` for consumers
-    whose aggregate is an array fold, not a grouped shuffle)."""
+    whose aggregate is an array fold, not a grouped shuffle).
+    NON-distinct (positional multiset -- dup_span_fraction needs every
+    occurrence)."""
     toks = F.col("toks")
-    sh = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 2),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(toks, i),
-            F.element_at(toks, i + 1),
-            F.element_at(toks, i + 2),
-        ),
-    )
     return (
         docs.select("doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("toks"))
         .filter(F.size(toks) >= 3)
-        .select("doc_id", sh.alias("sh"))
+        .select("doc_id", word3_shingles(toks).alias("sh"))
     )
 
 

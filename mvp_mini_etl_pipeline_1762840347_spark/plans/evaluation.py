@@ -463,25 +463,38 @@ def conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("x * y")).cast("bigint").alias("sxy"),
     )
     ab = fit.select("*", F.expr(_CFP_B).alias("b"))
-    ab2 = F.broadcast(ab.select("*", F.expr(_CFP_A).alias("a")))
+    # The 1-row fit is localCheckpointed: without it the fit's full
+    # train-fold aggregation subtree is re-executed once per consumer
+    # (the broadcast feeding the calibration scores, the broadcast
+    # feeding the test scores, and the n_train column of the final
+    # row) -- three lineitem scans for one number (guide §2.4).
+    fit_row = ab.select("*", F.expr(_CFP_A).alias("a")).localCheckpoint()
+    ab2 = F.broadcast(fit_row)
     cal = (
         v.filter(F.col("fold") == 8)
         .crossJoin(ab2)
         .select(F.expr(_CFP_SCORE).alias("c"))
         .localCheckpoint(eager=True)
     )
+    # min/max ride the calibration-count aggregation the query already
+    # pays, handed to the selector as precomputed bounds so it skips
+    # its own range pass over cal (operators/selection.py `bounds=`,
+    # the round-11 grouped-caller pattern applied to this caller).
     caln = cal.agg(
         F.count("*").cast("bigint").alias("n_cal"),
         F.expr(
             f"least(((count(*) + 1) * {100 - _CFP_ALPHA_PCT} + 99)"
             " div 100, count(*))"
         ).cast("bigint").alias("target_rank"),
-    )
+        F.min("c").alias("lo"),
+        F.max("c").alias("hi"),
+    ).localCheckpoint()
     qhat = rank_select(
         cal,
         caln.select(F.lit("q").alias("qid"), F.col("target_rank").alias("rank")),
         rounds=2,
         bins=256,
+        bounds=caln.select("lo", "hi"),
     ).select(F.col("value").alias("q_hat_cents"))
     test = (
         v.filter(F.col("fold") == 9)
@@ -499,7 +512,7 @@ def conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        fit.select(F.col("n").alias("n_train"))
+        fit_row.select(F.col("n").alias("n_train"))
         .crossJoin(F.broadcast(caln))
         .crossJoin(F.broadcast(cov))
         .select(

@@ -1808,17 +1808,12 @@ def _doc_shingles(d: DataFrame) -> DataFrame:
     """(doc_id, source, sh: array<string>) -- each document's DISTINCT
     word-3-gram shingles as a per-row array; size(sh) equals
     decontaminate_frame's n_shingles exactly (both are the distinct
-    count), so stored arrays re-score contamination bit-identically."""
+    count), so stored arrays re-score contamination bit-identically.
+    Composes dedup.word3_shingles -- the one shared shingle
+    definition (ADVICE r11: parity must be structural)."""
+    from .dedup import word3_shingles
+
     toks = F.col("toks")
-    sh = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 2),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(toks, i),
-            F.element_at(toks, i + 1),
-            F.element_at(toks, i + 2),
-        ),
-    )
     return (
         d.select(
             "doc_id",
@@ -1826,7 +1821,11 @@ def _doc_shingles(d: DataFrame) -> DataFrame:
             F.split(F.lower(F.col("text")), r"\s+").alias("toks"),
         )
         .filter(F.size(toks) >= 3)
-        .select("doc_id", "source", F.array_distinct(sh).alias("sh"))
+        .select(
+            "doc_id",
+            "source",
+            F.array_distinct(word3_shingles(toks)).alias("sh"),
+        )
     )
 
 
@@ -2046,30 +2045,37 @@ def _curation_state(
     sset = SnapshotSet(spark, root)
     state: dict = {}
 
-    def _stage(name: str, df: DataFrame) -> DataFrame:
-        state[name] = sset.stage(name, df)
-        return state[name]
-
     # Shingle-keyed stores derive from the STAGED doc-keyed store
-    # (columnar re-read, no re-shingling of text per store).
-    doc_sh = _stage("doc_sh", snap_doc_sh)
-    _stage(
-        "inv_idx",
-        doc_sh.filter(F.col("source") != _EVAL_SOURCE).select(
+    # (columnar re-read, no re-shingling of text per store) -- doc_sh
+    # must therefore land first; the remaining six members are
+    # independent writes to six table directories, overlapped from a
+    # small thread pool (guide §2.6) instead of paying six sequential
+    # driver round-trips.  Commit discipline unchanged: stage
+    # everything, then ONE pointer swap.
+    from concurrent.futures import ThreadPoolExecutor
+
+    doc_sh = sset.stage("doc_sh", snap_doc_sh)
+    state["doc_sh"] = doc_sh
+    rest = {
+        "inv_idx": doc_sh.filter(F.col("source") != _EVAL_SOURCE).select(
             F.explode("sh").alias("shingle"), "doc_id"
         ),
-    )
-    _stage(
-        "eval_sh",
-        doc_sh.filter(F.col("source") == _EVAL_SOURCE)
+        "eval_sh": doc_sh.filter(F.col("source") == _EVAL_SOURCE)
         .select(F.explode("sh").alias("shingle"))
         .groupBy("shingle")
         .agg(F.count("*").alias("n")),
-    )
-    _stage("ledger", ledger)
-    _stage("bands", sigs)
-    _stage("pairs", pairs)
-    _stage("comps", comp)
+        "ledger": ledger,
+        "bands": sigs,
+        "pairs": pairs,
+        "comps": comp,
+    }
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futs = {
+            name: pool.submit(sset.stage, name, df)
+            for name, df in rest.items()
+        }
+        for name, fut in futs.items():
+            state[name] = fut.result()
     # ONE pointer swap publishes the whole 7-table store set
     # (manifest-0): even the initial build is all-or-nothing.
     sset.commit_staged()
@@ -2584,8 +2590,18 @@ def _evolve_state(
                 evolved[n] = sset.read(n)
             return evolved
 
+    # Staged members collect here first; the actual parquet writes run
+    # below -- the ledger's alone (it materializes every shared lazy
+    # checkpoint of the day's frames), then the remaining independent
+    # members OVERLAPPED from a small thread pool (guide §2.6: actions
+    # are only sequential because the driver calls them sequentially;
+    # each staged write is a churn-sized job whose tail leaves most
+    # cores idle).  The commit discipline is unchanged: every member is
+    # staged first, then ONE manifest pointer swap publishes the set.
+    to_stage: dict[str, DataFrame] = {}
+
     def _commit(name: str, df: DataFrame) -> None:
-        evolved[name] = sset.stage(name, df)
+        to_stage[name] = df
 
     a = frames["a"]
     ledger_updates = a.filter(F.col("in_v2")).select(
@@ -2670,6 +2686,22 @@ def _evolve_state(
         live = sset.tables()
         target = sset.read("diff") if "diff" in live else None
         _commit("diff", diff_merge(target))
+    # Write the staged member snapshots: ledger first on its own (its
+    # job materializes the shared lazy localCheckpoints -- removed,
+    # new_staged, new_sh, delta_sh, decon_ids -- that several other
+    # members' plans also read), then the rest concurrently.  Each
+    # member writes to its own table directory, so the staging writes
+    # are independent jobs by construction.
+    from concurrent.futures import ThreadPoolExecutor
+
+    evolved["ledger"] = sset.stage("ledger", to_stage.pop("ledger"))
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futs = {
+            name: pool.submit(sset.stage, name, df)
+            for name, df in to_stage.items()
+        }
+        for name, fut in futs.items():
+            evolved[name] = fut.result()
     # THE commit point: one manifest pointer swap publishes all
     # staged members together (all-or-nothing).
     sset.commit_staged(marker=batch_id)
@@ -3375,15 +3407,16 @@ def fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     scanned ONCE (parquet-pruned to the union of its candidates'
     columns), every row fans out map-side into one (candidate, key,
     value) record per hypothesis via explode, and a single shuffle
-    keyed on (candidate, key) computes all per-key distinct counts
-    together -- 3 scans / 3 shuffles for 6 candidates instead of one
+    keyed on (candidate, key) computes every per-key violation
+    verdict together -- 3 scans for 6 candidates instead of one
     aggregation pipeline per candidate.  The fan-out stays TYPED: the
     candidate is a 1-byte ordinal (names re-attached to the 6 result
     rows at the end), the determinant key rides as its native BIGINT,
     and the dependent value occupies exactly one of a (v_long, v_str)
-    pair so no per-row cast-to-string ever runs -- countDistinct over
-    the struct of the pair is exact, and partial aggregation collapses
-    duplicates before the exchange.  At 100 TB a profiler would
+    pair so no per-row cast-to-string ever runs -- the per-key
+    min/max pair over the struct decides ndep > 1 exactly (see the
+    inline argument below), and partial aggregation collapses each
+    key to two values before the exchange.  At 100 TB a profiler would
     pre-screen candidates on a 1% sample and exact-check survivors
     with this same fused pass.
     Scan-count pin: tests/test_scale.py::test_fd_profile_fused_scans."""
@@ -3430,38 +3463,44 @@ def fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         fanout = F.explode(
             F.array(*[_struct(i, det, dep) for i, det, dep in cands])
         )
+        # A key violates X -> Y iff it has MORE THAN ONE distinct
+        # non-null dependent value, i.e. iff min(dep) != max(dep) over
+        # the non-null values -- so the exact per-key distinct COUNT
+        # (which the result never reports) is replaced by a min/max
+        # pair.  That turns the census's first level into a plain
+        # map-side-combinable aggregation: the old count(DISTINCT)
+        # form planned a dedup-by-(cand,k,value) aggregate with its
+        # own exchange BEFORE the per-key count (3 exchanges per
+        # table); min/max collapse per-partition to two values per
+        # key, so the (cand,k) exchange is the first and only
+        # corpus-sized shuffle (2 exchanges per table, guide §2.3/
+        # §2.4).  NULL semantics match count(DISTINCT): min/max skip
+        # NULLs (the all-NULL pair maps to a NULL struct), and an
+        # all-null key yields min = max = NULL, whose != is NULL --
+        # counted as non-violating by the otherwise(0), exactly like
+        # ndep = 0 <= 1 before.
+        dep = F.when(
+            F.col("v_long").isNotNull() | F.col("v_str").isNotNull(),
+            F.struct("v_long", "v_str"),
+        )
         per_key = (
             t.select(fanout.alias("p"))
             .select("p.*")
             .groupBy("cand", "k")
             .agg(
-                # NULL-dependent rows must not count as a distinct
-                # value (SQL count(DISTINCT dep) ignores NULLs): an
-                # all-NULL pair maps to a NULL struct, which
-                # countDistinct skips.
-                F.countDistinct(
-                    F.when(
-                        F.col("v_long").isNotNull()
-                        | F.col("v_str").isNotNull(),
-                        F.struct("v_long", "v_str"),
-                    )
-                ).alias("ndep")
+                F.min(dep).alias("dep_min"),
+                F.max(dep).alias("dep_max"),
             )
         )
+        viol = F.when(F.col("dep_min") != F.col("dep_max"), 1).otherwise(0)
         row = per_key.groupBy("cand").agg(
             F.count("*").cast("bigint").alias("n_keys"),
-            F.sum(F.when(F.col("ndep") > 1, 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_violating_keys"),
+            F.sum(viol).cast("bigint").alias("n_violating_keys"),
             F.round(
-                100.0
-                * F.sum(F.when(F.col("ndep") > 1, 1).otherwise(0))
-                / F.count("*"),
+                100.0 * F.sum(viol) / F.count("*"),
                 4,
             ).alias("violation_pct"),
-            (
-                F.sum(F.when(F.col("ndep") > 1, 1).otherwise(0)) == 0
-            ).alias("holds"),
+            (F.sum(viol) == 0).alias("holds"),
         )
         out = row if out is None else out.unionByName(row)
 

@@ -650,6 +650,14 @@ def frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
         .localCheckpoint()
     )
+    # The pair key crosses the exchange PACKED into one bigint
+    # (a << 32 | b -- part keys are < 2^32, and a sorted basket
+    # guarantees a < b so the packing is bijective): one 8-byte
+    # column instead of two through the corpus-sized (a, b) shuffle,
+    # and a single-long hash/compare in the aggregation hash map
+    # (guide §2.3 "shuffle keys instead of payloads" / narrower
+    # types).  Unpacked right after the support filter, before the
+    # bounded stats joins.
     pairs = baskets.select(
         F.explode(
             F.flatten(
@@ -657,16 +665,21 @@ def frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("ps"),
                     lambda a, i: F.transform(
                         F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
-                        lambda b: F.struct(a.alias("a"), b.alias("b")),
+                        lambda b: F.shiftleft(a, 32).bitwiseOR(b),
                     ),
                 )
             )
-        ).alias("e")
-    ).select("e.a", "e.b")
+        ).alias("pk")
+    )
     pr = (
-        pairs.groupBy("a", "b")
+        pairs.groupBy("pk")
         .agg(F.count("*").alias("support"))
         .filter(F.col("support") >= _FP_MIN_SUPPORT)
+        .select(
+            F.shiftright("pk", 32).alias("a"),
+            F.col("pk").bitwiseAND(F.lit(0xFFFFFFFF)).alias("b"),
+            "support",
+        )
     )
     pc = (
         baskets.select(F.explode("ps").alias("l_partkey"))
@@ -1695,38 +1708,53 @@ def encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     'dict'/'rle_sorted'; the crossover is the real storage-format
     decision rule.
 
-    One two-level aggregation per column: groupBy(value) partial
-    state shuffles only distinct values (column-pruned scan), then a
-    constant-size reduce derives all three sizes with BIGINT-exact
+    ONE two-level aggregation for ALL columns (the production sweep
+    the previous per-column form's docstring promised): the scan reads
+    the six columns once, each row fans out map-side into one
+    (column_name, value-as-string) record per column via explode, the
+    first aggregation level collapses to per-(column, value) counts
+    before its single exchange (partial aggregation -- the shuffle
+    carries the union of the columns' distinct values, the same bytes
+    the six separate shuffles carried combined), and the second level
+    derives all three sizes per column with the identical BIGINT-exact
     arithmetic (code width via length(bin(d-1)) -- no float log2).
-    A production sweep fuses same-table columns into one
-    grouping-sets pass; kept separate here so each column's plan is
-    independently auditable."""
-    out = None
-    for col in _ENC_COLUMNS:
-        li = read_table(spark, sf_dir, "lineitem")
-        per_val = li.groupBy(F.col(col).alias("v")).agg(
-            F.count("*").alias("cnt")
-        ).select(
-            F.length(F.col("v").cast("string")).alias("vlen"), "cnt"
+    The string cast moves BEFORE the grouping: integer-to-string is
+    injective, so per-value counts and value lengths are unchanged.
+    6 scans / 6 jobs -> 1 scan / 1 job (guide §2.4 / §1.2)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    fanout = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(col).alias("column_name"),
+                    F.col(col).cast("string").alias("v"),
+                )
+                for col in _ENC_COLUMNS
+            ]
         )
-        row = per_val.agg(
-            F.lit(col).alias("column_name"),
-            F.sum("cnt").cast("bigint").alias("n_values"),
-            F.count("*").cast("bigint").alias("n_distinct"),
-            F.sum(F.col("vlen") * F.col("cnt")).cast("bigint")
-            .alias("plain_bytes"),
-            (
-                F.sum("vlen").cast("bigint")
-                + F.expr(
-                    "(sum(cnt) * (CASE WHEN count(*) <= 1 THEN 1"
-                    " ELSE length(bin(count(*) - 1)) END) + 7) div 8"
-                ).cast("bigint")
-            ).alias("dict_bytes"),
-            (F.sum("vlen") + 4 * F.count("*")).cast("bigint")
-            .alias("rle_sorted_bytes"),
-        )
-        out = row if out is None else out.unionByName(row)
+    )
+    per_val = (
+        li.select(fanout.alias("p"))
+        .select("p.*")
+        .groupBy("column_name", "v")
+        .agg(F.count("*").alias("cnt"))
+        .select("column_name", F.length("v").alias("vlen"), "cnt")
+    )
+    out = per_val.groupBy("column_name").agg(
+        F.sum("cnt").cast("bigint").alias("n_values"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+        F.sum(F.col("vlen") * F.col("cnt")).cast("bigint")
+        .alias("plain_bytes"),
+        (
+            F.sum("vlen").cast("bigint")
+            + F.expr(
+                "(sum(cnt) * (CASE WHEN count(*) <= 1 THEN 1"
+                " ELSE length(bin(count(*) - 1)) END) + 7) div 8"
+            ).cast("bigint")
+        ).alias("dict_bytes"),
+        (F.sum("vlen") + 4 * F.count("*")).cast("bigint")
+        .alias("rle_sorted_bytes"),
+    )
     return out.select(
         "*",
         F.expr(
@@ -1912,32 +1940,55 @@ def mv_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollups win (huge saving, tiny cost); the per-order view prices
     itself out -- the crossover IS the advisor's output.
 
-    One distinct-count aggregation per candidate (column-pruned
-    scan), a 1-row fact census, then ranking windows over the
-    bounded candidate list.  Ratio floats divide exact integers via
+    ONE fused aggregation sizes every candidate AND the fact census
+    in a single column-pruned scan: countDistinct over the struct of
+    each candidate's keys (a struct is never NULL as a whole, so the
+    count equals SELECT-DISTINCT-then-count exactly, null key values
+    included) -- Spark's RewriteDistinctAggregates fuses the five
+    distinct groups into one Expand pass, the same mechanism
+    join_order_advisor's budget note relies on.  The five candidate
+    rows then fan out of the 1-row stats frame via an array explode
+    (a union of five branches would re-scan the fact per branch).
+    6 scans / 6 jobs -> 1 scan / 1 job (guide §2.3 "aggregate before
+    you shuffle" + §2.4).  Ratio floats divide exact integers via
     a shared SQL formula, so both engines order candidates
     identically."""
-    cand = None
-    for name, keys, freq in _MV_CANDIDATES:
-        li = read_table(spark, sf_dir, "lineitem")
-        row = (
-            li.select([k.strip() for k in keys.split(",")])
-            .distinct()
-            .agg(
-                F.lit(name).alias("view_name"),
-                F.lit(freq).alias("freq"),
-                F.count("*").cast("bigint").alias("view_rows"),
-            )
-        )
-        cand = row if cand is None else cand.unionByName(row)
-    f = read_table(spark, sf_dir, "lineitem").agg(
+    li = read_table(spark, sf_dir, "lineitem")
+    stats = li.agg(
         F.count("*").cast("bigint").alias("fact_rows"),
         F.expr(f"count(*) * {_MV_BUDGET_PCT} div 100")
         .cast("bigint")
         .alias("budget_rows"),
+        *[
+            F.countDistinct(
+                F.struct(*[F.col(k.strip()) for k in keys.split(",")])
+            )
+            .cast("bigint")
+            .alias(f"view_rows_{i}")
+            for i, (_name, keys, _freq) in enumerate(_MV_CANDIDATES)
+        ],
     )
-    scored = cand.crossJoin(F.broadcast(f)).withColumn(
-        "ratio", F.expr(_MV_RATIO)
+    scored = (
+        stats.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(name).alias("view_name"),
+                            F.lit(freq).alias("freq"),
+                            F.col(f"view_rows_{i}").alias("view_rows"),
+                        )
+                        for i, (name, _keys, freq) in enumerate(
+                            _MV_CANDIDATES
+                        )
+                    ]
+                )
+            ).alias("c"),
+            "fact_rows",
+            "budget_rows",
+        )
+        .select("c.*", "fact_rows", "budget_rows")
+        .withColumn("ratio", F.expr(_MV_RATIO))
     )
     wr = Window.orderBy(F.desc("ratio"), "view_name").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -3054,13 +3105,34 @@ def advisor_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     SPARK_GRAFT_FRAGMENT_CACHE=1 (bench) the assembled report is the
     cached fragment (one maintenance readout per batch window);
     parity cache-on == cache-off pinned in tests/test_round10_ops.py."""
-    from .fragments import cached_frame
+    from .fragments import cached_frame, fragment_cache_on
 
-    return cached_frame(
-        spark,
-        ("advisor_report", sf_dir),
-        lambda: _advisor_report_build(spark, sf_dir),
-    )
+    def _build() -> DataFrame:
+        if fragment_cache_on():
+            # Fill the seven per-advisor fragments CONCURRENTLY before
+            # assembling (guide §2.6: the builds are independent
+            # statistics passes over different tables, and each one is
+            # a short job whose tail would otherwise leave the cores
+            # idle while the next build waits on the driver).  Each
+            # thread fills a DIFFERENT fragment key, so the per-process
+            # cache sees no key contention; with the cache off the
+            # standalone plan below is returned unchanged.
+            from concurrent.futures import ThreadPoolExecutor
+
+            advisors = (
+                encoding_advisor,
+                partition_advisor,
+                mv_advisor,
+                join_order_advisor,
+                runtime_filter_advisor,
+                compaction_planner,
+                cardinality_estimate_audit,
+            )
+            with ThreadPoolExecutor(max_workers=4) as pool:
+                list(pool.map(lambda f: f(spark, sf_dir), advisors))
+        return _advisor_report_build(spark, sf_dir)
+
+    return cached_frame(spark, ("advisor_report", sf_dir), _build)
 
 
 def _advisor_report_build(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -156,14 +156,26 @@ def test_pass_is_churn_shaped(spark):
 
 def test_fragment_cache_parity(spark):
     """SPARK_GRAFT_FRAGMENT_CACHE=1 (bench mode) must be value-neutral:
-    corpus_disposition and release_delta_incremental return identical
-    rows with the cache on (including a warm second call served from
-    the cached fragment) and off."""
+    every fragment-rerouted family returns identical rows with the
+    cache on (including a warm second call served from the cached
+    fragment) and off.  One consumer per fragment (VERDICT r11 #2):
+    corpus_disposition (disposition frame), release_delta_incremental
+    (curation-state memo + daily-pass fragment), graph_triangle_count
+    (co-purchase edge fragment), dedup_containment (corpus doc-shingle
+    store), dedup_simhash_hamming (simhash fingerprint fragment), and
+    corpus_clean_split (store-derived drop set + band signatures)."""
     import os
 
     from mvp_mini_etl_pipeline_1762840347_spark.plans import quality
 
-    names = ("corpus_disposition", "release_delta_incremental")
+    names = (
+        "corpus_disposition",
+        "release_delta_incremental",
+        "graph_triangle_count",
+        "dedup_containment",
+        "dedup_simhash_hamming",
+        "corpus_clean_split",
+    )
     cold = {n: _rows(plans.QUERIES[n](spark, SF)) for n in names}
     quality._FRAGMENT_CACHE.clear()
     os.environ["SPARK_GRAFT_FRAGMENT_CACHE"] = "1"
