@@ -3413,10 +3413,11 @@ def fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate is a 1-byte ordinal (names re-attached to the 6 result
     rows at the end), the determinant key rides as its native BIGINT,
     and the dependent value occupies exactly one of a (v_long, v_str)
-    pair so no per-row cast-to-string ever runs -- the per-key
-    min/max pair over the struct decides ndep > 1 exactly (see the
-    inline argument below), and partial aggregation collapses each
-    key to two values before the exchange.  At 100 TB a profiler would
+    pair so no per-row cast-to-string ever runs -- countDistinct over
+    the struct of the pair is exact, and partial aggregation collapses
+    duplicates before the exchange (a min/max rewrite was tried and
+    reverted this round; see the inline note).  At 100 TB a profiler
+    would
     pre-screen candidates on a 1% sample and exact-check survivors
     with this same fused pass.
     Scan-count pin: tests/test_scale.py::test_fd_profile_fused_scans."""
@@ -3463,36 +3464,39 @@ def fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         fanout = F.explode(
             F.array(*[_struct(i, det, dep) for i, det, dep in cands])
         )
-        # A key violates X -> Y iff it has MORE THAN ONE distinct
-        # non-null dependent value, i.e. iff min(dep) != max(dep) over
-        # the non-null values -- so the exact per-key distinct COUNT
-        # (which the result never reports) is replaced by a min/max
-        # pair.  That turns the census's first level into a plain
-        # map-side-combinable aggregation: the old count(DISTINCT)
-        # form planned a dedup-by-(cand,k,value) aggregate with its
-        # own exchange BEFORE the per-key count (3 exchanges per
-        # table); min/max collapse per-partition to two values per
-        # key, so the (cand,k) exchange is the first and only
-        # corpus-sized shuffle (2 exchanges per table, guide §2.3/
-        # §2.4).  NULL semantics match count(DISTINCT): min/max skip
-        # NULLs (the all-NULL pair maps to a NULL struct), and an
-        # all-null key yields min = max = NULL, whose != is NULL --
-        # counted as non-violating by the otherwise(0), exactly like
-        # ndep = 0 <= 1 before.
-        dep = F.when(
-            F.col("v_long").isNotNull() | F.col("v_str").isNotNull(),
-            F.struct("v_long", "v_str"),
-        )
+        # ROUND-12 NEGATIVE RESULT, kept for the record: replacing the
+        # per-key count(DISTINCT dep) with a min/max violation test
+        # (ndep > 1 <=> min != max over non-null values -- exact) cuts
+        # one exchange per table on paper, but min/max over a STRING
+        # (or struct) aggregation buffer is not a mutable fixed-size
+        # type, so HashAggregateExec rejects it and the census's first
+        # level planned as SortAggregate x6 -- a SORT of the full
+        # 6-way fan-out per table.  Measured: 2.8 s -> 5.4 s (struct
+        # form) / 4.9 s (column-wise form) at sf0.1.  The
+        # count(DISTINCT) form below keeps every level on the
+        # whole-stage-codegen hash path; its extra dedup exchange is
+        # cheaper than any sort.  (tests/test_round12_ops.py pins the
+        # min/max equivalence argument itself, should a future Spark
+        # grow hashable var-length min/max buffers.)
         per_key = (
             t.select(fanout.alias("p"))
             .select("p.*")
             .groupBy("cand", "k")
             .agg(
-                F.min(dep).alias("dep_min"),
-                F.max(dep).alias("dep_max"),
+                # NULL-dependent rows must not count as a distinct
+                # value (SQL count(DISTINCT dep) ignores NULLs): an
+                # all-NULL pair maps to a NULL struct, which
+                # countDistinct skips.
+                F.countDistinct(
+                    F.when(
+                        F.col("v_long").isNotNull()
+                        | F.col("v_str").isNotNull(),
+                        F.struct("v_long", "v_str"),
+                    )
+                ).alias("ndep")
             )
         )
-        viol = F.when(F.col("dep_min") != F.col("dep_max"), 1).otherwise(0)
+        viol = F.when(F.col("ndep") > 1, 1).otherwise(0)
         row = per_key.groupBy("cand").agg(
             F.count("*").cast("bigint").alias("n_keys"),
             F.sum(viol).cast("bigint").alias("n_violating_keys"),

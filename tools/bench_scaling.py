@@ -137,6 +137,17 @@ QUERIES = [
     # stores, metadata-only at deploy).
     "store_health_report",      # store-set health over evolved state
     "local_supplier_revenue",   # 5-way star join (crossed 1.5 s r11)
+    # Round-12 completion: the remaining names that hover at the
+    # 1.5 s boundary under ambient load (each crossed it in at least
+    # one quiet-methodology r12 artifact) -- tracked so the coverage
+    # gate is robust to the boundary, not re-argued per round.
+    "centroid_similarity_int8",  # int8 dot-product similarity scan
+    "er_golden_record",         # survivorship merge over match graph
+    "influence_diagnostics",    # leave-one-out OLS sufficient stats
+    "pq_encode",                # PQ codebook assignment scan
+    "token_weighted_median_len",  # weighted median via selector
+    "winsorized_pricing_approx",  # approx-percentile winsorization
+    "zorder_layout",            # z-order interleave + block stats
 ]
 
 
@@ -159,6 +170,20 @@ SF1_QUERIES = [
     "text_bigram_lm",           # +0.46
     "exact_median_2pass",       # steepest 3-point fit (+0.30) besides
                                 # the audits; selection must stay flat
+    # Round-12 extension (VERDICT r11 #7): the dedup/graph families
+    # whose bench paths were rerouted onto batch-window fragments in
+    # r11 -- their sf1 exponents must track the STANDALONE cache-off
+    # plans the driver grades (this harness never sets
+    # SPARK_GRAFT_FRAGMENT_CACHE, so every point below is cache-off),
+    # not the fragment probes the bench's warm passes serve.
+    "dedup_containment",        # 3-subtree shingle containment join
+    "dedup_verified_pairs",     # candidate verify (exact Jaccard)
+    "dedup_lsh_recall",         # LSH candidates vs exact eval
+    "dedup_prefix_filter_join",  # PPJoin prefix-filter join
+    "graph_triangle_count",     # oriented triangle join over cop edges
+    "graph_degree_distribution",  # degree census over cop edges
+    "graph_kcore_peel",         # iterative k-core peeling
+    "graph_communities_lpa",    # iterative label propagation
 ]
 
 _SF1_MARK = "\n## Fourth decade (sf1)\n"
@@ -177,11 +202,19 @@ def run_sf1_section() -> str:
         _SF1_MARK.strip() + "\n\n"
         "The steepest top-decade exponents from the 3-point table, "
         "re-measured with a FOURTH point at sf1 (6 M lineitem / 50 k "
-        "documents): a deterministic bootstrap blow-up of sf0.1 "
-        "(`python tools/gen_sf1.py`, numpy seed 4242 -- row-sampled "
-        "with replacement, keys renumbered, FKs rescaled so fan-out "
-        "and skew shape survive; timing-grade only, the DuckDB "
-        "oracle gate does not run at sf1).  `exp(4pt)` fits all four "
+        "documents): a deterministic blow-up of sf0.1 (`python "
+        "tools/gen_sf1.py`, numpy seed 4242 -- relational tables "
+        "row-sampled with replacement, keys renumbered, FKs rescaled "
+        "so fan-out and skew shape survive; DOCUMENTS tiled as 10 "
+        "replicas under a per-replica token bijection, so duplicate-"
+        "GROUP sizes stay scale-free and dedup candidate load scales "
+        "linearly, as in real corpora -- see gen_sf1.py; timing-grade "
+        "only, the DuckDB oracle gate does not run at sf1).  All "
+        "points are measured "
+        "with the fragment cache OFF (this harness never sets "
+        "SPARK_GRAFT_FRAGMENT_CACHE), so the exponents track the "
+        "standalone plans the driver grades, not warm fragment "
+        "probes.  `exp(4pt)` fits all four "
         "points; `exp@0.1->1` is the new top decade -- the one that "
         "says whether the 3-point steepness was curvature or "
         "fixed-cost amortization ending.\n\n"

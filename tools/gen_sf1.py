@@ -26,6 +26,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 SRC = "/root/testdata/sf0.1"
 SCALE = 10
 SEED = 4242
@@ -129,16 +131,55 @@ def main(out_dir: str) -> None:
     )
 
     docs = _read("documents")
-    n = docs.num_rows * SCALE
-    d = _bootstrap(docs, n, rng)
-    d["doc_id"] = np.arange(n, dtype=np.int64)
-    # re-spread sources over the enlarged corpus (uniform over the
-    # same 20 sources, like the original); text/lang/n_chars keep
-    # their sampled joint distribution -- near-dup density survives
-    # because texts repeat exactly under the bootstrap
-    d["source"] = np.array(
-        [f"src{i}" for i in rng.integers(0, 20, size=n)]
-    )
+    # Documents scale by TILED REPLICATION with a per-replica token
+    # bijection, NOT by bootstrap sampling.  Sampling with replacement
+    # multiplies every exact/near-duplicate GROUP's size ~SCALE-fold,
+    # which takes candidate-pair counts ~SCALE^2-fold -- the measured
+    # sf1 artifact that made every pair-generation operator (simhash
+    # hamming, containment, LSH verify) look super-linear when the
+    # plans are linear in candidate load.  Real corpora do not behave
+    # that way: duplicate-group SIZE comes from crawl redundancy and
+    # is scale-free; group COUNT grows with the corpus.  So each
+    # replica k holds every sf0.1 document once, with non-stopword
+    # tokens suffixed by the replica id: within a replica every
+    # token-equality relation (hence every shingle, fingerprint and
+    # dup group) is preserved bijectively; across replicas documents
+    # share only pure-stopword shingles (~stop_ratio^3 of shingles,
+    # far below every similarity threshold), so dedup candidate load
+    # scales linearly -- exactly SCALE independent copies of sf0.1's
+    # dedup problem.  Replica 0 keeps the original text verbatim.
+    # Stopwords keep their identity so stop-ratio quality gates see
+    # the sf0.1 distribution.
+    from mvp_mini_etl_pipeline_1762840347_spark.plans.text import STOPWORDS
+
+    stop = set(STOPWORDS)
+    texts = docs.column("text").to_pylist()
+    langs = docs.column("lang").to_numpy(zero_copy_only=False)
+    base = docs.num_rows
+    n = base * SCALE
+    out_text: list[str] = []
+    for k in range(SCALE):
+        if k == 0:
+            out_text.extend(texts)
+            continue
+        tag = str(k)
+        for t in texts:
+            out_text.append(
+                " ".join(
+                    w if w in stop else w + tag for w in t.split(" ")
+                )
+            )
+    d = {
+        "doc_id": np.arange(n, dtype=np.int64),
+        "text": out_text,
+        "lang": np.tile(langs, SCALE),
+        # re-spread sources over the enlarged corpus (uniform over the
+        # same 20 sources, like the original)
+        "source": np.array(
+            [f"src{i}" for i in rng.integers(0, 20, size=n)]
+        ),
+        "n_chars": np.array([len(t) for t in out_text], dtype=np.int64),
+    }
     _write(out_dir, "documents", d, docs.schema)
 
     print(f"sf1 written to {out_dir}")
